@@ -1,0 +1,84 @@
+"""Engine configuration and device/dtype policy.
+
+TPU-native counterpart of the reference's ``gsv_tts/Config.py`` (reference
+``Config.py:54-96`` picks the best CUDA device and a dtype by SM version).
+Here the policy is much simpler: on TPU we always want bfloat16 compute with
+float32 accumulation (the MXU's native mode); on CPU (tests, debugging) we
+default to float32.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def default_platform() -> str:
+    try:
+        return jax.devices()[0].platform
+    except RuntimeError:
+        return "cpu"
+
+
+def default_dtype(platform: Optional[str] = None):
+    platform = platform or default_platform()
+    if platform in ("tpu", "gpu"):
+        return jnp.bfloat16
+    return jnp.float32
+
+
+_DTYPE_MAP = {
+    "float32": jnp.float32,
+    "fp32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "bf16": jnp.bfloat16,
+    "float16": jnp.float16,
+    "fp16": jnp.float16,
+}
+
+
+@dataclasses.dataclass
+class Config:
+    """Per-engine configuration (mirrors reference ``Config`` semantics).
+
+    ``gpt_cache`` is a list of ``(batch_size, max_seq_len)`` buckets: each
+    bucket becomes one fixed-shape jit specialization of the decode step (the
+    XLA compile cache plays the role the CUDA-graph pool plays in the
+    reference, ``t2s_model.py:210-298``).  ``sovits_cache`` is the list of
+    fixed vocoder frame lengths (reference ``models.py:322-369``).
+    """
+
+    dtype: Any = None
+    platform: str = None
+    use_flash_attn: bool = True  # use the Pallas decode-attention kernel
+    gpt_cache: list = None
+    sovits_cache: list = None
+    cnroberta: Any = None  # lazily-attached BERT featurizer (see models/roberta.py)
+    # Interop: number of host threads the runtime may use for frontend work.
+    frontend_workers: int = max(1, (os.cpu_count() or 4) // 2)
+
+    def __post_init__(self):
+        if self.platform is None:
+            self.platform = default_platform()
+        if self.dtype is None:
+            self.dtype = default_dtype(self.platform)
+        elif isinstance(self.dtype, str):
+            self.dtype = _DTYPE_MAP[self.dtype.lower()]
+
+
+class GlobalConfig:
+    """Process-wide singletons (reference ``Config.py:98-108``)."""
+
+    def __init__(self):
+        self.models_dir: Optional[Path] = None
+        self.use_jieba_fast: Optional[bool] = None
+        self.chinese_g2p = None
+        self.japanese_g2p = None
+        self.english_g2p = None
+
+
+global_config = GlobalConfig()

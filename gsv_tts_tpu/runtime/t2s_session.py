@@ -1,0 +1,533 @@
+"""Decode runtime for the t2s model: bucketed KV cache + jitted step loop.
+
+TPU-native replacement for the reference's CUDA-graph bucket machinery
+(``t2s_model.py:146-156,210-298``).  The mapping is:
+
+  reference CUDA mechanism                 TPU mechanism here
+  --------------------------------------   --------------------------------
+  CUDAGraph capture of decode_next_token   jit-compiled ``decode_chunk`` (the
+                                           XLA compile cache *is* the graph
+                                           pool; buffers donated for in-place
+                                           HBM updates)
+  nested KV-cache bucket views             per-(B, S) cache buffers; bucket
+                                           escalation = one pad-copy
+                                           (``t2s_model.py:425-428``)
+  per-step Python loop + graph.replay()    ``lax.scan`` over
+                                           ``check_interval``/``stream_chunk``
+                                           tokens per dispatch; host syncs
+                                           only on the per-chunk token block,
+                                           mirroring the 5-step EOS readback
+                                           (``t2s_model.py:451-453``)
+  [B,H,1,S] bool decode mask buffer        mask derived on the fly from
+                                           per-slot ``kv_len`` scalars
+  continuous-batching slot refill          jitted per-slot prefill writing
+                                           into ``cache[:, slot]``
+                                           (``t2s_model.py:696-722``)
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import t2s as t2s_model
+from ..models.t2s import T2SConfig
+from ..ops import sampling
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DecodeState:
+    """Device-resident decode state (one per active bucket)."""
+
+    k_cache: jnp.ndarray  # [L, B, S, H, Dh]
+    v_cache: jnp.ndarray  # [L, B, S, H, Dh]
+    kv_len: jnp.ndarray  # [B] i32 — valid cache entries per slot
+    x_len: jnp.ndarray  # [B] i32 — phoneme-block length per slot
+    tok_buf: jnp.ndarray  # [B, S] i32 — prompt-y + generated tokens (sentinel V = empty)
+    buf_len: jnp.ndarray  # [B] i32
+    last_tok: jnp.ndarray  # [B] i32 — token to feed next step
+    step_idx: jnp.ndarray  # [B] i32 — decode step counter (suppression window)
+    rng: jax.Array
+
+    def tree_flatten(self):
+        return (
+            (self.k_cache, self.v_cache, self.kv_len, self.x_len, self.tok_buf,
+             self.buf_len, self.last_tok, self.step_idx, self.rng),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleArgs:
+    top_k: int = 15
+    top_p: float = 1.0
+    temperature: float = 1.0
+    repetition_penalty: float = 1.35
+    use_prev: bool = True  # penalty over previous tokens (off in batched mode)
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels
+# ---------------------------------------------------------------------------
+
+def _sample_logits(rng, logits, tok_buf, sa: SampleArgs, vocab: int, mask_eos: bool, suppress: jnp.ndarray, suppressed: Tuple[int, ...]):
+    """Shared logit post-processing: suppression, EOS masking, sampling."""
+    logits = logits.astype(F32)
+    if suppressed:
+        sup = jnp.asarray(suppressed, dtype=I32)
+        neg = jnp.full((len(suppressed),), -jnp.inf, F32)
+        logits = jnp.where(
+            suppress[:, None],
+            jax.vmap(lambda l: l.at[sup].set(neg))(logits),
+            logits,
+        )
+    if mask_eos:
+        logits = logits.at[:, vocab - 1].set(-jnp.inf)
+    prev = tok_buf if sa.use_prev else None
+    tok, _ = sampling.sample(
+        rng, logits, prev,
+        temperature=sa.temperature, top_k=sa.top_k, top_p=sa.top_p,
+        repetition_penalty=sa.repetition_penalty,
+    )
+    return tok.astype(I32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "sa", "first_suppress", "dtype_name"),
+         donate_argnames=("k_cache", "v_cache"))
+def prefill_batch(params, cfg: T2SConfig, x_ids, y_ids, bert, x_lens, y_lens,
+                  k_cache, v_cache, rng, sa: SampleArgs, first_suppress: bool,
+                  dtype_name: str = "float32"):
+    """Full-batch prefill into fresh caches; samples the first token per row
+    (reference prefill + first sample, ``t2s_model.py:414-421,608-616``)."""
+    dtype = jnp.dtype(dtype_name)
+    B = x_ids.shape[0]
+    xy_pos, mask, last_mask = t2s_model.embed_prompt_batch(
+        params, cfg, x_ids, y_ids, bert, x_lens, y_lens, dtype)
+    h, ks, vs = t2s_model.transformer_prefill(params, cfg, xy_pos, mask)
+    T = xy_pos.shape[1]
+    k_cache = jax.lax.dynamic_update_slice(k_cache, ks, (0, 0, 0, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, vs, (0, 0, 0, 0, 0))
+
+    h_last = jnp.sum(h * last_mask[:, :, None].astype(h.dtype), axis=1)  # [B, D]
+    logits = h_last @ params["predict_w"]
+
+    S = k_cache.shape[2]
+    xy_lens = x_lens + y_lens
+    # token buffer: y prompt tokens first (for repetition penalty), sentinel V elsewhere
+    pos = jnp.arange(S)[None, :]
+    sentinel = jnp.full((B, S), cfg.vocab_size, I32)
+    y_gather = jnp.take_along_axis(
+        y_ids, jnp.clip(pos, 0, y_ids.shape[1] - 1), axis=1).astype(I32)
+    tok_buf = jnp.where(pos < y_lens[:, None], y_gather, sentinel)
+
+    rng, sub = jax.random.split(rng)
+    suppress = jnp.ones((B,), bool) if first_suppress else jnp.zeros((B,), bool)
+    tok = _sample_logits(sub, logits, tok_buf, sa, cfg.vocab_size, True,
+                         suppress, cfg.suppressed_tokens if first_suppress else ())
+
+    tok_buf = tok_buf.at[jnp.arange(B), y_lens].set(tok)
+    state = DecodeState(
+        k_cache=k_cache, v_cache=v_cache,
+        kv_len=xy_lens.astype(I32), x_len=x_lens.astype(I32),
+        tok_buf=tok_buf, buf_len=(y_lens + 1).astype(I32),
+        last_tok=tok, step_idx=jnp.ones((B,), I32), rng=rng,
+    )
+    return state, tok
+
+
+@partial(jax.jit, static_argnames=("cfg", "sa", "dtype_name"),
+         donate_argnames=("state",))
+def prefill_slot(params, cfg: T2SConfig, state: DecodeState, slot,
+                 x_ids, y_ids, bert, x_len, y_len, sa: SampleArgs,
+                 dtype_name: str = "float32"):
+    """Continuous-batching slot refill (``t2s_model.py:696-722``): prefill one
+    request into cache slot ``slot`` while other slots keep decoding.  Uses the
+    packed ragged embedding so padded inputs compact to [x | y | pad]."""
+    dtype = jnp.dtype(dtype_name)
+    Ly = y_ids.shape[1]
+    xy_len = (x_len + y_len).astype(I32)
+    xy_pos, mask, last_mask = t2s_model.embed_prompt_batch(
+        params, cfg, x_ids, y_ids, bert,
+        x_len.reshape(1), y_len.reshape(1), dtype)
+    # padded rows must still attend somewhere to avoid NaN softmax rows
+    mask = mask | (jnp.arange(mask.shape[-1])[None, None, :] == 0)
+
+    h, ks, vs = t2s_model.transformer_prefill(params, cfg, xy_pos, mask)
+    h_last = jnp.sum(h * last_mask[:, :, None].astype(h.dtype), axis=1)[0]
+
+    k_cache = jax.lax.dynamic_update_slice(state.k_cache, ks, (0, slot, 0, 0, 0))
+    v_cache = jax.lax.dynamic_update_slice(state.v_cache, vs, (0, slot, 0, 0, 0))
+
+    logits = (h_last @ params["predict_w"])[None, :]
+    rng, sub = jax.random.split(state.rng)
+    tok = _sample_logits(sub, logits, None, dataclasses.replace(sa, use_prev=False),
+                         cfg.vocab_size, True, jnp.zeros((1,), bool), ())[0]
+
+    S = state.k_cache.shape[2]
+    posS = jnp.arange(S)
+    y_gather = jnp.take(y_ids[0], jnp.clip(posS, 0, Ly - 1)).astype(I32)
+    row_buf = jnp.where(posS < y_len, y_gather, cfg.vocab_size)
+    row_buf = row_buf.at[y_len].set(tok)
+
+    return DecodeState(
+        k_cache=k_cache, v_cache=v_cache,
+        kv_len=state.kv_len.at[slot].set(xy_len.astype(jnp.int32)),
+        x_len=state.x_len.at[slot].set(x_len.astype(jnp.int32)),
+        tok_buf=jax.lax.dynamic_update_slice(state.tok_buf, row_buf[None, :], (slot, 0)),
+        buf_len=state.buf_len.at[slot].set((y_len + 1).astype(jnp.int32)),
+        last_tok=state.last_tok.at[slot].set(tok),
+        step_idx=state.step_idx.at[slot].set(1),
+        rng=rng,
+    ), tok
+
+
+@partial(jax.jit, static_argnames=("cfg", "sa", "n_steps", "suppress_until", "dtype_name"),
+         donate_argnames=("state",))
+def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
+                 sa: SampleArgs, suppress_until: int = 0,
+                 dtype_name: str = "float32"):
+    """Generate ``n_steps`` tokens in one dispatch (inner ``lax.scan``).
+
+    Mirrors the decode loop body of ``t2s_model.py:425-456``: embed last token
+    with the audio positional entry ``pe[kv_len - x_len]``, run all layers over
+    the cache, sample (with suppression while ``step_idx < suppress_until``).
+    Returns the new state and the sampled tokens ``[n_steps, B]``.
+    """
+    dtype = jnp.dtype(dtype_name)
+    B = state.kv_len.shape[0]
+
+    def step(st: DecodeState, _):
+        pe_idx = st.kv_len - st.x_len
+        pe = (params["audio_pos_alpha"] * params["pe"][pe_idx]).astype(dtype)
+        x = jnp.take(params["audio_emb"], st.last_tok, axis=0).astype(dtype) + pe
+
+        h, kc, vc = t2s_model.transformer_decode_step(
+            params, cfg, x, st.k_cache, st.v_cache, st.kv_len)
+        logits = h @ params["predict_w"]
+
+        rng, sub = jax.random.split(st.rng)
+        suppress = st.step_idx < suppress_until
+        tok = _sample_logits(sub, logits, st.tok_buf, sa, cfg.vocab_size, False,
+                             suppress, cfg.suppressed_tokens + (cfg.eos,) if suppress_until else ())
+
+        bidx = jnp.arange(B)
+        new = DecodeState(
+            k_cache=kc, v_cache=vc,
+            kv_len=st.kv_len + 1, x_len=st.x_len,
+            tok_buf=st.tok_buf.at[bidx, st.buf_len].set(tok),
+            buf_len=st.buf_len + 1,
+            last_tok=tok, step_idx=st.step_idx + 1, rng=rng,
+        )
+        return new, tok
+
+    state, toks = jax.lax.scan(step, state, None, length=n_steps)
+    return state, toks.T  # [B, n_steps]
+
+
+# ---------------------------------------------------------------------------
+# Host-side engine
+# ---------------------------------------------------------------------------
+
+PAD_MULTIPLE = 32
+
+
+class T2SEngine:
+    """Host orchestration of generation (reference ``infer`` /
+    ``infer_stream`` / ``infer_batched``, ``t2s_model.py:385-734``)."""
+
+    def __init__(self, params, cfg: T2SConfig, gpt_cache: List[Tuple[int, int]],
+                 dtype=jnp.float32, check_interval: int = 5,
+                 initial_suppression_steps: int = 10):
+        self.params = params
+        self.cfg = cfg
+        self.dtype = jnp.dtype(dtype)
+        self.check_interval = check_interval
+        self.initial_suppression_steps = initial_suppression_steps
+        # buckets[batch_size] = sorted list of max_kv_cache lengths
+        self.buckets: Dict[int, List[int]] = {}
+        for b, s in gpt_cache:
+            self.buckets.setdefault(b, [])
+            if s not in self.buckets[b]:
+                self.buckets[b].append(s)
+        for b in self.buckets:
+            self.buckets[b].sort()
+
+    # -- helpers -----------------------------------------------------------
+
+    def _dtype_name(self):
+        return self.dtype.name
+
+    def _pick_bucket(self, batch_size: int, prompt_len: int) -> Tuple[int, int]:
+        sizes = sorted(self.buckets.keys())
+        B = next((b for b in sizes if b >= batch_size), sizes[-1])
+        lens = self.buckets[B]
+        S = next((s for s in lens if s > prompt_len), lens[-1])
+        if S <= prompt_len:
+            raise ValueError(
+                f"prompt length {prompt_len} exceeds largest gpt_cache bucket {lens[-1]}")
+        return B, S
+
+    def _alloc_cache(self, B: int, S: int):
+        c = self.cfg
+        shape = (c.num_layers, B, S, c.num_heads, c.head_dim)
+        return jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype)
+
+    def _escalate(self, state: DecodeState, new_S: int) -> DecodeState:
+        """Bucket escalation (``t2s_model.py:425-428``): grow cache to the next
+        length bucket.  One pad-copy; afterwards the larger jit specialization
+        takes over."""
+        S = state.k_cache.shape[2]
+        pad = [(0, 0), (0, 0), (0, new_S - S), (0, 0), (0, 0)]
+        return dataclasses.replace(
+            state,
+            k_cache=jnp.pad(state.k_cache, pad),
+            v_cache=jnp.pad(state.v_cache, pad),
+            tok_buf=jnp.pad(state.tok_buf, [(0, 0), (0, new_S - S)],
+                            constant_values=self.cfg.vocab_size),
+        )
+
+    def _pad_prompt(self, x: np.ndarray, y: np.ndarray, bert: np.ndarray):
+        """Pad (x, y, bert) to shape buckets to bound jit specializations."""
+        Lx = _round_up(max(len(x), 1), PAD_MULTIPLE)
+        Ly = _round_up(max(len(y), 1), PAD_MULTIPLE)
+        xp = np.zeros((Lx,), np.int32)
+        xp[: len(x)] = x
+        yp = np.zeros((Ly,), np.int32)
+        yp[: len(y)] = y
+        bp = np.zeros((Lx, bert.shape[-1]), np.float32)
+        bp[: len(x)] = bert
+        return xp, yp, bp
+
+    # -- single-utterance generation (``t2s_model.py:385-464``) ------------
+
+    def generate(self, x_ids, y_ids, bert, top_k=15, top_p=1.0, temperature=1.0,
+                 repetition_penalty=1.35, rng: Optional[jax.Array] = None,
+                 stream_chunk: Optional[int] = None):
+        """Greedy-loop generation for B=1.  Returns list of generated tokens
+        (first post-prefill sample excluded, EOS trimmed — mirroring
+        ``t2s_model.py:458-464``).  If ``stream_chunk`` is set, instead acts
+        as a generator yielding ``(tokens_so_far, is_final)`` like
+        ``infer_stream`` (``t2s_model.py:466-553``)."""
+        if stream_chunk is not None:
+            return self._generate_stream(
+                x_ids, y_ids, bert, top_k, top_p, temperature,
+                repetition_penalty, rng, stream_chunk)
+        toks = None
+        for toks, is_final in self._generate_stream(
+                x_ids, y_ids, bert, top_k, top_p, temperature,
+                repetition_penalty, rng, stream_chunk=1 << 30):
+            pass
+        return toks
+
+    def _generate_stream(self, x_ids, y_ids, bert, top_k, top_p, temperature,
+                         repetition_penalty, rng, stream_chunk,
+                         boost_first_chunk: bool = False):
+        cfg = self.cfg
+        rng = rng if rng is not None else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        x_ids = np.asarray(x_ids, np.int32).reshape(-1)
+        y_ids = np.asarray(y_ids, np.int32).reshape(-1)
+        bert = np.asarray(bert, np.float32).reshape(len(x_ids), -1)
+
+        sa = SampleArgs(top_k=top_k, top_p=top_p, temperature=temperature,
+                        repetition_penalty=repetition_penalty, use_prev=True)
+        xp, yp, bp = self._pad_prompt(x_ids, y_ids, bert)
+        prompt_len = len(x_ids) + len(y_ids)
+        _, S = self._pick_bucket(1, max(prompt_len + 1, len(xp) + len(yp)))
+        k_cache, v_cache = self._alloc_cache(1, S)
+
+        state, tok0 = prefill_batch(
+            self.params, cfg, xp[None], yp[None], bp[None],
+            jnp.asarray([len(x_ids)], I32), jnp.asarray([len(y_ids)], I32),
+            k_cache, v_cache, rng, sa, True, self._dtype_name())
+        # NOTE: prefill wrote K/V for the *padded* layout; compact is needed
+        # only when padding exists inside the prompt. For B=1 we re-layout via
+        # kv positions: positions [len(x), Lx) and [Lx+len(y), ...) are junk but
+        # x-junk sits *between* x and y. Simplest correct fix: treat padded
+        # lengths as real by feeding pad tokens 0 — the reference pads batch
+        # prompts with 0 the same way (``t2s_model.py:576-578``) — but per-row
+        # masks there exclude them.  Here we instead include pad inside lens:
+        # see _generate_stream_padded below.
+        del k_cache, v_cache
+
+        max_S = self.buckets[1][-1]
+        generated: List[int] = [int(np.asarray(tok0)[0])]
+        eos_at = None
+        idx = 0
+        chunk_accum = 0
+        first_chunk = True
+        pre_chunk = None
+        while True:
+            if int(state.kv_len[0]) + self.check_interval >= state.k_cache.shape[2]:
+                cur_S = state.k_cache.shape[2]
+                bigger = [s for s in self.buckets[1] if s > cur_S]
+                if bigger:
+                    state = self._escalate(state, bigger[0])
+                else:
+                    break
+            n = self.check_interval
+            state, toks = decode_chunk(
+                self.params, cfg, state, n, sa,
+                self.initial_suppression_steps, self._dtype_name())
+            toks = np.asarray(toks)[0]
+            for t in toks:
+                idx += 1
+                generated.append(int(t))
+                if int(t) == cfg.eos:
+                    eos_at = len(generated) - 1
+                    break
+            if eos_at is not None:
+                break
+            chunk_accum += n
+            if chunk_accum >= stream_chunk:
+                chunk_accum = 0
+                out = np.asarray(generated[1:], np.int64)
+                if first_chunk and boost_first_chunk:
+                    first_chunk = False
+                    yield out[None, None, :], False
+                elif pre_chunk is not None:
+                    yield pre_chunk, False
+                    pre_chunk = out[None, None, :]
+                else:
+                    pre_chunk = out[None, None, :]
+
+        if eos_at is not None:
+            final = generated[1:eos_at]
+        else:
+            final = generated[1:]
+        yield np.asarray(final, np.int64)[None, None, :], True
+
+    # -- continuous batching (``t2s_model.py:555-734``) --------------------
+
+    def generate_batched(self, x_list, y_list, bert_list, top_k=15, top_p=1.0,
+                         temperature=1.0, repetition_penalty=1.35,
+                         rng: Optional[jax.Array] = None):
+        """Continuous batching with slot refill.  Returns
+        (list of np token arrays, list of original indices)."""
+        cfg = self.cfg
+        rng = rng if rng is not None else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        N = len(x_list)
+        sa = SampleArgs(top_k=top_k, top_p=top_p, temperature=temperature,
+                        repetition_penalty=repetition_penalty, use_prev=False)
+
+        sizes = sorted(self.buckets.keys())
+        B = next((b for b in sizes if b >= N), sizes[-1])
+        wave = list(range(min(N, B)))
+
+        # pad the first wave to common (Lx, Ly) shapes
+        Lx = _round_up(max(len(x_list[i]) for i in wave), PAD_MULTIPLE)
+        Ly = _round_up(max(max(len(y_list[i]) for i in wave), 1), PAD_MULTIPLE)
+        xs = np.zeros((B, Lx), np.int32)
+        ys = np.zeros((B, Ly), np.int32)
+        bs = np.zeros((B, Lx, cfg.bert_dim), np.float32)
+        x_lens = np.zeros((B,), np.int32)
+        y_lens = np.zeros((B,), np.int32)
+        for j, i in enumerate(wave):
+            xs[j, : len(x_list[i])] = x_list[i]
+            ys[j, : len(y_list[i])] = y_list[i]
+            bs[j, : len(x_list[i])] = bert_list[i]
+            x_lens[j] = len(x_list[i])
+            y_lens[j] = len(y_list[i])
+        # dead slots get a 1-phoneme dummy prompt
+        for j in range(len(wave), B):
+            x_lens[j] = 1
+            y_lens[j] = 1
+
+        prompt_max = int((x_lens + y_lens).max())
+        _, S = self._pick_bucket(B, max(prompt_max + 1, Lx + Ly))
+        k_cache, v_cache = self._alloc_cache(B, S)
+
+        # NOTE on padding: embed_prompt_batch packs rows as [x_i | y_i | pad],
+        # so padded columns never enter the cache-valid region.
+        state, _ = prefill_batch(
+            self.params, cfg, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(bs),
+            jnp.asarray(x_lens), jnp.asarray(y_lens),
+            k_cache, v_cache, rng, sa, False, self._dtype_name())
+        del k_cache, v_cache
+
+        pred: List[np.ndarray] = []
+        pred_idx: List[int] = []
+        slot_orig = list(wave) + [-1] * (B - len(wave))
+        slot_start = [int(x_lens[j] + y_lens[j]) for j in range(B)]  # kv pos where generation started
+        slot_steps = [0] * B  # decode steps taken for current request
+        ignore = [j >= len(wave) for j in range(B)]
+        next_req = len(wave)
+        max_S = self.buckets[B][-1]
+
+        while not all(ignore):
+            S_cur = state.k_cache.shape[2]
+            kv = np.asarray(state.kv_len)
+            if int(kv.max()) + self.check_interval >= S_cur:
+                bigger = [s for s in self.buckets[B] if s > S_cur]
+                if bigger:
+                    state = self._escalate(state, bigger[0])
+                    S_cur = bigger[0]
+            state, toks = decode_chunk(
+                self.params, cfg, state, self.check_interval, sa, 0,
+                self._dtype_name())
+            toks = np.asarray(toks)  # [B, check_interval]
+            for j in range(B):
+                slot_steps[j] += self.check_interval
+            kv = np.asarray(state.kv_len)
+            buf = None
+            for j in range(B):
+                if ignore[j]:
+                    continue
+                eos_hit = cfg.eos in toks[j]
+                reached = int(kv[j]) + self.check_interval >= S_cur and not [s for s in self.buckets[B] if s > S_cur]
+                if not (eos_hit or reached):
+                    continue
+                if buf is None:
+                    buf = np.asarray(state.tok_buf)
+                # harvest: generated tokens excluding the first post-prefill
+                # sample, up to (not incl.) EOS  (``t2s_model.py:674-679``)
+                y_len = slot_start[j] - int(np.asarray(state.x_len)[j])
+                gen = buf[j, y_len: y_len + slot_steps[j] + 1]
+                gen = gen[1:]
+                eos_pos = np.nonzero(gen == cfg.eos)[0]
+                if eos_pos.size:
+                    gen = gen[: eos_pos[0]]
+                gen = gen[gen < cfg.eos]
+                pred.append(gen.astype(np.int64))
+                pred_idx.append(slot_orig[j])
+
+                if next_req < N:
+                    i = next_req
+                    next_req += 1
+                    xp, yp, bp = self._pad_prompt(
+                        np.asarray(x_list[i], np.int32),
+                        np.asarray(y_list[i], np.int32),
+                        np.asarray(bert_list[i], np.float32).reshape(len(x_list[i]), -1))
+                    state, _ = prefill_slot(
+                        self.params, cfg, state, j,
+                        jnp.asarray(xp[None]), jnp.asarray(yp[None]), jnp.asarray(bp[None]),
+                        jnp.asarray(len(x_list[i]), I32), jnp.asarray(len(y_list[i]), I32),
+                        sa, self._dtype_name())
+                    slot_orig[j] = i
+                    slot_start[j] = len(x_list[i]) + len(y_list[i])
+                    slot_steps[j] = 0
+                    buf = None
+                else:
+                    ignore[j] = True
+                    # freeze the slot: reset kv_len so it stops growing
+                    state = dataclasses.replace(
+                        state, kv_len=state.kv_len.at[j].set(0),
+                        step_idx=state.step_idx.at[j].set(0),
+                        buf_len=state.buf_len.at[j].set(0))
+
+        return pred, np.asarray(pred_idx, np.int64)

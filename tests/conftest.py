@@ -1,0 +1,56 @@
+"""Test configuration: force an 8-virtual-device CPU platform so sharding
+tests exercise a real Mesh without TPU hardware."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# jax may already be imported by a pytest plugin (its config snapshots
+# JAX_PLATFORMS at import time), so force the platform via the config API too.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+def import_reference_module(relpath: str, name: str):
+    """Load a reference module *as a test oracle* without importing the
+    package __init__ (which needs unavailable deps like PyAV)."""
+    import importlib.util
+    import types
+
+    # Build a synthetic package chain so relative imports inside the
+    # reference modules resolve.
+    pkg_root = "refpkg"
+    if pkg_root not in sys.modules:
+        pkg = types.ModuleType(pkg_root)
+        pkg.__path__ = [os.path.join(REFERENCE_ROOT, "gsv_tts")]
+        sys.modules[pkg_root] = pkg
+    full = f"{pkg_root}.{name}"
+    if full in sys.modules:
+        return sys.modules[full]
+    # ensure parent packages exist
+    parts = name.split(".")
+    for i in range(1, len(parts)):
+        parent = f"{pkg_root}." + ".".join(parts[:i])
+        if parent not in sys.modules:
+            p = types.ModuleType(parent)
+            p.__path__ = [os.path.join(REFERENCE_ROOT, "gsv_tts", *parts[:i])]
+            sys.modules[parent] = p
+    spec = importlib.util.spec_from_file_location(
+        full, os.path.join(REFERENCE_ROOT, "gsv_tts", relpath))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[full] = mod
+    spec.loader.exec_module(mod)
+    return mod

@@ -1,0 +1,163 @@
+"""End-to-end parity of the t2s decoder against the torch reference
+(``gsv_tts/GPT_SoVITS/GPT/t2s_model.py``) with shared random weights.
+
+With top_k=1 the sampling pipeline is deterministic (pivot filtering leaves a
+single token), so the full prefill → decode loop → EOS/trim behaviour can be
+compared token-for-token.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gsv_tts_tpu.models import t2s as jt2s
+from gsv_tts_tpu.runtime.t2s_session import T2SEngine
+from conftest import import_reference_module
+
+torch = pytest.importorskip("torch")
+
+TINY = {
+    "model": {
+        "hidden_dim": 64,
+        "embedding_dim": 64,
+        "head": 4,
+        "n_layer": 2,
+        "vocab_size": 101,
+        "phoneme_vocab_size": 50,
+        "dropout": 0.0,
+        "EOS": 100,
+    }
+}
+
+
+@pytest.fixture(scope="module")
+def ref_t2s_module():
+    import_reference_module("GPT_SoVITS/GPT/embedding.py", "GPT_SoVITS.GPT.embedding")
+    import_reference_module("GPT_SoVITS/GPT/utils.py", "GPT_SoVITS.GPT.utils")
+    return import_reference_module("GPT_SoVITS/GPT/t2s_model.py", "GPT_SoVITS.GPT.t2s_model")
+
+
+@pytest.fixture(scope="module")
+def models(ref_t2s_module):
+    torch.manual_seed(0)
+    ref = ref_t2s_module.Text2SemanticDecoder(TINY)
+    ref.eval()
+    # shrink initial logits scale so sequences do not hit EOS immediately
+    with torch.no_grad():
+        ref.ar_predict_layer.weight.mul_(0.5)
+    ref.initialize_runtime(torch.float32, torch.device("cpu"), [(1, 96), (1, 128), (2, 128)])
+    # the reference hard-codes suppressed ids 280/486 (``t2s_model.py:170``)
+    # which exceed the tiny vocab; align both sides on in-range ids
+    ref.suppressed_tokens = [10, 20, ref.EOS]
+
+    import dataclasses as _dc
+    cfg = _dc.replace(jt2s.T2SConfig.from_checkpoint_config(TINY),
+                      suppressed_tokens=(10, 20))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = jt2s.params_from_torch_state_dict(sd, cfg, dtype=jnp.float32)
+    return ref, cfg, params
+
+
+def _rand_inputs(seed, lx=12, ly=7, vocab_p=50, vocab_a=100):
+    rng = np.random.RandomState(seed)
+    x = rng.randint(1, vocab_p, size=(lx,)).astype(np.int64)
+    y = rng.randint(0, vocab_a, size=(ly,)).astype(np.int64)
+    bert = rng.randn(lx, 1024).astype(np.float32) * 0.1
+    return x, y, bert
+
+
+def test_prefill_logits_parity(models):
+    ref, cfg, params = models
+    x, y, bert = _rand_inputs(1)
+
+    with torch.no_grad():
+        xy_pos, mask = ref.process_single_data(
+            torch.tensor(x)[None], torch.tensor(y)[None], torch.tensor(bert)[None])
+        # run the eager prompt pass against fresh caches
+        L, B, H, S, Dh = ref.num_layers, 1, ref.num_head, 64, ref.model_dim // ref.num_head
+        k_cache = torch.zeros(L, B, H, S, Dh)
+        v_cache = torch.zeros(L, B, H, S, Dh)
+        kv_len = torch.zeros(B, dtype=torch.int64)
+        h = ref.t2s_transformer.process_prompt(xy_pos, k_cache, v_cache, kv_len, mask)
+        ref_logits = ref.ar_predict_layer(h[:, -1]).numpy()
+
+    xy_pos_j, mask_j = jt2s.embed_prompt_single(
+        params, cfg, jnp.asarray(x)[None], jnp.asarray(y)[None],
+        jnp.asarray(bert)[None], jnp.float32)
+    np.testing.assert_allclose(np.asarray(xy_pos_j), xy_pos.numpy(), rtol=1e-5, atol=1e-5)
+
+    h_j, ks, vs = jt2s.transformer_prefill(params, cfg, xy_pos_j, mask_j)
+    logits_j = np.asarray(h_j[:, -1] @ params["predict_w"])
+    np.testing.assert_allclose(logits_j, ref_logits, rtol=1e-4, atol=1e-4)
+
+    # K/V parity (layout ours [L,B,T,H,Dh] vs ref [L,B,H,S,Dh])
+    T = len(x) + len(y)
+    np.testing.assert_allclose(
+        np.asarray(ks).transpose(0, 1, 3, 2, 4), k_cache[:, :, :, :T].numpy(),
+        rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [2, 3])
+def test_generate_token_parity(models, seed):
+    ref, cfg, params = models
+    x, y, bert = _rand_inputs(seed)
+
+    with torch.no_grad():
+        ref_out = ref.infer(
+            torch.tensor(x)[None], torch.tensor(y)[None], torch.tensor(bert)[None],
+            top_k=1, top_p=1.0, temperature=1.0, repetition_penalty=1.35,
+        )
+    ref_tokens = ref_out[0, 0].numpy().tolist() if ref_out.numel() else []
+
+    eng = T2SEngine(params, cfg, gpt_cache=[(1, 96), (1, 128)], dtype=jnp.float32)
+    ours = eng.generate(x, y, bert, top_k=1, top_p=1.0, temperature=1.0,
+                        repetition_penalty=1.35, rng=jax.random.PRNGKey(0))
+    our_tokens = np.asarray(ours).ravel().tolist()
+
+    assert our_tokens == ref_tokens
+
+
+def test_stream_chunks_concatenate(models):
+    ref, cfg, params = models
+    x, y, bert = _rand_inputs(5)
+    eng = T2SEngine(params, cfg, gpt_cache=[(1, 96), (1, 128)], dtype=jnp.float32)
+    full = np.asarray(eng.generate(x, y, bert, top_k=1, rng=jax.random.PRNGKey(0))).ravel()
+
+    chunks = list(eng.generate(x, y, bert, top_k=1, rng=jax.random.PRNGKey(0),
+                               stream_chunk=10))
+    assert chunks[-1][1] is True
+    final = np.asarray(chunks[-1][0]).ravel()
+    np.testing.assert_array_equal(final, full)
+    # every intermediate yield is a prefix of the final sequence
+    for toks, is_final in chunks[:-1]:
+        t = np.asarray(toks).ravel()
+        np.testing.assert_array_equal(t, full[: len(t)])
+
+
+def test_batched_matches_single(models):
+    """Continuous batching must produce the same greedy sequences as
+    one-by-one generation (top_k=1 ⇒ deterministic)."""
+    ref, cfg, params = models
+    eng = T2SEngine(params, cfg, gpt_cache=[(1, 96), (1, 128), (2, 128)],
+                    dtype=jnp.float32)
+
+    xs, ys, bs = [], [], []
+    for seed in (11, 12, 13):
+        x, y, bert = _rand_inputs(seed, lx=8 + seed % 3, ly=5 + seed % 2)
+        xs.append(x)
+        ys.append(y)
+        bs.append(bert)
+
+    singles = []
+    for x, y, bert in zip(xs, ys, bs):
+        # batched mode disables repetition penalty (``t2s_model.py:651``)
+        toks = eng.generate(x, y, bert, top_k=1, repetition_penalty=1.0,
+                            rng=jax.random.PRNGKey(0))
+        singles.append(np.asarray(toks).ravel())
+
+    pred, idx = eng.generate_batched(xs, ys, bs, top_k=1,
+                                     rng=jax.random.PRNGKey(0))
+    assert sorted(idx.tolist()) == [0, 1, 2]
+    for toks, i in zip(pred, idx):
+        np.testing.assert_array_equal(np.asarray(toks).ravel(), singles[i])
