@@ -1,0 +1,224 @@
+"""Checkpoint loading: legacy torch ``.ckpt``/``.pth`` and safetensors dirs.
+
+TPU-native counterpart of the reference ``gsv_tts/Loader.py``:
+  * GPT ``.ckpt``: torch pickle with fused-QKV key remap
+    (``Loader.py:127-154``) → our stacked t2s pytree;
+  * SoVITS ``.pth``: 2-byte version header (``b"01"/"05"/"06"``,
+    ``Loader.py:17-21``), the ``b"PK"`` re-prefix trick for doctored zip
+    archives (``Loader.py:51-57``), and the MD5-of-first-8KiB pretrained
+    table fallback (``Loader.py:22-27``) → flat SoVITS params with
+    weight-norm folded;
+  * safetensors directory (``model.safetensors`` + ``hps.json``/
+    ``config.json``, ``Loader.py:60-76,112-125``) — loadable without torch.
+
+torch is used only as a *deserializer* for legacy pickles (CPU, lazy import);
+all live weights are jax arrays.
+"""
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .hparams import HParams
+from .models import t2s as t2s_model
+from .models import sovits as sovits_model
+from .models.t2s import T2SConfig
+from .models.sovits import SovitsConfig
+from .runtime.t2s_session import T2SEngine
+
+HEAD2VERSION = {
+    b"01": "v2",
+    b"05": "v2Pro",
+    b"06": "v2ProPlus",
+}
+# MD5(first 8 KiB) of the known pretrained checkpoints (``Loader.py:22-27``)
+HASH_PRETRAINED = {
+    "dc3c97e17592963677a4a1681f30c653": "v2",
+    "6642b37f3dbb1f76882b69937c95a5f3": "v2",
+    "c7e9fce2223f3db685cdfa1e6368728a": "v2Pro",
+    "66b313e39455b57ab1b0bc0b239c9d0a": "v2ProPlus",
+}
+
+# training-checkpoint key → runtime key inside each transformer block
+# (``Loader.py:130-143``); the fused in_proj becomes our qkv
+GPT_KEY_MAP = [
+    ("self_attn.in_proj_weight", "qkv.weight"),
+    ("self_attn.in_proj_bias", "qkv.bias"),
+    ("self_attn.out_proj.weight", "out_proj.weight"),
+    ("self_attn.out_proj.bias", "out_proj.bias"),
+    ("linear1.weight", "mlp.0.weight"),
+    ("linear1.bias", "mlp.0.bias"),
+    ("linear2.weight", "mlp.2.weight"),
+    ("linear2.bias", "mlp.2.bias"),
+    ("norm1.weight", "norm1.weight"),
+    ("norm1.bias", "norm1.bias"),
+    ("norm2.weight", "norm2.weight"),
+    ("norm2.bias", "norm2.bias"),
+]
+
+
+def _torch_load(path_or_bytes) -> Dict[str, Any]:
+    import torch  # lazy: only needed for legacy pickles
+
+    obj = torch.load(path_or_bytes, map_location="cpu", weights_only=False)
+    return obj
+
+
+def _to_numpy_state_dict(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().to("cpu").float().numpy()
+        else:
+            out[k] = np.asarray(v)
+    return out
+
+
+class Gpt:
+    """Loaded stage-1 model (reference ``Loader.Gpt``)."""
+
+    def __init__(self, engine: T2SEngine, params, cfg: T2SConfig, config: Dict[str, Any]):
+        self.engine = engine
+        self.params = params
+        self.cfg = cfg
+        self.config = config
+
+    # compatibility alias: reference code calls gpt.t2s_model.infer(...)
+    @property
+    def t2s_model(self) -> T2SEngine:
+        return self.engine
+
+
+class Sovits:
+    """Loaded stage-2 model (reference ``Loader.Sovits``)."""
+
+    def __init__(self, params, cfg: SovitsConfig, hps: HParams):
+        self.params = params
+        self.cfg = cfg
+        self.hps = hps
+
+
+def get_hash_from_file(path: str) -> str:
+    with open(path, "rb") as f:
+        data = f.read(8192)
+    return hashlib.md5(data).hexdigest()
+
+
+def load_sovits_raw(sovits_path: str) -> Tuple[Dict[str, Any], Optional[str]]:
+    """Read a (possibly header-doctored) ``.pth`` (``Loader.py:42-57``)."""
+    digest = get_hash_from_file(sovits_path)
+    with open(sovits_path, "rb") as f:
+        meta = f.read(2)
+        version = HEAD2VERSION.get(meta)
+        if version is None:
+            version = HASH_PRETRAINED.get(digest)
+        if meta != b"PK":
+            bio = io.BytesIO(b"PK" + f.read())
+            return _torch_load(bio), version
+    return _torch_load(sovits_path), version
+
+
+def get_sovits_weights(sovits_path, tts_config: Config) -> Sovits:
+    sovits_path = str(sovits_path)
+    if os.path.isdir(sovits_path):
+        with open(os.path.join(sovits_path, "hps.json")) as f:
+            hps = HParams(json.load(f))
+        from safetensors.numpy import load_file
+
+        weights = load_file(os.path.join(sovits_path, "model.safetensors"))
+        version = hps.model.get("version", "v2")
+    else:
+        dict_s2, version = load_sovits_raw(sovits_path)
+        hps = HParams(dict_s2["config"])
+        hps.model.semantic_frame_rate = "25hz"
+        if version is None:
+            version = hps.model.get("version")
+            assert version in ("v2", "v2Pro", "v2ProPlus"), (
+                "The SoVITS model is not the v2/v2Pro/v2ProPlus version. "
+                "Please check the model file.")
+        else:
+            hps.model.version = version
+        weights = _to_numpy_state_dict(dict_s2["weight"])
+
+    spec_channels = hps.data.filter_length // 2 + 1
+    model_d = hps.model.to_dict() if isinstance(hps.model, HParams) else dict(hps.model)
+    model_d["version"] = version
+    cfg = SovitsConfig.from_hps(model_d, spec_channels)
+    params = sovits_model.params_from_torch_state_dict(weights, dtype=tts_config.dtype)
+    return Sovits(params, cfg, hps)
+
+
+def remap_gpt_state_dict(weight: Dict[str, np.ndarray], n_layer: int) -> Dict[str, np.ndarray]:
+    """Training-checkpoint names → runtime names (``Loader.py:145-154``)."""
+    weight = dict(weight)
+    for i in range(n_layer):
+        old_l = f"model.h.layers.{i}."
+        new_l = f"t2s_transformer.blocks.{i}."
+        for old_w, new_w in GPT_KEY_MAP:
+            if old_l + old_w in weight:
+                weight[new_l + new_w] = weight.pop(old_l + old_w)
+    return {
+        (k[len("model."):] if k.startswith("model.") else k): v
+        for k, v in weight.items()
+    }
+
+
+def get_gpt_weights(gpt_path, tts_config: Config) -> Gpt:
+    gpt_path = str(gpt_path)
+    if os.path.isdir(gpt_path):
+        with open(os.path.join(gpt_path, "config.json")) as f:
+            config = json.load(f)
+        from safetensors.numpy import load_file
+
+        weights = load_file(os.path.join(gpt_path, "model.safetensors"))
+    else:
+        dict_s1 = _torch_load(gpt_path)
+        config = dict_s1["config"]
+        weights = remap_gpt_state_dict(
+            _to_numpy_state_dict(dict_s1["weight"]), config["model"]["n_layer"])
+
+    cfg = T2SConfig.from_checkpoint_config(config)
+    params = t2s_model.params_from_torch_state_dict(weights, cfg, dtype=tts_config.dtype)
+    engine = T2SEngine(params, cfg, gpt_cache=tts_config.gpt_cache or [(1, 512), (1, 1024)],
+                       dtype=tts_config.dtype)
+    return Gpt(engine, params, cfg, config)
+
+
+# ---------------------------------------------------------------------------
+# safetensors export (reference ``TTS.to_safetensors``, ``TTS.py:1482-1523``)
+# ---------------------------------------------------------------------------
+
+def gpt_to_safetensors(gpt_path: str, output_dir: str, tts_config: Config):
+    dict_s1 = _torch_load(str(gpt_path))
+    config = dict_s1["config"]
+    weights = remap_gpt_state_dict(
+        _to_numpy_state_dict(dict_s1["weight"]), config["model"]["n_layer"])
+    os.makedirs(output_dir, exist_ok=True)
+    from safetensors.numpy import save_file
+
+    save_file(weights, os.path.join(output_dir, "model.safetensors"))
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=4, ensure_ascii=False)
+
+
+def sovits_to_safetensors(sovits_path: str, output_dir: str, tts_config: Config):
+    dict_s2, version = load_sovits_raw(str(sovits_path))
+    hps = HParams(dict_s2["config"])
+    hps.model.semantic_frame_rate = "25hz"
+    if version is not None:
+        hps.model.version = version
+    weights = _to_numpy_state_dict(dict_s2["weight"])
+    os.makedirs(output_dir, exist_ok=True)
+    from safetensors.numpy import save_file
+
+    save_file(weights, os.path.join(output_dir, "model.safetensors"))
+    with open(os.path.join(output_dir, "hps.json"), "w") as f:
+        json.dump(hps.to_dict(), f, indent=4, ensure_ascii=False)
