@@ -38,8 +38,9 @@ def import_reference_module(relpath: str, name: str):
         pkg.__path__ = [os.path.join(REFERENCE_ROOT, "gsv_tts")]
         sys.modules[pkg_root] = pkg
     full = f"{pkg_root}.{name}"
-    if full in sys.modules:
-        return sys.modules[full]
+    existing = sys.modules.get(full)
+    if existing is not None and getattr(existing, "__file__", None):
+        return existing  # actually executed before (not a placeholder)
     # ensure parent packages exist
     parts = name.split(".")
     for i in range(1, len(parts)):
@@ -48,9 +49,21 @@ def import_reference_module(relpath: str, name: str):
             p = types.ModuleType(parent)
             p.__path__ = [os.path.join(REFERENCE_ROOT, "gsv_tts", *parts[:i])]
             sys.modules[parent] = p
+    path = os.path.join(REFERENCE_ROOT, "gsv_tts", relpath)
+    is_pkg = os.path.basename(relpath) == "__init__.py"
     spec = importlib.util.spec_from_file_location(
-        full, os.path.join(REFERENCE_ROOT, "gsv_tts", relpath))
+        full, path,
+        submodule_search_locations=[os.path.dirname(path)] if is_pkg else None)
     mod = importlib.util.module_from_spec(spec)
+    if existing is not None:
+        # keep submodules already attached to the placeholder
+        mod.__dict__.update({k: v for k, v in existing.__dict__.items()
+                             if not k.startswith("__")})
     sys.modules[full] = mod
     spec.loader.exec_module(mod)
+    # bind as attribute of the parent package for `from .pkg import x`
+    if len(parts) > 1:
+        setattr(sys.modules[f"{pkg_root}." + ".".join(parts[:-1])], parts[-1], mod)
+    else:
+        setattr(sys.modules[pkg_root], parts[0], mod)
     return mod
