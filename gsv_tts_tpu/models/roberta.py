@@ -1,0 +1,216 @@
+"""CNRoberta phone-level BERT featurizer in JAX.
+
+Replaces the reference's ``AutoModelForMaskedLM`` usage
+(``GPT_SoVITS/Featurizer/cnroberta.py:101-161``): chinese-roberta-wwm-ext-
+large character features from ``hidden_states[-3]`` (i.e. the output of layer
+``N-2``) are repeat-interleaved over word2ph to phone-level 1024-d features.
+
+The encoder is standard post-LN BERT, config-driven; since only
+``hidden_states[-3]`` is consumed, the last two layers (and the MLM head) are
+simply never computed — a free 2/24-layer saving vs the reference.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import math
+import unicodedata
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.convs import linear
+
+F32 = jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 21128
+    hidden_size: int = 1024
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    intermediate_size: int = 4096
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+
+    @classmethod
+    def from_json(cls, path: str) -> "BertConfig":
+        with open(path) as f:
+            c = json.load(f)
+        return cls(
+            vocab_size=c["vocab_size"],
+            hidden_size=c["hidden_size"],
+            num_hidden_layers=c["num_hidden_layers"],
+            num_attention_heads=c["num_attention_heads"],
+            intermediate_size=c["intermediate_size"],
+            max_position_embeddings=c["max_position_embeddings"],
+            type_vocab_size=c.get("type_vocab_size", 2),
+            layer_norm_eps=c.get("layer_norm_eps", 1e-12),
+        )
+
+
+def _layer_norm(x, g, b, eps):
+    dtype = x.dtype
+    x32 = x.astype(F32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps) * g.astype(F32) + b.astype(F32)).astype(dtype)
+
+
+def bert_hidden_minus3(p: Dict[str, jnp.ndarray], cfg: BertConfig,
+                       input_ids: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """Run embeddings + the first N-2 encoder layers → hidden_states[-3]."""
+    B, T = input_ids.shape
+    h = (jnp.take(p["embeddings.word_embeddings.weight"], input_ids, axis=0)
+         + p["embeddings.position_embeddings.weight"][None, :T]
+         + p["embeddings.token_type_embeddings.weight"][0][None, None, :])
+    h = _layer_norm(h, p["embeddings.LayerNorm.weight"], p["embeddings.LayerNorm.bias"],
+                    cfg.layer_norm_eps)
+
+    mask_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9).astype(F32)
+    H = cfg.num_attention_heads
+    D = cfg.hidden_size
+    Dh = D // H
+    for i in range(cfg.num_hidden_layers - 2):
+        pfx = f"encoder.layer.{i}."
+        res = h
+        q = linear(h, p[pfx + "attention.self.query.weight"], p[pfx + "attention.self.query.bias"])
+        k = linear(h, p[pfx + "attention.self.key.weight"], p[pfx + "attention.self.key.bias"])
+        v = linear(h, p[pfx + "attention.self.value.weight"], p[pfx + "attention.self.value.bias"])
+        q = q.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=F32) / math.sqrt(Dh)
+        probs = jax.nn.softmax(scores + mask_bias, axis=-1).astype(h.dtype)
+        attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(B, T, D)
+        attn = linear(attn, p[pfx + "attention.output.dense.weight"],
+                      p[pfx + "attention.output.dense.bias"])
+        h = _layer_norm(res + attn, p[pfx + "attention.output.LayerNorm.weight"],
+                        p[pfx + "attention.output.LayerNorm.bias"], cfg.layer_norm_eps)
+        res = h
+        m = linear(h, p[pfx + "intermediate.dense.weight"], p[pfx + "intermediate.dense.bias"])
+        m = jax.nn.gelu(m.astype(F32), approximate=False).astype(h.dtype)
+        m = linear(m, p[pfx + "output.dense.weight"], p[pfx + "output.dense.bias"])
+        h = _layer_norm(res + m, p[pfx + "output.LayerNorm.weight"],
+                        p[pfx + "output.LayerNorm.bias"], cfg.layer_norm_eps)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Minimal BERT tokenizer (BasicTokenizer + WordPiece over vocab.txt)
+# ---------------------------------------------------------------------------
+
+def _is_cjk(cp: int) -> bool:
+    return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0x20000 <= cp <= 0x2A6DF or 0xF900 <= cp <= 0xFADF)
+
+
+class BertTokenizer:
+    def __init__(self, vocab_path: str, do_lower_case: bool = True):
+        self.vocab: Dict[str, int] = {}
+        with open(vocab_path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                self.vocab[line.rstrip("\n")] = i
+        self.do_lower_case = do_lower_case
+        self.unk = "[UNK]"
+
+    def _basic(self, text: str) -> List[str]:
+        if self.do_lower_case:
+            text = text.lower()
+        out: List[str] = []
+        buf = ""
+        for ch in text:
+            cp = ord(ch)
+            if _is_cjk(cp) or unicodedata.category(ch).startswith("P") or ch in "~`!@#$%^&*()+=|\\/?<>,.:;\"'“”‘’！？。，、：；（）【】《》…~·":
+                if buf:
+                    out.append(buf)
+                    buf = ""
+                if not ch.isspace():
+                    out.append(ch)
+            elif ch.isspace():
+                if buf:
+                    out.append(buf)
+                    buf = ""
+            else:
+                buf += ch
+        if buf:
+            out.append(buf)
+        return out
+
+    def _wordpiece(self, token: str) -> List[str]:
+        if token in self.vocab:
+            return [token]
+        pieces: List[str] = []
+        start = 0
+        while start < len(token):
+            end = len(token)
+            cur = None
+            while start < end:
+                sub = token[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk]
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    def tokenize(self, text: str) -> List[str]:
+        return [p for t in self._basic(text) for p in self._wordpiece(t)]
+
+    def encode(self, text: str, max_length: int = 512) -> List[int]:
+        toks = ["[CLS]"] + self.tokenize(text)[: max_length - 2] + ["[SEP]"]
+        return [self.vocab.get(t, self.vocab[self.unk]) for t in toks]
+
+
+class CNRoberta:
+    """Facade mirroring the reference ``CNRoberta``: takes word2ph dicts,
+    returns per-item phone-level features [n_phones, 1024]."""
+
+    def __init__(self, base_path: str, tts_config):
+        base_path = str(base_path)
+        self.cfg = BertConfig.from_json(os.path.join(base_path, "config.json"))
+        self.dtype = tts_config.dtype
+        self.tokenizer = BertTokenizer(os.path.join(base_path, "vocab.txt"))
+        st_path = os.path.join(base_path, "model.safetensors")
+        if os.path.exists(st_path):
+            from safetensors.numpy import load_file
+
+            sd = load_file(st_path)
+        else:
+            import torch
+
+            sd = {k: v.numpy() for k, v in torch.load(
+                os.path.join(base_path, "pytorch_model.bin"), map_location="cpu",
+                weights_only=True).items()}
+        sd = {k.removeprefix("bert."): v for k, v in sd.items()}
+        self.params = {k: jnp.asarray(v, self.dtype) for k, v in sd.items()
+                       if k.startswith(("embeddings.", "encoder."))}
+        self._fwd = jax.jit(lambda p, ids, mask: bert_hidden_minus3(p, self.cfg, ids, mask))
+
+    def __call__(self, word2ph_list: List[Dict[str, list]]) -> List[np.ndarray]:
+        texts = ["".join(w["word"]) for w in word2ph_list]
+        encoded = [self.tokenizer.encode(t) for t in texts]
+        maxlen = max(len(e) for e in encoded)
+        ids = np.zeros((len(texts), maxlen), np.int32)
+        mask = np.zeros((len(texts), maxlen), np.int32)
+        for i, e in enumerate(encoded):
+            ids[i, : len(e)] = e
+            mask[i, : len(e)] = 1
+        hidden = np.asarray(self._fwd(self.params, jnp.asarray(ids), jnp.asarray(mask)),
+                            np.float32)
+        out: List[np.ndarray] = []
+        for i, w2p in enumerate(word2ph_list):
+            char_feats = hidden[i][mask[i] == 1][1:-1]  # strip [CLS]/[SEP]
+            reps = np.asarray(w2p["ph"], np.int64)
+            out.append(np.repeat(char_feats, reps, axis=0))
+        return out

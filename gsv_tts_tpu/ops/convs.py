@@ -124,3 +124,36 @@ def prelu(x: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
     """torch PReLU with per-channel weight; x [B, C, T]."""
     w = weight.astype(x.dtype)[None, :, None]
     return jnp.where(x >= 0, x, x * w)
+
+
+def conv2d(x: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+           stride=1, padding=0) -> jnp.ndarray:
+    """torch.nn.functional.conv2d.  x [B, C, H, W], weight [C_out, C_in, kH, kW]."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    out = jax.lax.conv_general_dilated(
+        x, weight.astype(x.dtype),
+        window_strides=stride,
+        padding=padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=F32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(x.dtype)[None, :, None, None]
+    return out
+
+
+def batch_norm(x: jnp.ndarray, mean: jnp.ndarray, var: jnp.ndarray,
+               gamma: Optional[jnp.ndarray], beta: Optional[jnp.ndarray],
+               eps: float = 1e-5) -> jnp.ndarray:
+    """Inference-mode BatchNorm over the channel axis (axis 1)."""
+    shape = [1, -1] + [1] * (x.ndim - 2)
+    inv = jax.lax.rsqrt(var.astype(F32) + eps)
+    out = (x.astype(F32) - mean.astype(F32).reshape(shape)) * inv.reshape(shape)
+    if gamma is not None:
+        out = out * gamma.astype(F32).reshape(shape)
+    if beta is not None:
+        out = out + beta.astype(F32).reshape(shape)
+    return out.astype(x.dtype)

@@ -1,0 +1,135 @@
+"""Parity tests for the conditioning encoders (HuBERT, BERT, ERes2NetV2)."""
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gsv_tts_tpu.models import hubert as jhub
+from gsv_tts_tpu.models import roberta as jbert
+from gsv_tts_tpu.models import sv as jsv
+from conftest import import_reference_module
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def test_hubert_parity():
+    from transformers import HubertConfig, HubertModel
+
+    cfg_t = HubertConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, conv_dim=[32, 32, 32], conv_kernel=[10, 3, 2],
+        conv_stride=[5, 2, 2], num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, feat_extract_norm="group",
+        do_stable_layer_norm=False, conv_bias=False,
+    )
+    torch.manual_seed(0)
+    ref = HubertModel(cfg_t).eval()
+
+    cfg = jhub.HubertConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, conv_dim=(32, 32, 32), conv_kernel=(10, 3, 2),
+        conv_stride=(5, 2, 2), num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+    )
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = jhub.params_from_torch_state_dict(sd)
+
+    rng = np.random.RandomState(0)
+    wav = rng.randn(1, 3200).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.tensor(wav)).last_hidden_state.numpy()
+    ours = np.asarray(jhub.hubert_forward(params, cfg, jnp.asarray(wav)))
+    assert ours.shape == ref_out.shape
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-3, atol=1e-4)
+
+
+def test_bert_hidden_minus3_parity():
+    from transformers import BertConfig, BertModel
+
+    cfg_t = BertConfig(
+        vocab_size=100, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64)
+    torch.manual_seed(1)
+    ref = BertModel(cfg_t).eval()
+
+    cfg = jbert.BertConfig(vocab_size=100, hidden_size=32, num_hidden_layers=4,
+                           num_attention_heads=4, intermediate_size=64,
+                           max_position_embeddings=64)
+    params = {k: jnp.asarray(v.numpy()) for k, v in ref.state_dict().items()}
+
+    rng = np.random.RandomState(2)
+    ids = rng.randint(0, 100, size=(2, 11)).astype(np.int32)
+    mask = np.ones_like(ids)
+    mask[1, 8:] = 0
+    with torch.no_grad():
+        out = ref(torch.tensor(ids.astype(np.int64)),
+                  attention_mask=torch.tensor(mask.astype(np.int64)),
+                  output_hidden_states=True)
+        ref_h = out.hidden_states[-3].numpy()
+    ours = np.asarray(jbert.bert_hidden_minus3(params, cfg, jnp.asarray(ids),
+                                               jnp.asarray(mask)))
+    np.testing.assert_allclose(ours, ref_h, rtol=1e-4, atol=1e-4)
+
+
+def test_bert_tokenizer_matches_transformers(tmp_path):
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "你", "好", "世",
+             "界", "hello", "wor", "##ld", "!", ",", "。", "a", "##b"]
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab), encoding="utf-8")
+
+    ours = jbert.BertTokenizer(str(vp))
+    from transformers import BertTokenizer as HFTok
+
+    hf = HFTok(str(vp))
+    for text in ["你好世界", "hello world!", "你好, hello。ab"]:
+        assert ours.tokenize(text) == hf.tokenize(text), text
+        assert ours.encode(text) == hf.encode(text), text
+
+
+def test_eres2netv2_forward3_parity():
+    import_reference_module("GPT_SoVITS/SV/pooling_layers.py", "GPT_SoVITS.SV.pooling_layers")
+    import_reference_module("GPT_SoVITS/SV/fusion.py", "GPT_SoVITS.SV.fusion")
+    mod = import_reference_module("GPT_SoVITS/SV/ERes2NetV2.py", "GPT_SoVITS.SV.ERes2NetV2")
+
+    torch.manual_seed(3)
+    ref = mod.ERes2NetV2(baseWidth=24, scale=4, expansion=4).eval()
+    with torch.no_grad():
+        for prm in ref.parameters():
+            prm.normal_(0, 0.05)
+        for name, buf in ref.named_buffers():
+            if name.endswith("running_var"):
+                buf.uniform_(0.5, 1.5)
+            elif name.endswith("running_mean"):
+                buf.normal_(0, 0.05)
+
+    params = {k: jnp.asarray(v.numpy()) for k, v in ref.state_dict().items()
+              if "num_batches_tracked" not in k}
+    rng = np.random.RandomState(4)
+    feat = rng.randn(1, 100, 80).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.forward3(torch.tensor(feat)).numpy()
+    ours = np.asarray(jsv.eres2netv2_forward3(params, jnp.asarray(feat)))
+    assert ours.shape == ref_out.shape == (1, 20480)
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-3, atol=1e-3)
+
+
+def test_kaldi_fbank_properties():
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    fb = jsv.kaldi_fbank(tone)
+    assert fb.shape == (98, 80)  # snip_edges: 1 + (16000-400)//160
+    # energy concentrated near 1 kHz: kaldi mel(1000Hz)≈1127*ln(1+1000/700)
+    peak_bin = int(np.argmax(fb.mean(axis=0)))
+    mel_1k = 1127 * np.log(1 + 1000 / 700)
+    mel_lo, mel_hi = 1127 * np.log(1 + 20 / 700), 1127 * np.log(1 + 8000 / 700)
+    expect_bin = int((mel_1k - mel_lo) / (mel_hi - mel_lo) * 81) - 1
+    assert abs(peak_bin - expect_bin) <= 2
+    # silence → flat low values
+    silence = np.zeros(16000, np.float32)
+    fbs = jsv.kaldi_fbank(silence)
+    assert np.all(fbs <= np.log(np.finfo(np.float32).eps) + 1e-3)
