@@ -215,9 +215,12 @@ def vits_encoder(p, pfx, x, x_mask, n_layers: int, n_heads: int,
 # -- MRTE (``module/mrte_model.py``) ----------------------------------------
 
 def mrte(p, pfx, ssl_enc, ssl_mask, text, text_mask, ge,
-         slice_indices: Optional[jnp.ndarray] = None):
+         slice_indices: Optional[jnp.ndarray] = None,
+         nullkey_idx: Optional[jnp.ndarray] = None):
     """Cross-attention fusion; returns (out, attn) — the attention matrix is
-    consumed by the subtitle Viterbi (``models.py:427``)."""
+    consumed by the subtitle Viterbi (``models.py:427``).  ``nullkey_idx``
+    overrides which text column is always attendable under ``slice_indices``
+    (defaults to the last column; needed when text is shape-padded)."""
     if slice_indices is None:
         attn_mask = text_mask[:, :, None, :] * ssl_mask[:, :, :, None]
     else:
@@ -226,7 +229,10 @@ def mrte(p, pfx, ssl_enc, ssl_mask, text, text_mask, ge,
         start = slice_indices[:, 0][:, None]
         end = slice_indices[:, 1][:, None]
         attn_mask = (text_range >= start) & (text_range < end)
-        attn_mask = attn_mask.at[:, -1].set(True)  # nullkey always attendable
+        if nullkey_idx is None:
+            attn_mask = attn_mask.at[:, -1].set(True)  # nullkey always attendable
+        else:
+            attn_mask = attn_mask | (text_range == nullkey_idx)
         attn_mask = attn_mask[None, None]
 
     ssl_h = conv1d(ssl_enc * ssl_mask, p[pfx + "c_pre.weight"], p[pfx + "c_pre.bias"])
@@ -417,7 +423,8 @@ def quantizer_encode(p, x: jnp.ndarray, n_q: int = 1) -> jnp.ndarray:
 def text_encoder_infer(p, cfg: SovitsConfig, y, text, ge,
                        slice_indices: Optional[jnp.ndarray] = None,
                        y_mask: Optional[jnp.ndarray] = None,
-                       text_mask: Optional[jnp.ndarray] = None):
+                       text_mask: Optional[jnp.ndarray] = None,
+                       nullkey_idx: Optional[jnp.ndarray] = None):
     """``TextEncoder.infer`` core (``models.py:196-224``) without the
     streaming/speed post-steps (those live in ``decode_latents`` below).
 
@@ -442,7 +449,8 @@ def text_encoder_infer(p, cfg: SovitsConfig, y, text, ge,
     t = vits_encoder(p, pfx + "encoder_text.", t * text_mask, text_mask,
                      cfg.n_layers, cfg.n_heads, cfg.kernel_size, cfg.window_size)
 
-    h, attn = mrte(p, pfx + "mrte.", h, y_mask, t, text_mask, ge, slice_indices)
+    h, attn = mrte(p, pfx + "mrte.", h, y_mask, t, text_mask, ge, slice_indices,
+                   nullkey_idx)
     h = vits_encoder(p, pfx + "encoder2.", h * y_mask, y_mask,
                      cfg.n_layers // 2, cfg.n_heads, cfg.kernel_size, cfg.window_size)
     return h, y_mask, attn
@@ -495,7 +503,10 @@ def decode_core(p, cfg: SovitsConfig, codes, text, ge, noise, *,
                 slice_indices: Optional[jnp.ndarray] = None,
                 y_overlap: Optional[jnp.ndarray] = None,
                 valid_start_idx: int = 0,
-                overlap_len: Optional[int] = None):
+                overlap_len: Optional[int] = None,
+                y_mask: Optional[jnp.ndarray] = None,
+                text_mask: Optional[jnp.ndarray] = None,
+                nullkey_idx: Optional[jnp.ndarray] = None):
     """Latent pipeline of ``SynthesizerTrn.decode`` (``models.py:385-404``)
     up to ``z_p`` — everything before the bucketed flow+vocoder.
 
@@ -513,7 +524,8 @@ def decode_core(p, cfg: SovitsConfig, codes, text, ge, noise, *,
         ge_t = ge
 
     y_latent, y_mask, attn = text_encoder_infer(
-        p, cfg, quantized, text, ge_for_mrte(p, cfg, ge_t), slice_indices)
+        p, cfg, quantized, text, ge_for_mrte(p, cfg, ge_t), slice_indices,
+        y_mask=y_mask, text_mask=text_mask, nullkey_idx=nullkey_idx)
 
     new_overlap = None
     if overlap_len is not None:

@@ -1,0 +1,1022 @@
+"""TTS engine facade — TPU-native re-implementation of the reference
+``gsv_tts/TTS.py`` public API: ``infer``, ``infer_stream``, ``infer_batched``,
+``infer_vc``, ``verify_speaker``, async wrappers, model registry, and the
+speaker/prompt audio caches.
+
+Pipeline (reference call stacks ``TTS.py:149-286,288-504,506-868``):
+  text → frontend (cut/G2P/BERT, host) → t2s engine (jitted prefill + chunked
+  decode, ``runtime/t2s_session.py``) → SoVITS decode (jitted latent pipeline
+  + bucketed flow/vocoder) → host DSP (SOLA, RMS trim, Viterbi subtitles).
+"""
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import logging
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, List, Literal, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dsp
+from .config import Config, global_config
+from .frontend.pause import pause_map
+from .frontend.text_processor import cut_text, get_phones_and_bert, sub2text_index
+from .frontend.lang_segment import LangSegment
+from .loader import (Gpt, Sovits, get_gpt_weights, get_sovits_weights,
+                     gpt_to_safetensors, sovits_to_safetensors)
+from .models import sovits as sovits_model
+from .ops import stft
+from .player import AudioClip, AudioQueue
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s - %(filename)s - %(levelname)s: %(message)s")
+
+DEFAULT_MUTE_SCALE = {"…": 2.0, ".": 1.5, "。": 1.5, "?": 1.5, "？": 1.5,
+                      "!": 1.5, "！": 1.5, ",": 1.0, "，": 1.0, ":": 1.0,
+                      "：": 1.0, ";": 1.0, "；": 1.0, "~": 1.0, "、": 0.8,
+                      "・": 0.8}
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class TTS:
+    """Engine facade.  Constructor mirrors the reference ``TTS.__init__``
+    (``TTS.py:38-147``); CUDA-specific knobs map onto their XLA equivalents
+    (``use_flash_attn`` selects the Pallas decode-attention kernel)."""
+
+    def __init__(
+        self,
+        gpt_cache: List[tuple] = [(1, 512), (1, 768), (1, 1024), (4, 512), (4, 1024)],
+        sovits_cache: List[int] = [50, 55],
+        models_dir: Optional[str] = None,
+        device: Optional[str] = None,
+        dtype: Optional[str] = None,
+        use_flash_attn: bool = False,
+        use_bert: bool = False,
+        auto_bert: bool = True,
+        use_jieba_fast: bool = False,
+        always_load_cnhubert: bool = False,
+        always_load_sv: bool = False,
+    ):
+        self.tts_config = Config(dtype=dtype, platform=device)
+        self.tts_config.use_flash_attn = use_flash_attn
+        self.tts_config.gpt_cache = gpt_cache
+        self.tts_config.sovits_cache = sorted(sovits_cache) if sovits_cache else []
+
+        self.always_load_cnhubert = always_load_cnhubert
+        self.always_load_sv = always_load_sv
+        self.auto_bert = auto_bert
+
+        if models_dir is None:
+            models_dir = Path.home() / ".cache" / "gsv"
+        self.models_dir = Path(models_dir)
+        if global_config.models_dir is None:
+            global_config.models_dir = self.models_dir
+        if global_config.use_jieba_fast is None:
+            global_config.use_jieba_fast = use_jieba_fast
+
+        self.gpt_models: Dict[str, Gpt] = {}
+        self.sovits_models: Dict[str, Sovits] = {}
+        self.spk_audio_cache: Dict[str, dict] = {}
+        self.prompt_audio_cache: Dict[str, dict] = {}
+        self._decode_jit_cache: Dict[tuple, callable] = {}
+
+        self.cnhubert_path = self.models_dir / "chinese-hubert-base"
+        self.cnroberta_path = self.models_dir / "chinese-roberta-wwm-ext-large"
+        self.sv_path = self.models_dir / "sv" / "pretrained_eres2netv2w24s4ep4.ckpt"
+        self.default_gpt_path = self.models_dir / "s1v3.ckpt"
+        self.default_sovits_path = self.models_dir / "s2Gv2ProPlus.pth"
+
+        self._bert_loaded = False
+        if use_bert:
+            self._load_bert()
+
+        self.cnhubert_model = None
+        self.sv_model = None
+
+        self.punctuation = tuple(pause_map.keys())
+        self.samplerate = 32000
+        self.gpt_hz = 25
+        self.sovits_hz = 50
+
+        self.audio_queue = AudioQueue(self.samplerate)
+        self._infer_lock = threading.Lock()
+        self._rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
+
+        logging.info(f"Platform: {self.tts_config.platform}, dtype: {jnp.dtype(self.tts_config.dtype).name}")
+
+    # ------------------------------------------------------------------
+    # model / resource management
+    # ------------------------------------------------------------------
+
+    def load_gpt_model(self, *model_paths):
+        if not model_paths:
+            model_paths = (self.default_gpt_path,)
+        for path in model_paths:
+            self.gpt_models[path] = get_gpt_weights(path, self.tts_config)
+            logging.info(f"Loaded GPT model: {path}")
+
+    def load_sovits_model(self, *model_paths):
+        if not model_paths:
+            model_paths = (self.default_sovits_path,)
+        for path in model_paths:
+            self.sovits_models[path] = get_sovits_weights(path, self.tts_config)
+            logging.info(f"Loaded SoVITS model: {path}")
+
+    def unload_gpt_model(self, *model_paths):
+        for path in model_paths:
+            if path in self.gpt_models:
+                del self.gpt_models[path]
+                logging.info(f"Unloaded GPT model: {path}")
+            else:
+                logging.warning(f"GPT model {path} not found.")
+
+    def unload_sovits_model(self, *model_paths):
+        for path in model_paths:
+            if path in self.sovits_models:
+                del self.sovits_models[path]
+                for audio in self.spk_audio_cache.values():
+                    audio["ge"].pop(path, None)
+                logging.info(f"Unloaded SoVITS model: {path}")
+            else:
+                logging.warning(f"SoVITS model {path} not found.")
+
+    def get_gpt_list(self):
+        return list(self.gpt_models.keys())
+
+    def get_sovits_list(self):
+        return list(self.sovits_models.keys())
+
+    def init_language_module(self, *languages):
+        from .frontend.g2p import text_to_phonemes
+
+        for language in languages:
+            if language in ("en", "zh", "ja"):
+                text_to_phonemes(" .", language)
+                logging.info(f"Loaded language module: {language}")
+            else:
+                logging.warning(f'Language "{language}" not found.')
+
+    def to_safetensors(self, checkpoint_path: str, output_dir: Optional[str] = None):
+        import os
+
+        if output_dir is None:
+            output_dir, _ = os.path.splitext(str(checkpoint_path))
+        if str(checkpoint_path).endswith(".pth"):
+            sovits_to_safetensors(checkpoint_path, output_dir, self.tts_config)
+        else:
+            gpt_to_safetensors(checkpoint_path, output_dir, self.tts_config)
+        logging.info(f"Successfully converted and saved to: {output_dir}")
+
+    # -- caches (reference ``TTS.py:1345-1480``) ------------------------
+
+    def cache_spk_audio(self, *spk_audio_paths, sovits_model: Optional[str] = None):
+        if not self.sovits_models:
+            logging.error("No SoVITS models are currently loaded! Cannot cache speaker audio.")
+            return
+        if sovits_model is None:
+            sovits_model = next(iter(self.sovits_models))
+        if sovits_model not in self.sovits_models:
+            logging.error(f"The SoVITS model {sovits_model} is not loaded!")
+            return
+        model = self.sovits_models[sovits_model]
+        if self.sv_model is None and model.cfg.is_v2pro:
+            from .models.sv import ERes2Net
+
+            self.sv_model = ERes2Net(self.sv_path, self.tts_config)
+        for path in spk_audio_paths:
+            refers, audio16k = self._get_spec(model.hps, path)
+            if path not in self.spk_audio_cache:
+                sv_emb = (self.sv_model.compute_embedding3(audio16k)
+                          if model.cfg.is_v2pro else None)
+                ge = sovits_model_ge(model, refers, sv_emb)
+                self.spk_audio_cache[path] = {"ge": {sovits_model: ge}, "sv_emb": sv_emb}
+            elif sovits_model not in self.spk_audio_cache[path]["ge"]:
+                sv_emb = self.spk_audio_cache[path]["sv_emb"]
+                if model.cfg.is_v2pro and sv_emb is None:
+                    sv_emb = self.sv_model.compute_embedding3(audio16k)
+                    self.spk_audio_cache[path]["sv_emb"] = sv_emb
+                self.spk_audio_cache[path]["ge"][sovits_model] = sovits_model_ge(
+                    model, refers, sv_emb)
+            logging.info(f"Cached speaker audio: {path}")
+        if not self.always_load_sv:
+            self.sv_model = None
+
+    def cache_prompt_audio(self, prompt_audio_paths, prompt_audio_texts):
+        if not self.sovits_models:
+            logging.error("No SoVITS models are currently loaded! Cannot cache prompt audio.")
+            return
+        model = self.sovits_models[next(iter(self.sovits_models))]
+        if self.cnhubert_model is None:
+            from .models.hubert import CNHubert
+
+            self.cnhubert_model = CNHubert(str(self.cnhubert_path), self.tts_config)
+        if isinstance(prompt_audio_paths, (str, Path)):
+            prompt_audio_paths = [prompt_audio_paths]
+        if isinstance(prompt_audio_texts, str):
+            prompt_audio_texts = [prompt_audio_texts] * len(prompt_audio_paths)
+        for path, text in zip(prompt_audio_paths, prompt_audio_texts):
+            if not text or not text.strip():
+                raise ValueError(
+                    "Prompt audio text is empty. Please provide the text "
+                    "transcription for the reference audio.")
+            prompt = self._get_prompt(self.cnhubert_model, model, path)
+            phones1, _, bert1, _ = get_phones_and_bert(text, self.tts_config)
+            self.prompt_audio_cache[path] = {
+                "prompt": prompt, "phones1": phones1, "bert1": bert1}
+            logging.info(f"Cached prompt audio: {path}")
+        if not self.always_load_cnhubert:
+            self.cnhubert_model = None
+
+    def del_spk_audio(self, *spk_audio_list):
+        for p in spk_audio_list:
+            if p in self.spk_audio_cache:
+                del self.spk_audio_cache[p]
+            else:
+                logging.warning(f"Speaker audio {p} not found in cache.")
+
+    def del_prompt_audio(self, *prompt_audio_list):
+        for p in prompt_audio_list:
+            if p in self.prompt_audio_cache:
+                del self.prompt_audio_cache[p]
+            else:
+                logging.warning(f"Prompt audio {p} not found in cache.")
+
+    def get_spk_audio_list(self):
+        return list(self.spk_audio_cache.keys())
+
+    def get_prompt_audio_list(self):
+        return list(self.prompt_audio_cache.keys())
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+
+    def infer(self, spk_audio_path, prompt_audio_path, prompt_audio_text, text,
+              return_subtitles: bool = False, top_k: int = 15, top_p: float = 1.0,
+              temperature: float = 1.0, repetition_penalty: float = 1.35,
+              noise_scale: float = 0.5, speed: float = 1.0,
+              gpt_model=None, sovits_model=None):
+        """Single-utterance synthesis (reference ``TTS.py:149-286``)."""
+        if self._contains_chinese(text):
+            self._ensure_bert_loaded()
+        if not self._check_pause(text):
+            text += "."
+        gpt_model, sovits_model = self._default_models(gpt_model, sovits_model)
+
+        sovits, ge = self._prepare_sovits_resources(sovits_model, spk_audio_path)
+        gpt, prompt, phones1, bert1 = self._prepare_gpt_resources(
+            gpt_model, prompt_audio_path, prompt_audio_text)
+
+        phones2, word2ph, bert2, norm_text = get_phones_and_bert(text, self.tts_config)
+        all_phones = np.asarray(phones1 + phones2, np.int32)
+        bert = np.concatenate([np.asarray(bert1, np.float32),
+                               np.asarray(bert2, np.float32)], axis=0)
+
+        pred_semantic = gpt.engine.generate(
+            all_phones, prompt, bert, top_k=top_k, top_p=top_p,
+            temperature=temperature, repetition_penalty=repetition_penalty,
+            rng=self._next_rng())
+        semantic = np.asarray(pred_semantic).reshape(-1)
+
+        audio, attn = self._sovits_decode(
+            sovits, semantic[None, None, :], np.asarray(phones2, np.int32)[None],
+            ge, noise_scale=noise_scale, speed=speed)
+        audio = np.asarray(audio).reshape(-1)
+
+        if return_subtitles:
+            assign = dsp.viterbi_monotonic(np.asarray(attn))
+            subtitles = self._get_subtitles(word2ph, assign, speed)
+            if subtitles:
+                if not self._check_pause(subtitles[-1]["text"]):
+                    subtitles.append({"text": word2ph["word"][-1],
+                                      "start_s": subtitles[-1]["end_s"],
+                                      "end_s": subtitles[-1]["end_s"]})
+                subtitles[-1]["end_s"] += 0.2
+                subtitles = sub2text_index(subtitles, norm_text, text)
+        else:
+            subtitles = []
+
+        head_offset = dsp.find_head_threshold_offset(audio)
+        audio = audio[head_offset:]
+        if subtitles:
+            self._increment_subtitle_times(subtitles, -head_offset / self.samplerate)
+            subtitles[0]["start_s"] = max(0, subtitles[0]["start_s"])
+
+        max_audio = np.abs(audio).max() if audio.size else 0.0
+        if max_audio > 1:
+            audio = audio / max_audio
+        audio = np.concatenate([audio, np.zeros(int(0.2 * self.samplerate), audio.dtype)])
+        audio_len_s = len(audio) / self.samplerate
+        return AudioClip(self.audio_queue, audio.astype(np.float32),
+                         self.samplerate, audio_len_s, subtitles, text)
+
+    def infer_stream(self, spk_audio_path, prompt_audio_path, prompt_audio_text,
+                     text, return_subtitles: bool = False, is_cut_text: bool = True,
+                     cut_minlen: int = 10, cut_mute: float = 0.4,
+                     cut_mute_scale_map: dict = DEFAULT_MUTE_SCALE,
+                     stream_mode: Literal["token", "sentence"] = "token",
+                     stream_chunk: int = 25, overlap_len: int = 5,
+                     boost_first_chunk: bool = True, top_k: int = 15,
+                     top_p: float = 1.0, temperature: float = 1.0,
+                     repetition_penalty: float = 1.35, noise_scale: float = 0.5,
+                     speed: float = 1.0, gpt_model=None, sovits_model=None,
+                     debug: bool = True):
+        """Streaming synthesis generator (reference ``TTS.py:288-504``):
+        token-chunked t2s decode, incremental vocoding with latent cross-fade,
+        SOLA waveform stitching, incremental subtitles."""
+        if self._contains_chinese(text):
+            self._ensure_bert_loaded()
+        if not self._check_pause(text):
+            text += "."
+        if stream_mode == "sentence":
+            stream_chunk = 10000
+        if not is_cut_text:
+            cut_minlen = 10000
+        cut_mute = cut_mute / speed
+        gpt_model, sovits_model = self._default_models(gpt_model, sovits_model)
+
+        sovits, ge = self._prepare_sovits_resources(sovits_model, spk_audio_path)
+        gpt, prompt, phones1, bert1 = self._prepare_gpt_resources(
+            gpt_model, prompt_audio_path, prompt_audio_text)
+
+        overlap_samples = overlap_len * sovits.cfg.samples_per_frame
+        cur_text_l = 0
+        audio_len_s = 0.0
+        last_end_s = 0.0
+
+        text_cuts = cut_text(text, cut_minlen)
+        for i, text_cut in enumerate(text_cuts):
+            if debug:
+                logging.info(f"Processing segment {i + 1}/{len(text_cuts)}: {text_cut!r}")
+            phones2, word2ph, bert2, norm_text = get_phones_and_bert(text_cut, self.tts_config)
+            all_phones = np.asarray(phones1 + phones2, np.int32)
+            bert = np.concatenate([np.asarray(bert1, np.float32),
+                                   np.asarray(bert2, np.float32)], axis=0)
+
+            generator = gpt.engine.generate(
+                all_phones, prompt, bert, top_k=top_k, top_p=top_p,
+                temperature=temperature, repetition_penalty=repetition_penalty,
+                rng=self._next_rng(), stream_chunk=stream_chunk)
+            phones2_arr = np.asarray(phones2, np.int32)[None]
+
+            last_subtitles_end = 0
+            last_overlap_audio = None
+            y_overlap = None
+            valid_start_idx = 0
+            chunk_idx = 0
+            head_offset = 0
+            for pred_semantic, is_final in generator:
+                semantic = np.asarray(pred_semantic).reshape(-1)
+                if semantic.size == 0:
+                    continue
+                audio, attn, y_overlap = self._sovits_decode_stream(
+                    sovits, semantic[None, None, :], phones2_arr, ge,
+                    noise_scale=noise_scale, speed=speed, y_overlap=y_overlap,
+                    valid_start_idx=valid_start_idx, overlap_len=overlap_len)
+                audio = np.asarray(audio).reshape(-1)
+                attn = np.asarray(attn)
+
+                if last_overlap_audio is not None:
+                    audio, _ = dsp.sola_align(last_overlap_audio, audio, overlap_samples)
+                last_overlap_audio = audio[-overlap_samples:].copy()
+
+                if not is_final:
+                    audio = audio[:-overlap_samples]
+                    attn = attn[:, :-overlap_len, :]
+                    # cumulative: MRTE attention spans the full decoded
+                    # sequence, so this *is* the next chunk's start
+                    # (``TTS.py:437-441``)
+                    valid_start_idx = attn.shape[1]
+
+                if return_subtitles:
+                    assign = dsp.viterbi_monotonic(attn)
+                    if dsp.is_normal_assign(assign) or is_final:
+                        subtitles = self._get_subtitles(word2ph, assign, speed,
+                                                        last_end_s=last_end_s)
+                    else:
+                        subtitles = []
+                else:
+                    subtitles = []
+
+                if chunk_idx == 0:
+                    head_offset = dsp.find_head_threshold_offset(audio)
+                    audio = audio[head_offset:]
+                if subtitles:
+                    self._increment_subtitle_times(subtitles, -head_offset / self.samplerate)
+                    subtitles[0]["start_s"] = max(last_end_s, subtitles[0]["start_s"])
+
+                if is_final:
+                    cut_mute_scale = self._mute_scale(text_cut, cut_mute_scale_map)
+                    silence = np.zeros(int(cut_mute * cut_mute_scale * self.samplerate),
+                                       audio.dtype)
+                    audio = np.concatenate([audio, silence])
+                    if subtitles:
+                        if not self._check_pause(subtitles[-1]["text"]):
+                            subtitles.append({"text": word2ph["word"][-1],
+                                              "start_s": subtitles[-1]["end_s"],
+                                              "end_s": subtitles[-1]["end_s"]})
+                        subtitles[-1]["end_s"] += cut_mute * cut_mute_scale
+                        last_end_s = subtitles[-1]["end_s"]
+
+                if subtitles:
+                    subtitles = sub2text_index(subtitles, norm_text, text_cut)
+                    self._increment_subtitle_indices(subtitles, cur_text_l)
+                    new_subtitles = subtitles[last_subtitles_end:]
+                    last_subtitles_end = len(subtitles) - 1
+                    if not is_final and new_subtitles:
+                        new_subtitles[-1]["end_s"] = None
+                else:
+                    new_subtitles = []
+
+                audio_len_s += len(audio) / self.samplerate
+                yield AudioClip(self.audio_queue, audio.astype(np.float32),
+                                self.samplerate, audio_len_s, new_subtitles, text)
+                chunk_idx += 1
+
+            cur_text_l += len(text_cut)
+
+        if debug:
+            logging.info(f"Stream inference complete. Generated {audio_len_s:.2f}s of audio.")
+
+    def infer_batched(self, spk_audio_paths, prompt_audio_paths, prompt_audio_texts,
+                      texts, return_subtitles: bool = False, is_cut_text: bool = True,
+                      cut_minlen: int = 10, cut_mute: float = 0.4,
+                      cut_mute_scale_map: dict = DEFAULT_MUTE_SCALE,
+                      top_k: int = 15, top_p: float = 1.0, temperature: float = 1.0,
+                      repetition_penalty: float = 1.35, noise_scale: float = 0.5,
+                      speed: float = 1.0, bert_batch_size: int = 20,
+                      sovits_batch_size: int = 10, gpt_model=None,
+                      sovits_model=None):
+        """Batched synthesis (reference ``TTS.py:506-868``): continuous-batched
+        t2s + packed SoVITS decode with block-diagonal MRTE masks."""
+        if isinstance(texts, str):
+            texts = [texts]
+        if any(self._contains_chinese(t) for t in texts):
+            self._ensure_bert_loaded()
+        texts = [t if self._check_pause(t) else t + "." for t in texts]
+        if not is_cut_text:
+            cut_minlen = 10000
+        cut_mute = cut_mute / speed
+        n = len(texts)
+        if isinstance(spk_audio_paths, (str, dict, Path)):
+            spk_audio_paths = [spk_audio_paths] * n
+        if isinstance(prompt_audio_paths, (str, Path)):
+            prompt_audio_paths = [prompt_audio_paths] * n
+        if isinstance(prompt_audio_texts, str):
+            prompt_audio_texts = [prompt_audio_texts] * n
+        gpt_model, sovits_model = self._default_models(gpt_model, sovits_model)
+        if gpt_model not in self.gpt_models:
+            self.load_gpt_model(gpt_model)
+        if sovits_model not in self.sovits_models:
+            self.load_sovits_model(sovits_model)
+        gpt = self.gpt_models[gpt_model]
+        sovits = self.sovits_models[sovits_model]
+
+        all_segments: List[str] = []
+        segment_to_original: List[int] = []
+        for idx, t in enumerate(texts):
+            for cutted in cut_text(t, cut_minlen):
+                all_segments.append(cutted)
+                segment_to_original.append(idx)
+        n_orig = len(texts)
+        n_segs = len(all_segments)
+
+        def expand(inp):
+            return [inp[segment_to_original[i]] for i in range(n_segs)]
+
+        spk_audio_paths = expand(spk_audio_paths)
+        prompt_audio_paths = expand(prompt_audio_paths)
+        prompt_audio_texts = expand(prompt_audio_texts)
+        orig_texts = texts
+        texts = all_segments
+
+        all_phones2, all_word2ph, all_bert2, all_norm_text = [], [], [], []
+        for i in range(0, len(texts), bert_batch_size):
+            p2, w2, b2, nt = get_phones_and_bert(texts[i: i + bert_batch_size],
+                                                 self.tts_config)
+            all_phones2 += p2
+            all_word2ph += w2
+            all_bert2 += b2
+            all_norm_text += nt
+
+        xs, ys, berts, all_ge = [], [], [], []
+        for (spk, ppath, ptext, phones2, bert2) in zip(
+                spk_audio_paths, prompt_audio_paths, prompt_audio_texts,
+                all_phones2, all_bert2):
+            if ppath not in self.prompt_audio_cache:
+                self.cache_prompt_audio(ppath, ptext)
+            cache = self.prompt_audio_cache[ppath]
+            _, ge = self._prepare_sovits_resources(sovits_model, spk)
+            xs.append(np.asarray(cache["phones1"] + phones2, np.int32))
+            ys.append(np.asarray(cache["prompt"], np.int32).reshape(-1))
+            berts.append(np.concatenate([np.asarray(cache["bert1"], np.float32),
+                                         np.asarray(bert2, np.float32)], axis=0))
+            all_ge.append(np.asarray(ge))
+
+        pred_semantic, semantic_orig_idx = gpt.engine.generate_batched(
+            xs, ys, berts, top_k=top_k, top_p=top_p, temperature=temperature,
+            repetition_penalty=repetition_penalty, rng=self._next_rng())
+
+        lengths = np.asarray([len(s) for s in pred_semantic])
+        idx_map = np.argsort(lengths, kind="stable")
+        # dual-ended interleave to balance packed-batch lengths (``TTS.py:707-716``)
+        m = len(idx_map)
+        sorted_indices = np.arange(m)
+        interleave = np.zeros(m, np.int64)
+        interleave[0::2] = sorted_indices[: (m + 1) // 2]
+        interleave[1::2] = sorted_indices[(m + 1) // 2:][::-1]
+        idx_map = idx_map[interleave]
+        pred_semantic = [pred_semantic[i] for i in idx_map]
+        semantic_orig_idx = np.asarray(semantic_orig_idx)[idx_map]
+        lengths = lengths[idx_map]
+
+        generated_audios: List[np.ndarray] = []
+        generated_subtitles: List[list] = []
+        for i in range(0, len(pred_semantic), sovits_batch_size):
+            end = min(i + sovits_batch_size, len(pred_semantic))
+            sem_list = pred_semantic[i:end]
+            cur_orig = semantic_orig_idx[i:end]
+            cur_lens = lengths[i:end]
+
+            ge_list, phones2_list, phone_lens = [], [], []
+            for j, L in enumerate(cur_lens):
+                oi = int(cur_orig[j])
+                ge_list.append(np.broadcast_to(all_ge[oi], (1, all_ge[oi].shape[1], int(L))))
+                phones2_list.append(np.asarray(all_phones2[oi], np.int32))
+                phone_lens.append(len(all_phones2[oi]))
+            curr_ge = np.concatenate(ge_list, axis=2)
+            curr_sem = np.concatenate([np.asarray(s) for s in sem_list])[None, None, :]
+            curr_phones = np.concatenate(phones2_list)[None]
+            ends = np.cumsum(phone_lens)
+            starts = ends - np.asarray(phone_lens)
+            pairs = np.stack([starts, ends], axis=1)
+            slice_indices = np.repeat(pairs, np.asarray(cur_lens) * 2, axis=0)
+
+            curr_word2ph = {
+                "word": [w for oi in cur_orig for w in all_word2ph[int(oi)]["word"]],
+                "ph": [p for oi in cur_orig for p in all_word2ph[int(oi)]["ph"]],
+            }
+
+            audio_batch, attn = self._sovits_decode(
+                sovits, curr_sem, curr_phones, jnp.asarray(curr_ge, self.tts_config.dtype),
+                noise_scale=noise_scale, speed=speed, slice_indices=slice_indices,
+                use_buckets=False)
+            audio_batch = np.asarray(audio_batch).reshape(-1)
+
+            if return_subtitles:
+                assign = dsp.viterbi_monotonic(np.asarray(attn))
+                subtitles = self._get_subtitles(curr_word2ph, assign, speed)
+                if subtitles and not self._check_pause(subtitles[-1]["text"]):
+                    subtitles.append({"text": curr_word2ph["word"][-1],
+                                      "start_s": subtitles[-1]["end_s"],
+                                      "end_s": subtitles[-1]["end_s"]})
+
+            max_audio = np.abs(audio_batch).max() if audio_batch.size else 0.0
+            if max_audio > 1.0:
+                audio_batch = audio_batch / max_audio
+
+            if return_subtitles:
+                last_i = 0
+                for j in range(len(sem_list)):
+                    best_i = self._find_subtitles(subtitles, all_word2ph[int(cur_orig[j])], last_i)
+                    subtitle = subtitles[last_i:best_i]
+                    last_i = best_i
+                    seg_start = int(subtitle[0]["start_s"] * self.samplerate)
+                    seg_end = int(subtitle[-1]["end_s"] * self.samplerate)
+                    audio = audio_batch[seg_start:seg_end]
+                    ho = dsp.find_head_threshold_offset(audio)
+                    to = dsp.find_tail_threshold_offset(audio)
+                    audio = audio[ho: len(audio) - to]
+                    subtitle[0]["start_s"] += ho / self.samplerate
+                    subtitle[-1]["end_s"] -= to / self.samplerate
+                    subtitle = sub2text_index(subtitle, all_norm_text[int(cur_orig[j])],
+                                              texts[int(cur_orig[j])])
+                    generated_audios.append(audio)
+                    generated_subtitles.append(subtitle)
+            else:
+                last_len = 0.0
+                for j in range(len(sem_list)):
+                    cur_len = last_len + int(cur_lens[j]) * 2 * sovits.cfg.samples_per_frame / speed
+                    audio = audio_batch[int(last_len): int(cur_len)]
+                    last_len = cur_len
+                    ho = dsp.find_head_threshold_offset(audio)
+                    to = dsp.find_tail_threshold_offset(audio)
+                    generated_audios.append(audio[ho: len(audio) - to])
+
+        ordered_audios = [None] * len(generated_audios)
+        ordered_subtitles = [None] * len(generated_audios)
+        for cur_pos, orig_pos in enumerate(semantic_orig_idx.tolist()):
+            ordered_audios[orig_pos] = generated_audios[cur_pos]
+            if return_subtitles:
+                ordered_subtitles[orig_pos] = generated_subtitles[cur_pos]
+
+        final_audios = [[] for _ in range(n_orig)]
+        final_subs = [[] for _ in range(n_orig)]
+        last_orig_idx = None
+        cur_text_l = 0
+        for i, (audio_data, subtitle) in enumerate(zip(ordered_audios, ordered_subtitles)):
+            oi = segment_to_original[i]
+            final_audios[oi].append(audio_data)
+            scale = self._mute_scale(texts[i], cut_mute_scale_map)
+            final_audios[oi].append(
+                np.zeros(int(cut_mute * scale * self.samplerate), audio_data.dtype))
+            if return_subtitles and subtitle:
+                if oi != last_orig_idx:
+                    cur_text_l = 0
+                    last_orig_idx = oi
+                subtitle[-1]["end_s"] += cut_mute * scale
+                self._increment_subtitle_indices(subtitle, cur_text_l)
+                final_subs[oi].append(subtitle)
+                cur_text_l += len(texts[i])
+
+        result = []
+        for audio_list, subs_list, orig_text in zip(final_audios, final_subs, orig_texts):
+            audio = np.concatenate(audio_list)
+            audio_len_s = len(audio) / self.samplerate
+            subs = self._cat_subtitles(*subs_list) if (return_subtitles and subs_list) else []
+            result.append(AudioClip(self.audio_queue, audio.astype(np.float32),
+                                    self.samplerate, audio_len_s, subs, orig_text))
+        return tuple(result)
+
+    def infer_vc(self, spk_audio_path, prompt_audio_path, prompt_audio_text,
+                 noise_scale: float = 0.5, speed: float = 1.0, sovits_model=None):
+        """Zero-shot voice conversion (reference ``TTS.py:870-964``)."""
+        if not self._check_pause(prompt_audio_text):
+            prompt_audio_text += "."
+        _, sovits_model = self._default_models(None, sovits_model)
+        sovits, ge = self._prepare_sovits_resources(sovits_model, spk_audio_path)
+        if self.cnhubert_model is None:
+            from .models.hubert import CNHubert
+
+            self.cnhubert_model = CNHubert(str(self.cnhubert_path), self.tts_config)
+        prompt = self._get_prompt(self.cnhubert_model, sovits, prompt_audio_path)
+        if not self.always_load_cnhubert:
+            self.cnhubert_model = None
+
+        phones, word2ph, _, norm_text = get_phones_and_bert(prompt_audio_text, self.tts_config)
+        audio, attn = self._sovits_decode(
+            sovits, np.asarray(prompt, np.int64).reshape(1, 1, -1),
+            np.asarray(phones, np.int32)[None], ge,
+            noise_scale=noise_scale, speed=speed)
+        audio = np.asarray(audio).reshape(-1)
+
+        assign = dsp.viterbi_monotonic(np.asarray(attn))
+        subtitles = self._get_subtitles(word2ph, assign, speed)
+        if subtitles:
+            if not self._check_pause(subtitles[-1]["text"]):
+                subtitles.append({"text": word2ph["word"][-1],
+                                  "start_s": subtitles[-1]["end_s"],
+                                  "end_s": subtitles[-1]["end_s"]})
+            subtitles[-1]["end_s"] += 0.2
+            subtitles = sub2text_index(subtitles, norm_text, prompt_audio_text)
+
+        max_audio = np.abs(audio).max() if audio.size else 0.0
+        if max_audio > 1:
+            audio = audio / max_audio
+        audio = np.concatenate([audio, np.zeros(int(0.2 * self.samplerate), audio.dtype)])
+        audio_len_s = len(audio) / self.samplerate
+        return AudioClip(self.audio_queue, audio.astype(np.float32), self.samplerate,
+                         audio_len_s, subtitles, prompt_audio_text)
+
+    def verify_speaker(self, speaker1_audio: str, speaker2_audio: str):
+        """Cosine similarity of SV embeddings (reference ``TTS.py:1205-1247``)."""
+        if not self.sovits_models:
+            logging.error("No SoVITS models are currently loaded! Cannot verify speaker.")
+            return
+        model = self.sovits_models[next(iter(self.sovits_models))]
+        if self.sv_model is None:
+            from .models.sv import ERes2Net
+
+            self.sv_model = ERes2Net(self.sv_path, self.tts_config)
+
+        def emb(path):
+            if path in self.spk_audio_cache and self.spk_audio_cache[path]["sv_emb"] is not None:
+                return np.asarray(self.spk_audio_cache[path]["sv_emb"], np.float32)
+            _, audio16k = self._get_spec(model.hps, path)
+            return np.asarray(self.sv_model.compute_embedding3(audio16k), np.float32)
+
+        e1, e2 = emb(speaker1_audio), emb(speaker2_audio)
+        sim = float(np.sum(e1 * e2) / (np.linalg.norm(e1) * np.linalg.norm(e2) + 1e-6))
+        if not self.always_load_sv:
+            self.sv_model = None
+        return sim
+
+    # -- async wrappers (reference ``TTS.py:966-1162``) -----------------
+
+    async def infer_async(self, *args, executor: Optional[ThreadPoolExecutor] = None,
+                          **kwargs):
+        loop = asyncio.get_running_loop()
+
+        def run():
+            with self._infer_lock:
+                return self.infer(*args, **kwargs)
+
+        return await loop.run_in_executor(executor, run)
+
+    async def infer_stream_async(self, *args,
+                                 executor: Optional[ThreadPoolExecutor] = None,
+                                 **kwargs):
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+
+        def run():
+            try:
+                with self._infer_lock:
+                    for chunk in self.infer_stream(*args, **kwargs):
+                        loop.call_soon_threadsafe(queue.put_nowait, chunk)
+            finally:
+                loop.call_soon_threadsafe(queue.put_nowait, None)
+
+        loop.run_in_executor(executor, run)
+        while True:
+            chunk = await queue.get()
+            if chunk is None:
+                break
+            yield chunk
+
+    async def infer_batched_async(self, *args,
+                                  executor: Optional[ThreadPoolExecutor] = None,
+                                  **kwargs):
+        loop = asyncio.get_running_loop()
+
+        def run():
+            with self._infer_lock:
+                return self.infer_batched(*args, **kwargs)
+
+        return await loop.run_in_executor(executor, run)
+
+    async def infer_vc_async(self, *args, executor: Optional[ThreadPoolExecutor] = None,
+                             **kwargs):
+        loop = asyncio.get_running_loop()
+
+        def run():
+            with self._infer_lock:
+                return self.infer_vc(*args, **kwargs)
+
+        return await loop.run_in_executor(executor, run)
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _default_models(self, gpt_model, sovits_model):
+        if gpt_model is None:
+            gpt_model = (next(iter(self.gpt_models)) if self.gpt_models
+                         else self.default_gpt_path)
+        if sovits_model is None:
+            sovits_model = (next(iter(self.sovits_models)) if self.sovits_models
+                            else self.default_sovits_path)
+        return gpt_model, sovits_model
+
+    def _prepare_gpt_resources(self, gpt_model, prompt_audio_path, prompt_audio_text):
+        if gpt_model not in self.gpt_models:
+            self.load_gpt_model(gpt_model)
+        if prompt_audio_path not in self.prompt_audio_cache:
+            self.cache_prompt_audio(prompt_audio_path, prompt_audio_text)
+        cache = self.prompt_audio_cache[prompt_audio_path]
+        return (self.gpt_models[gpt_model], cache["prompt"], cache["phones1"],
+                cache["bert1"])
+
+    def _prepare_sovits_resources(self, sovits_model, spk_audio_path):
+        if sovits_model not in self.sovits_models:
+            self.load_sovits_model(sovits_model)
+        if isinstance(spk_audio_path, dict):
+            weight_sum = sum(spk_audio_path.values())
+            ge = None
+            for path, weight in spk_audio_path.items():
+                if (path not in self.spk_audio_cache
+                        or sovits_model not in self.spk_audio_cache[path]["ge"]):
+                    self.cache_spk_audio(path, sovits_model=sovits_model)
+                part = self.spk_audio_cache[path]["ge"][sovits_model] * (weight / weight_sum)
+                ge = part if ge is None else ge + part
+        else:
+            if (spk_audio_path not in self.spk_audio_cache
+                    or sovits_model not in self.spk_audio_cache[spk_audio_path]["ge"]):
+                self.cache_spk_audio(spk_audio_path, sovits_model=sovits_model)
+            ge = self.spk_audio_cache[spk_audio_path]["ge"][sovits_model]
+        return self.sovits_models[sovits_model], ge
+
+    # -- SoVITS decode entry points ------------------------------------
+
+    def _sovits_decode(self, sovits: Sovits, codes, text, ge, noise_scale=0.5,
+                       speed=1.0, slice_indices=None, use_buckets=True):
+        """Full (non-streaming) decode.  Mirrors ``SynthesizerTrn.decode``
+        with the bucketed flow+vocoder region (``models.py:406-425``)."""
+        cfg = sovits.cfg
+        p = sovits.params
+        dtype = self.tts_config.dtype
+        codes = jnp.asarray(np.asarray(codes, np.int32))
+        text = jnp.asarray(np.asarray(text, np.int32))
+        ge = jnp.asarray(ge, dtype)
+        t50 = codes.shape[-1] * 2
+        t_lat = int(t50 / speed) + 1 if speed != 1 else t50
+        noise = (jax.random.normal(self._next_rng(), (1, cfg.inter_channels, t_lat),
+                                   jnp.float32) * noise_scale).astype(dtype)
+        si = None if slice_indices is None else jnp.asarray(np.asarray(slice_indices, np.int32))
+        z_p, y_mask, attn, _, ge_out = sovits_model.decode_core(
+            p, cfg, codes, text, ge, noise, speed=speed, slice_indices=si)
+        audio = self._flow_dec_bucketed(sovits, z_p, y_mask, ge_out, use_buckets)
+        return audio, attn[0]
+
+    def _sovits_decode_stream(self, sovits: Sovits, codes, text, ge, noise_scale,
+                              speed, y_overlap, valid_start_idx, overlap_len):
+        cfg = sovits.cfg
+        dtype = self.tts_config.dtype
+        codes = jnp.asarray(np.asarray(codes, np.int32))
+        text = jnp.asarray(np.asarray(text, np.int32))
+        ge = jnp.asarray(ge, dtype)
+        t_valid = codes.shape[-1] * 2 - valid_start_idx
+        t_lat = int(t_valid / speed) + 1 if speed != 1 else t_valid
+        noise = (jax.random.normal(self._next_rng(), (1, cfg.inter_channels, t_lat),
+                                   jnp.float32) * noise_scale).astype(dtype)
+        z_p, y_mask, attn, new_overlap, ge_out = sovits_model.decode_core(
+            sovits.params, cfg, codes, text, ge, noise, speed=speed,
+            y_overlap=y_overlap, valid_start_idx=valid_start_idx,
+            overlap_len=overlap_len)
+        audio = self._flow_dec_bucketed(sovits, z_p, y_mask, ge_out, True)
+        return audio, attn[0], new_overlap
+
+    def _flow_dec_bucketed(self, sovits: Sovits, z_p, y_mask, ge, use_buckets: bool):
+        """Pad z_p to a fixed frame bucket and run the jitted flow+vocoder
+        (the reference's CUDA-graph region, ``models.py:406-425``)."""
+        cfg = sovits.cfg
+        t = z_p.shape[-1]
+        buckets = self.tts_config.sovits_cache or []
+        target = None
+        if use_buckets:
+            for b in buckets:
+                if b >= t:
+                    target = b
+                    break
+        if target is None:
+            target = _round_up(t, 64)  # shape-bucketed fallback for long/packed decode
+        pad = target - t
+        if pad:
+            z_p = jnp.pad(z_p, [(0, 0), (0, 0), (0, pad)])
+            y_mask = jnp.pad(y_mask, [(0, 0), (0, 0), (0, pad)])
+            if ge.shape[-1] != 1:  # packed mode: frame-wise conditioning
+                ge = jnp.pad(ge, [(0, 0), (0, 0), (0, pad)])
+        key = (id(sovits), "flow_dec")
+        fn = self._decode_jit_cache.get(key)
+        if fn is None:
+            fn = jax.jit(lambda p, z, m, g: sovits_model.flow_dec(p, cfg, z, m, g))
+            self._decode_jit_cache[key] = fn
+        audio = fn(sovits.params, z_p, y_mask, ge)
+        return audio[:, :, : t * cfg.samples_per_frame]
+
+    # -- audio preprocessing -------------------------------------------
+
+    def _load_audio(self, path):
+        from .utils.audio_io import load_audio
+
+        return load_audio(path)
+
+    def _get_spec(self, hps, filename):
+        """Linear spectrogram + 16 kHz mono audio (reference ``TTS.py:1578-1610``)."""
+        sr1 = int(hps.data.sampling_rate)
+        audio, sr0 = self._load_audio(filename)
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim == 2 and audio.shape[0] > 1:
+            audio = audio.mean(axis=0, keepdims=True)
+        elif audio.ndim == 1:
+            audio = audio[None]
+        if sr0 != sr1:
+            audio = stft.resample(audio, sr0, sr1)
+        maxx = np.abs(audio).max()
+        if maxx > 1:
+            audio = audio / min(2.0, maxx)
+        spec = stft.spectrogram(jnp.asarray(audio), hps.data.filter_length,
+                                hps.data.hop_length, hps.data.win_length)
+        spec = spec.astype(self.tts_config.dtype)
+        audio16k = stft.resample(audio, sr1, 16000)
+        return spec, audio16k
+
+    def _get_prompt(self, cnhubert_model, sovits: Sovits, audio_path):
+        """Prompt semantic tokens (reference ``TTS.py:1556-1570``)."""
+        wav, sr = self._load_audio(audio_path)
+        wav16k = stft.resample(np.asarray(wav, np.float32), sr, 16000).mean(axis=0)
+        wav16k = np.concatenate([wav16k, np.zeros(int(16000 * 0.3), np.float32)])
+        ssl = cnhubert_model(wav16k[None])  # [1, frames, 768]
+        ssl = jnp.transpose(ssl, (0, 2, 1))
+        codes = sovits_model.extract_latent(sovits.params, ssl)
+        return np.asarray(codes[0, 0])
+
+    # -- misc helpers ---------------------------------------------------
+
+    def _contains_chinese(self, text: str) -> bool:
+        return any(seg["lang"] == "zh" for seg in LangSegment.getTexts(text))
+
+    def _ensure_bert_loaded(self):
+        if self._bert_loaded or not self.auto_bert:
+            return
+        self._load_bert()
+
+    def _load_bert(self):
+        try:
+            from .models.roberta import CNRoberta
+
+            self.tts_config.cnroberta = CNRoberta(str(self.cnroberta_path), self.tts_config)
+            self._bert_loaded = True
+            logging.info("BERT model loaded for Chinese text")
+        except FileNotFoundError:
+            logging.warning("BERT model files not found; Chinese synthesis will "
+                            "use zero BERT features")
+            self._bert_loaded = True  # don't retry every call
+
+    def _check_pause(self, text: str) -> bool:
+        return text.endswith(self.punctuation) or text[-3:] in ("...", "。。。")
+
+    def _mute_scale(self, text_cut: str, scale_map: dict) -> float:
+        if text_cut and text_cut[-1] in scale_map:
+            return scale_map[text_cut[-1]]
+        if "…" in scale_map and text_cut[-3:] in ("...", "。。。"):
+            return scale_map["…"]
+        return 1.0
+
+    def _get_subtitles(self, word2ph, assign, speed, last_end_s=0.0):
+        """Word timing from the frame→phone assignment (reference
+        ``_get_subtitles``, ``TTS.py:1664-1707``)."""
+        frame_time = (1 / self.sovits_hz) / speed
+        assign = np.asarray(assign)
+        ph_end_s = []
+        cur_ph = int(assign[0])
+        for f in range(1, assign.shape[-1]):
+            ph = int(assign[f])
+            if ph != cur_ph:
+                ph_end_s.append(f * frame_time)
+                cur_ph = ph
+        ph_end_s.append(assign.shape[-1] * frame_time)
+
+        idx = -1
+        if assign[0] == -1:
+            end_s = last_end_s + ph_end_s.pop(0)
+        else:
+            end_s = last_end_s
+        subtitles = []
+        word = ""
+        for i in range(len(word2ph["word"])):
+            word, ph = word2ph["word"][i], word2ph["ph"][i]
+            idx += ph
+            if idx >= len(ph_end_s):
+                break
+            start_s = end_s
+            end_s = ph_end_s[idx] + last_end_s
+            subtitles.append({"text": word, "start_s": start_s, "end_s": end_s})
+        if subtitles and end_s - last_end_s != ph_end_s[-1]:
+            subtitles.append({"text": word, "start_s": end_s,
+                              "end_s": ph_end_s[-1] + last_end_s})
+        return subtitles
+
+    def _find_subtitles(self, subtitles, word2ph, last_i):
+        target = " ".join(word2ph["word"])
+        w = len(word2ph["word"])
+        for i in range(last_i, len(subtitles) - w + 1):
+            if " ".join(s["text"] for s in subtitles[i:i + w]) == target:
+                break
+        else:
+            i = len(subtitles) - w
+        return i + w
+
+    def _cat_subtitles(self, *subtitles_list):
+        last_end_s = 0.0
+        result = []
+        for subtitles in subtitles_list:
+            if not subtitles:
+                continue
+            m = subtitles[0]["start_s"] - last_end_s
+            for s in subtitles:
+                s["start_s"] -= m
+                s["end_s"] -= m
+                result.append(s)
+            last_end_s = subtitles[-1]["end_s"]
+        return result
+
+    def _increment_subtitle_indices(self, subtitles, increment):
+        for s in subtitles:
+            s["orig_idx_start"] += increment
+            s["orig_idx_end"] += increment
+
+    def _increment_subtitle_times(self, subtitles, increment):
+        for s in subtitles:
+            s["start_s"] += increment
+            if s["end_s"]:
+                s["end_s"] += increment
+
+
+def sovits_model_ge(model: Sovits, refers, sv_emb=None):
+    """Compute the speaker conditioning vector for a loaded SoVITS model."""
+    sv = None if sv_emb is None else jnp.asarray(sv_emb)
+    return sovits_model.get_ge(model.params, model.cfg, jnp.asarray(refers), sv)

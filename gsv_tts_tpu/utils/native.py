@@ -1,0 +1,73 @@
+"""ctypes bridge to the optional C++ host-DSP library (``native/``).
+
+The library accelerates the irregular host-side algorithms (SOLA
+cross-correlation search, monotonic Viterbi, polyphase resampling).  When the
+shared object has not been built, every entry point degrades to the numpy
+implementation at the call site (``native_lib()`` returns None).
+Build: ``cmake -S native -B native/build && cmake --build native/build``
+or ``make -C native``.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from functools import lru_cache
+from typing import Optional
+
+import numpy as np
+
+_LIB_NAMES = ("libgsv_native.so", "gsv_native.so")
+
+
+class _NativeLib:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        lib.gsv_sola_offset.restype = ctypes.c_int64
+        lib.gsv_sola_offset.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        lib.gsv_viterbi_monotonic.restype = None
+        lib.gsv_viterbi_monotonic.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+
+    def sola_offset(self, query: np.ndarray, key: np.ndarray, overlap_len: int) -> int:
+        query = np.ascontiguousarray(query, np.float32)
+        key = np.ascontiguousarray(key, np.float32)
+        if len(key) < overlap_len:
+            return 0
+        return int(self._lib.gsv_sola_offset(
+            query.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), overlap_len,
+            key.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(key)))
+
+    def viterbi_monotonic(self, probs: np.ndarray) -> np.ndarray:
+        probs = np.ascontiguousarray(probs, np.float32)
+        t, n = probs.shape
+        out = np.zeros(t, np.int64)
+        self._lib.gsv_viterbi_monotonic(
+            probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return out
+
+
+@lru_cache(maxsize=1)
+def native_lib() -> Optional[_NativeLib]:
+    if os.environ.get("GSV_DISABLE_NATIVE"):
+        return None
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    candidates = []
+    for name in _LIB_NAMES:
+        candidates += [
+            os.path.join(root, "native", "build", name),
+            os.path.join(root, "native", name),
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), name),
+        ]
+    for path in candidates:
+        if os.path.exists(path):
+            try:
+                return _NativeLib(ctypes.CDLL(path))
+            except OSError:
+                continue
+    return None

@@ -1,0 +1,83 @@
+// Host-side DSP kernels for gsv-tts-lite-tpu.
+//
+// These implement the irregular, latency-sensitive host algorithms that sit
+// between device dispatches in the streaming pipeline: the SOLA
+// cross-correlation offset search (reference gsv_tts/TTS.py:1612-1627) and
+// the monotonic Viterbi alignment used for subtitle timing
+// (gsv_tts/TTS.py:1744-1797).  Exposed with a plain C ABI for ctypes.
+
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+extern "C" {
+
+// Normalized cross-correlation offset search.
+// query: previous chunk tail [overlap_len]; key: next chunk head [key_len].
+// Returns argmax_o ( sum_i query[i]*key[o+i] / sqrt(sum_i key[o+i]^2 + eps) ).
+int64_t gsv_sola_offset(const float* query, int64_t overlap_len,
+                        const float* key, int64_t key_len) {
+  const int64_t n = key_len - overlap_len + 1;
+  if (n <= 0) return 0;
+
+  // rolling energy of key windows
+  double energy = 0.0;
+  for (int64_t i = 0; i < overlap_len; ++i) energy += (double)key[i] * key[i];
+
+  int64_t best = 0;
+  double best_score = -1e30;
+  double e = energy;
+  for (int64_t o = 0; o < n; ++o) {
+    double corr = 0.0;
+    const float* k = key + o;
+    for (int64_t i = 0; i < overlap_len; ++i) corr += (double)query[i] * k[i];
+    const double score = corr / std::sqrt(e + 1e-8);
+    if (score > best_score) {
+      best_score = score;
+      best = o;
+    }
+    if (o + 1 < n) {
+      e += (double)key[o + overlap_len] * key[o + overlap_len] -
+           (double)key[o] * key[o];
+    }
+  }
+  return best;
+}
+
+// Monotonic Viterbi: transitions stay or advance by one phone per frame.
+// probs: [t, n] row-major emission scores; out: [t] assignment path.
+// Tie-breaking matches torch.max(stacked, dim=0): prefer "stay" on ties.
+void gsv_viterbi_monotonic(const float* probs, int64_t t, int64_t n,
+                           int64_t* out) {
+  if (t <= 0 || n <= 0) return;
+  std::vector<float> dp_prev(probs, probs + n), dp_cur(n);
+  std::vector<int8_t> shift(t * n, 0);
+
+  for (int64_t i = 1; i < t; ++i) {
+    const float* row = probs + i * n;
+    int8_t* sh = shift.data() + i * n;
+    dp_cur[0] = row[0] + dp_prev[0];
+    for (int64_t j = 1; j < n; ++j) {
+      const float stay = dp_prev[j];
+      const float adv = dp_prev[j - 1];
+      if (adv > stay) {
+        dp_cur[j] = row[j] + adv;
+        sh[j] = 1;
+      } else {
+        dp_cur[j] = row[j] + stay;
+      }
+    }
+    dp_prev.swap(dp_cur);
+  }
+
+  int64_t best = 0;
+  for (int64_t j = 1; j < n; ++j)
+    if (dp_prev[j] > dp_prev[best]) best = j;
+  out[t - 1] = best;
+  for (int64_t i = t - 2; i >= 0; --i) {
+    const int64_t nxt = out[i + 1];
+    out[i] = nxt - (int64_t)shift[(i + 1) * n + nxt];
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,205 @@
+"""End-to-end engine tests: tiny random checkpoints through the full
+``TTS`` facade (infer / infer_stream / infer_batched / infer_vc /
+verify_speaker / caches / subtitles)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gsv_tts_tpu.utils.audio_io import save_wav
+from conftest import import_reference_module
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+TINY_GPT = {
+    "model": {
+        "hidden_dim": 64, "embedding_dim": 64, "head": 4, "n_layer": 2,
+        "vocab_size": 101, "phoneme_vocab_size": 732, "dropout": 0.0, "EOS": 100,
+    }
+}
+
+HPS = {
+    "data": {"filter_length": 1408, "hop_length": 320, "win_length": 1408,
+             "sampling_rate": 32000, "n_speakers": 0},
+    "train": {"segment_size": 1280},
+    "model": {
+        "inter_channels": 192, "hidden_channels": 192, "filter_channels": 256,
+        "n_heads": 2, "n_layers": 2, "kernel_size": 3, "p_dropout": 0.0,
+        "resblock": "1", "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3, 5]],
+        "upsample_rates": [8, 5, 4, 4], "upsample_initial_channel": 64,
+        "upsample_kernel_sizes": [16, 11, 8, 8], "gin_channels": 512,
+        "version": "v2",
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def assets(tmp_path_factory):
+    """Create tiny random checkpoints + reference audio files."""
+    root = tmp_path_factory.mktemp("models")
+
+    # --- GPT checkpoint (.ckpt, training-format keys) ---
+    import_reference_module("GPT_SoVITS/GPT/embedding.py", "GPT_SoVITS.GPT.embedding")
+    import_reference_module("GPT_SoVITS/GPT/utils.py", "GPT_SoVITS.GPT.utils")
+    gmod = import_reference_module("GPT_SoVITS/GPT/t2s_model.py", "GPT_SoVITS.GPT.t2s_model")
+    torch.manual_seed(0)
+    gref = gmod.Text2SemanticDecoder(TINY_GPT)
+    from gsv_tts_tpu import loader as jloader
+
+    inv = {new: old for old, new in jloader.GPT_KEY_MAP}
+    weight = {}
+    for k, v in gref.state_dict().items():
+        if k.startswith("t2s_transformer.blocks."):
+            parts = k.split(".")
+            weight[f"model.h.layers.{parts[2]}." + inv[".".join(parts[3:])]] = v
+        else:
+            weight["model." + k] = v
+    gpt_path = root / "tiny_s1.ckpt"
+    torch.save({"config": TINY_GPT, "weight": weight}, str(gpt_path))
+
+    # --- SoVITS checkpoint (.pth) ---
+    for rel, name in [
+        ("GPT_SoVITS/G2P/Symbols.py", "GPT_SoVITS.G2P.Symbols"),
+        ("GPT_SoVITS/SoVITS/module/commons.py", "GPT_SoVITS.SoVITS.module.commons"),
+        ("GPT_SoVITS/SoVITS/module/modules.py", "GPT_SoVITS.SoVITS.module.modules"),
+        ("GPT_SoVITS/SoVITS/module/attentions.py", "GPT_SoVITS.SoVITS.module.attentions"),
+        ("GPT_SoVITS/SoVITS/module/mrte_model.py", "GPT_SoVITS.SoVITS.module.mrte_model"),
+        ("GPT_SoVITS/SoVITS/module/core_vq.py", "GPT_SoVITS.SoVITS.module.core_vq"),
+        ("GPT_SoVITS/SoVITS/module/quantize.py", "GPT_SoVITS.SoVITS.module.quantize"),
+    ]:
+        import_reference_module(rel, name)
+    smod = import_reference_module("GPT_SoVITS/SoVITS/models.py", "GPT_SoVITS.SoVITS.models")
+    torch.manual_seed(1)
+    kw = dict(HPS["model"])
+    kw.pop("version")
+    sref = smod.SynthesizerTrn(
+        HPS["data"]["filter_length"] // 2 + 1,
+        HPS["train"]["segment_size"] // HPS["data"]["hop_length"],
+        n_speakers=0, **kw)
+    with torch.no_grad():
+        for prm in sref.parameters():
+            prm.normal_(0, 0.05)
+        for q in sref.quantizer.vq.layers:
+            q._codebook.embed.normal_(0, 1.0)
+    sovits_path = root / "tiny_s2.pth"
+    torch.save({"config": HPS, "weight": sref.state_dict()}, str(sovits_path))
+
+    # --- tiny HuBERT (stride product 320 → 50 Hz at 16 kHz) ---
+    from transformers import HubertConfig, HubertModel
+
+    hcfg = HubertConfig(
+        hidden_size=768, num_hidden_layers=1, num_attention_heads=4,
+        intermediate_size=128, conv_dim=[32, 32, 32, 32],
+        conv_kernel=[10, 8, 4, 4], conv_stride=[5, 4, 4, 4],
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        feat_extract_norm="group", do_stable_layer_norm=False, conv_bias=False)
+    torch.manual_seed(2)
+    href = HubertModel(hcfg)
+    hdir = root / "chinese-hubert-base"
+    hdir.mkdir()
+    (hdir / "config.json").write_text(hcfg.to_json_string())
+    from safetensors.numpy import save_file
+
+    save_file({k: v.numpy() for k, v in href.state_dict().items()
+               if "num_batches_tracked" not in k}, str(hdir / "model.safetensors"))
+
+    # --- audio files ---
+    rng = np.random.RandomState(3)
+    sr = 32000
+
+    def noise_wav(path, seconds, freq):
+        t = np.arange(int(sr * seconds)) / sr
+        wav = (0.3 * np.sin(2 * np.pi * freq * t)
+               + 0.05 * rng.randn(len(t))).astype(np.float32)
+        save_wav(str(path), wav, sr)
+        return path
+
+    spk_wav = noise_wav(root / "spk.wav", 0.7, 220)
+    prompt_wav = noise_wav(root / "prompt.wav", 0.6, 330)
+    return dict(root=root, gpt=str(gpt_path), sovits=str(sovits_path),
+                spk=str(spk_wav), prompt=str(prompt_wav))
+
+
+@pytest.fixture(scope="module")
+def engine(assets):
+    from gsv_tts_tpu import TTS
+
+    tts = TTS(gpt_cache=[(1, 96), (1, 128), (2, 128)], sovits_cache=[50, 55],
+              models_dir=str(assets["root"]), dtype="float32")
+    tts.load_gpt_model(assets["gpt"])
+    tts.load_sovits_model(assets["sovits"])
+    return tts
+
+
+def test_infer_end_to_end(assets, engine):
+    clip = engine.infer(assets["spk"], assets["prompt"], "hello there.",
+                        "this is a test.", return_subtitles=True)
+    assert clip.samplerate == 32000
+    assert clip.audio_data.dtype == np.float32
+    assert len(clip.audio_data) > 0.2 * 32000  # at least the trailing pad
+    assert np.all(np.abs(clip.audio_data) <= 1.0 + 1e-6)
+    assert clip.audio_len_s == pytest.approx(len(clip.audio_data) / 32000)
+    if clip.subtitles:
+        starts = [s["start_s"] for s in clip.subtitles]
+        assert starts == sorted(starts)
+        assert all("orig_idx_start" in s for s in clip.subtitles)
+
+
+def test_infer_stream_chunks(assets, engine):
+    chunks = list(engine.infer_stream(
+        assets["spk"], assets["prompt"], "hello there.",
+        "this is a longer test sentence, with two clauses to stream.",
+        stream_chunk=10, return_subtitles=True, debug=False))
+    assert len(chunks) >= 1
+    total = sum(len(c.audio_data) for c in chunks)
+    assert total > 0
+    for c in chunks:
+        assert c.audio_data.dtype == np.float32
+
+
+def test_infer_batched(assets, engine):
+    clips = engine.infer_batched(
+        assets["spk"], assets["prompt"], "hello there.",
+        ["first sentence to speak.", "the second one is a bit longer than that."],
+    )
+    assert len(clips) == 2
+    for clip in clips:
+        assert len(clip.audio_data) > 0
+        assert clip.audio_data.dtype == np.float32
+
+
+def test_infer_vc(assets, engine):
+    clip = engine.infer_vc(assets["spk"], assets["prompt"], "hello there.")
+    assert len(clip.audio_data) > 0
+
+
+def test_caches_and_model_lists(assets, engine):
+    assert assets["gpt"] in engine.get_gpt_list()
+    assert assets["sovits"] in engine.get_sovits_list()
+    assert assets["prompt"] in engine.get_prompt_audio_list()
+    assert assets["spk"] in engine.get_spk_audio_list()
+    engine.del_prompt_audio(assets["prompt"])
+    assert assets["prompt"] not in engine.get_prompt_audio_list()
+    # re-cache for subsequent runs
+    engine.cache_prompt_audio(assets["prompt"], "hello there.")
+
+
+def test_clip_save_and_play(assets, engine, tmp_path):
+    clip = engine.infer(assets["spk"], assets["prompt"], "hello there.", "save me.")
+    out = tmp_path / "out.wav"
+    clip.save(str(out), is_save_subtitles=True)
+    assert out.exists() and (tmp_path / "out.json").exists()
+    clip.play()  # no audio device in CI: must not raise
+    engine.audio_queue.wait()
+
+
+def test_to_safetensors_roundtrip(assets, engine, tmp_path):
+    out = tmp_path / "st_gpt"
+    engine.to_safetensors(assets["gpt"], str(out))
+    assert (out / "model.safetensors").exists()
+    assert (out / "config.json").exists()
