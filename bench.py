@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: stage-1 GPT (t2s) autoregressive decode throughput on the flagship
+(s1v3-class) model config — the same metric the reference publishes per GPU
+(``README_EN.md:75-78``: 1122.72 tok/s RTX PRO 6000 / 886.47 H200 / 660.73
+A100 / 281.06 T4).  ``vs_baseline`` is measured against the BASELINE.json
+north-star target of 800 semantic tok/s/chip (RTF ≈ 0.031 for the GPT stage;
+25 tok/s = realtime audio).
+
+Methodology mirrors ``API/test_async_performance.py``: warmup pass first,
+then wall-clock over a fixed decode length, B=1, 512-token KV bucket,
+25-token chunks per dispatch (the streaming chunk size, ``TTS.py:301``).
+"""
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_t2s_decode(n_tokens: int = 500, chunk: int = 25, bucket: int = 512,
+                     prompt_phones: int = 60, prompt_audio: int = 75,
+                     warmup_tokens: int = 50):
+    import jax
+    import jax.numpy as jnp
+
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import (DecodeState, SampleArgs,
+                                                 decode_chunk, prefill_batch)
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+    dtype_name = jnp.dtype(dtype).name
+
+    cfg = T2SConfig()  # flagship dims: 512 hidden / 24 layers / 16 heads
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    # keep logits sane for sampling
+    params["predict_w"] = params["predict_w"] * 0.05
+
+    sa = SampleArgs()
+    rng = np.random.RandomState(0)
+    B = 1
+    x = jnp.asarray(rng.randint(1, cfg.phoneme_vocab_size, (B, prompt_phones)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, cfg.vocab_size - 1, (B, prompt_audio)), jnp.int32)
+    bert = jnp.zeros((B, prompt_phones, cfg.bert_dim), jnp.float32)
+    x_lens = jnp.full((B,), prompt_phones, jnp.int32)
+    y_lens = jnp.full((B,), prompt_audio, jnp.int32)
+
+    shape = (cfg.num_layers, B, bucket, cfg.num_heads, cfg.head_dim)
+
+    def fresh_state():
+        k_cache = jnp.zeros(shape, dtype)
+        v_cache = jnp.zeros(shape, dtype)
+        state, _ = prefill_batch(params, cfg, x, y, bert, x_lens, y_lens,
+                                 k_cache, v_cache, jax.random.PRNGKey(1), sa,
+                                 True, dtype_name)
+        return state
+
+    # NOTE: sync via tiny host fetches (np.asarray) — on tunneled platforms
+    # block_until_ready can return before remote execution completes.
+
+    # warmup: compile prefill + decode_chunk (and warm the device session)
+    t_prefill0 = time.perf_counter()
+    state = fresh_state()
+    np.asarray(state.kv_len)
+    compile_prefill_s = time.perf_counter() - t_prefill0
+
+    for _ in range(max(1, warmup_tokens // chunk)):
+        state, toks = decode_chunk(params, cfg, state, chunk, sa, 0, dtype_name)
+    np.asarray(toks)
+
+    # measured prefill (TTFT component)
+    t0 = time.perf_counter()
+    state = fresh_state()
+    np.asarray(state.kv_len)
+    prefill_s = time.perf_counter() - t0
+
+    # measured decode
+    n_chunks = n_tokens // chunk
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, toks = decode_chunk(params, cfg, state, chunk, sa, 0, dtype_name)
+    np.asarray(toks)
+    decode_s = time.perf_counter() - t0
+
+    decoded = n_chunks * chunk
+    tok_s = decoded / decode_s
+    ttft_ms = (prefill_s + (chunk / tok_s)) * 1000.0  # prefill + first 25-token chunk
+    return {
+        "platform": platform,
+        "dtype": dtype_name,
+        "tok_s": tok_s,
+        "decode_ms_per_token": 1000.0 * decode_s / decoded,
+        "prefill_ms": prefill_s * 1000.0,
+        "ttft_gpt_ms": ttft_ms,
+        "gpt_rtf": 25.0 / tok_s,  # 25 semantic tok = 1 s of audio
+        "compile_prefill_s": compile_prefill_s,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tokens", type=int, default=500)
+    ap.add_argument("--chunk", type=int, default=25)
+    args = ap.parse_args()
+
+    stats = bench_t2s_decode(n_tokens=args.tokens, chunk=args.chunk)
+    print(
+        f"# platform={stats['platform']} dtype={stats['dtype']} "
+        f"tok/s={stats['tok_s']:.1f} ms/tok={stats['decode_ms_per_token']:.3f} "
+        f"prefill={stats['prefill_ms']:.1f}ms ttft(gpt)={stats['ttft_gpt_ms']:.1f}ms "
+        f"gpt_rtf={stats['gpt_rtf']:.4f} compile={stats['compile_prefill_s']:.1f}s",
+        file=sys.stderr)
+    print(json.dumps({
+        "metric": "gpt_decode_tok_s",
+        "value": round(stats["tok_s"], 2),
+        "unit": "tok/s",
+        "vs_baseline": round(stats["tok_s"] / 800.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""t2s training step (dp × tp sharded).
+
+The reference ships no training code (SURVEY: inference-only); this module
+adds a native TPU training capability for the stage-1 text-to-semantic
+decoder: teacher-forced next-token cross-entropy over the audio block of the
+packed [text | audio] prompt (the same hybrid-mask forward used at prefill,
+``models/t2s.py:embed_prompt_batch``), AdamW via optax, sharded over a
+``("dp", "tp")`` mesh with GSPMD-inserted collectives.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import t2s as t2s_model
+from ..models.t2s import T2SConfig
+
+F32 = jnp.float32
+
+
+def t2s_loss(params, cfg: T2SConfig, x_ids, y_ids, bert, x_lens, y_lens,
+             dtype=jnp.bfloat16):
+    """Next-semantic-token CE over the audio block (+EOS at the end).
+
+    x_ids [B, Lx] phonemes, y_ids [B, Ly] target semantic tokens.
+    The packed row is [x | y]; position ``x_len + t`` predicts ``y[t + 1]``
+    (and the last valid position predicts EOS).
+    """
+    B, Ly = y_ids.shape
+    xy_pos, mask, _ = t2s_model.embed_prompt_batch(
+        params, cfg, x_ids, y_ids, bert, x_lens, y_lens, dtype)
+    h, _, _ = t2s_model.transformer_prefill(params, cfg, xy_pos, mask)
+    logits = (h @ params["predict_w"]).astype(F32)  # [B, T, V]
+
+    T = xy_pos.shape[1]
+    pos = jnp.arange(T)[None, :]
+    # audio positions: x_len <= pos < x_len + y_len
+    in_audio = (pos >= x_lens[:, None]) & (pos < (x_lens + y_lens)[:, None])
+    # label at audio step t: y[t+1], or EOS at the last audio position
+    t_in_audio = jnp.clip(pos - x_lens[:, None], 0, Ly - 1)
+    next_t = jnp.clip(t_in_audio + 1, 0, Ly - 1)
+    y_next = jnp.take_along_axis(y_ids, next_t, axis=1)
+    is_last = pos == (x_lens + y_lens)[:, None] - 1
+    labels = jnp.where(is_last, cfg.eos, y_next)
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, :, None], axis=2)[:, :, 0]
+    total = jnp.sum(jnp.where(in_audio, nll, 0.0))
+    count = jnp.maximum(jnp.sum(in_audio), 1)
+    return total / count
+
+
+def make_train_step(cfg: T2SConfig, optimizer: optax.GradientTransformation,
+                    dtype=jnp.bfloat16):
+    """Returns a jittable (params, opt_state, batch) -> (params, opt_state,
+    loss) step.  Shard params/batch before jitting (``parallel/mesh.py``);
+    GSPMD handles the tp all-reduces and dp gradient psum."""
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: t2s_loss(p, cfg, batch["x_ids"], batch["y_ids"],
+                               batch["bert"], batch["x_lens"], batch["y_lens"],
+                               dtype))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

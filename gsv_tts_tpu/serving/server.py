@@ -1,0 +1,412 @@
+"""HTTP serving layer (aiohttp): SSE streaming, batched synthesis, and the
+GPT-SoVITS api_v2 compatibility surface.
+
+Endpoint-compatible with the reference FastAPI server
+(``API/personal_api.py``):
+
+  GET  /                      – service info
+  POST /tts/stream            – SSE: base64 audio chunks + subtitles
+                                 (``personal_api.py:560-663``)
+  POST /tts/batched           – batched synthesis, JSON with file refs
+                                 (``personal_api.py:666-745``)
+  GET  /audio/{filename}      – serve generated files (``personal_api.py:748``)
+  GET/POST /tts               – GPT-SoVITS api_v2 compatibility
+                                 (``personal_api.py:474-535``)
+  GET  /set_gpt_weights       – hot model switch (``personal_api.py:538-557``)
+  GET  /set_sovits_weights
+  GET  /health                – liveness + engine metrics
+
+Built on aiohttp (no FastAPI dependency); the engine's async wrappers
+serialize device work behind the engine lock.
+"""
+from __future__ import annotations
+
+import asyncio
+import base64
+import io
+import json
+import logging
+import os
+import tempfile
+import time
+import uuid
+import wave
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+try:
+    from aiohttp import web
+    import aiohttp
+except ImportError as e:  # pragma: no cover
+    raise ImportError("The serving layer requires `aiohttp`") from e
+
+from ..utils.timing import Timings
+
+# api_v2 cut-method → cut_minlen mapping (``personal_api.py:203-210``)
+CUT_METHOD2MINLEN = {"cut0": 999, "cut1": 50, "cut2": 50, "cut3": 20,
+                     "cut4": 20, "cut5": 10}
+
+AUDIO_DIR = Path(tempfile.gettempdir()) / "gsv_tts_tpu_audio"
+
+
+def is_url(path: str) -> bool:
+    return isinstance(path, str) and path.startswith(("http://", "https://"))
+
+
+def pack_raw(data: np.ndarray) -> bytes:
+    return (np.clip(np.asarray(data, np.float32), -1, 1) * 32767).astype("<i2").tobytes()
+
+
+def wave_header_chunk(frame_input: bytes = b"", channels: int = 1,
+                      sample_width: int = 2, sample_rate: int = 32000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sample_width)
+        w.setframerate(sample_rate)
+        w.writeframes(frame_input)
+    buf.seek(0)
+    return buf.read()
+
+
+def pack_wav(data: np.ndarray, rate: int) -> bytes:
+    return wave_header_chunk(pack_raw(data), sample_rate=rate)
+
+
+def pack_audio(data: np.ndarray, rate: int, media_type: str) -> bytes:
+    if media_type == "raw":
+        return pack_raw(data)
+    if media_type == "wav":
+        return pack_wav(data, rate)
+    # ogg / aac need an encoder backend
+    try:
+        import soundfile as sf
+
+        buf = io.BytesIO()
+        fmt = {"ogg": "OGG", "aac": "AAC"}[media_type]
+        sf.write(buf, np.asarray(data, np.float32), rate, format=fmt)
+        return buf.getvalue()
+    except Exception as e:
+        raise web.HTTPBadRequest(text=f"media_type {media_type} needs `soundfile`: {e}")
+
+
+class TTSServer:
+    def __init__(self, tts, asr_fn=None):
+        """``tts``: a gsv_tts_tpu.TTS engine.  ``asr_fn``: optional callable
+        (audio_path → transcript) used when prompt_text is omitted (the
+        reference calls Qwen3-ASR, ``personal_api.py:92-108``)."""
+        self.tts = tts
+        self.asr_fn = asr_fn
+        self.timings = Timings()
+        AUDIO_DIR.mkdir(exist_ok=True)
+
+    # -- helpers -----------------------------------------------------------
+
+    async def _download_audio(self, url: str) -> str:
+        suffix = os.path.splitext(url.split("?")[0])[1] or ".wav"
+        out = AUDIO_DIR / f"dl_{uuid.uuid4().hex}{suffix}"
+        async with aiohttp.ClientSession() as session:
+            async with session.get(url) as resp:
+                resp.raise_for_status()
+                out.write_bytes(await resp.read())
+        return str(out)
+
+    async def _resolve_audio(self, path: str) -> str:
+        if is_url(path):
+            return await self._download_audio(path)
+        return path
+
+    async def _resolve_prompt(self, prompt_audio: str, prompt_text: Optional[str]) -> str:
+        if prompt_text:
+            return prompt_text
+        if self.asr_fn is not None:
+            text = self.asr_fn(prompt_audio)
+            if text:
+                return text
+        raise web.HTTPBadRequest(
+            text="prompt_text is required (no ASR backend configured)")
+
+    # -- endpoints ---------------------------------------------------------
+
+    async def root(self, request: web.Request) -> web.Response:
+        return web.json_response({
+            "service": "gsv-tts-lite-tpu",
+            "endpoints": ["/tts/stream", "/tts/batched", "/tts",
+                          "/set_gpt_weights", "/set_sovits_weights",
+                          "/audio/{filename}", "/health"],
+        })
+
+    async def health(self, request: web.Request) -> web.Response:
+        return web.json_response({
+            "status": "ok",
+            "gpt_models": [str(p) for p in self.tts.get_gpt_list()],
+            "sovits_models": [str(p) for p in self.tts.get_sovits_list()],
+            "timings": self.timings.summary(),
+        })
+
+    async def tts_stream(self, request: web.Request) -> web.StreamResponse:
+        """SSE streaming: audio / subtitle / done / error events."""
+        req = await request.json()
+        speaker_audio = await self._resolve_audio(req["speaker_audio"])
+        prompt_audio = await self._resolve_audio(req["prompt_audio"])
+        prompt_text = await self._resolve_prompt(prompt_audio, req.get("prompt_text"))
+
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+            "X-Accel-Buffering": "no",
+        })
+        await resp.prepare(request)
+
+        t0 = time.perf_counter()
+        first = True
+        total_len = 0
+        try:
+            agen = self.tts.infer_stream_async(
+                spk_audio_path=speaker_audio,
+                prompt_audio_path=prompt_audio,
+                prompt_audio_text=prompt_text,
+                text=req["text"],
+                return_subtitles=bool(req.get("return_subtitles", False)),
+                is_cut_text=bool(req.get("is_cut_text", True)),
+                cut_minlen=int(req.get("cut_minlen", 10)),
+                cut_mute=float(req.get("cut_mute", 0.3)),
+                stream_mode=req.get("stream_mode", "token"),
+                stream_chunk=int(req.get("stream_chunk", 25)),
+                overlap_len=int(req.get("overlap_len", 5)),
+                boost_first_chunk=bool(req.get("boost_first_chunk", True)),
+                top_k=int(req.get("top_k", 15)),
+                top_p=float(req.get("top_p", 1.0)),
+                temperature=float(req.get("temperature", 1.0)),
+                repetition_penalty=float(req.get("repetition_penalty", 1.35)),
+                noise_scale=float(req.get("noise_scale", 0.5)),
+                speed=float(req.get("speed", 1.0)),
+                debug=False,
+            )
+            async for clip in agen:
+                if first:
+                    self.timings.record("ttfa_s", time.perf_counter() - t0)
+                    first = False
+                total_len += len(clip.audio_data)
+                chunk = {
+                    "audio": base64.b64encode(
+                        np.asarray(clip.audio_data, np.float32).tobytes()).decode(),
+                    "sample_rate": clip.samplerate,
+                    "duration": clip.audio_len_s,
+                    "subtitles": clip.subtitles,
+                    "text": clip.orig_text,
+                }
+                await resp.write(
+                    f"event: audio\ndata: {json.dumps(chunk, ensure_ascii=False)}\n\n".encode())
+            done = {"total_duration": total_len / self.tts.samplerate}
+            await resp.write(f"event: done\ndata: {json.dumps(done)}\n\n".encode())
+        except Exception as e:  # noqa: BLE001
+            logging.exception("stream inference error")
+            err = {"error": str(e)}
+            await resp.write(f"event: error\ndata: {json.dumps(err, ensure_ascii=False)}\n\n".encode())
+        await resp.write_eof()
+        return resp
+
+    async def tts_batched(self, request: web.Request) -> web.Response:
+        req = await request.json()
+        speaker_audio = await self._resolve_audio(req["speaker_audio"])
+        prompt_audio = await self._resolve_audio(req["prompt_audio"])
+        prompt_text = await self._resolve_prompt(prompt_audio, req.get("prompt_text"))
+
+        t0 = time.perf_counter()
+        clips = await self.tts.infer_batched_async(
+            spk_audio_paths=speaker_audio,
+            prompt_audio_paths=prompt_audio,
+            prompt_audio_texts=prompt_text,
+            texts=req["texts"],
+            return_subtitles=bool(req.get("return_subtitles", False)),
+            is_cut_text=bool(req.get("is_cut_text", True)),
+            cut_minlen=int(req.get("cut_minlen", 10)),
+            cut_mute=float(req.get("cut_mute", 0.3)),
+            top_k=int(req.get("top_k", 15)),
+            top_p=float(req.get("top_p", 1.0)),
+            temperature=float(req.get("temperature", 1.0)),
+            repetition_penalty=float(req.get("repetition_penalty", 1.35)),
+            noise_scale=float(req.get("noise_scale", 0.5)),
+            speed=float(req.get("speed", 1.0)),
+        )
+        self.timings.record("batched_s", time.perf_counter() - t0)
+
+        results = []
+        for i, clip in enumerate(clips):
+            fname = f"batch_{uuid.uuid4().hex}_{i}.wav"
+            from ..utils.audio_io import save_wav
+
+            save_wav(str(AUDIO_DIR / fname), np.asarray(clip.audio_data), clip.samplerate)
+            results.append({
+                "text": clip.orig_text,
+                "duration": clip.audio_len_s,
+                "audio_url": f"/audio/{fname}",
+                "subtitles": clip.subtitles,
+            })
+        return web.json_response({"results": results})
+
+    async def get_audio(self, request: web.Request) -> web.Response:
+        filename = request.match_info["filename"]
+        path = AUDIO_DIR / os.path.basename(filename)
+        if not path.exists():
+            raise web.HTTPNotFound(text=f"audio {filename} not found")
+        return web.FileResponse(path)
+
+    # -- api_v2 compatibility ---------------------------------------------
+
+    async def _handle_api_v2(self, req: Dict[str, Any]):
+        ref_audio_path = req.get("ref_audio_path")
+        if not ref_audio_path:
+            raise web.HTTPBadRequest(text="ref_audio_path is required")
+        ref_audio_path = await self._resolve_audio(ref_audio_path)
+        aux = req.get("aux_ref_audio_paths") or []
+        if aux:
+            speaker_audio: Any = {p: 1.0 for p in [ref_audio_path] + aux}
+        else:
+            speaker_audio = ref_audio_path
+        prompt_text = await self._resolve_prompt(ref_audio_path, req.get("prompt_text"))
+
+        text_input = req.get("text")
+        if text_input in (None, ""):
+            raise web.HTTPBadRequest(text="text is required")
+        media_type = req.get("media_type", "wav")
+        if media_type not in {"wav", "raw", "ogg", "aac"}:
+            raise web.HTTPBadRequest(text=f"media_type not supported: {media_type}")
+
+        streaming_mode = req.get("streaming_mode", False)
+        stream_enabled = streaming_mode not in (False, 0, "0", None, "false", "False")
+        batch_infer = bool(req.get("batch_infer", False))
+        if batch_infer and stream_enabled:
+            raise web.HTTPBadRequest(text="batch_infer is not supported with streaming_mode")
+
+        cut_method = req.get("text_split_method", "cut1")
+        kw = dict(
+            top_k=int(req.get("top_k", 15)),
+            top_p=float(req.get("top_p", 1.0)),
+            temperature=float(req.get("temperature", 1.0)),
+            repetition_penalty=float(req.get("repetition_penalty", 1.35)),
+            noise_scale=float(req.get("noise_scale", 0.5)),
+            speed=float(req.get("speed_factor", 1.0)),
+        )
+
+        if batch_infer:
+            clips = await self.tts.infer_batched_async(
+                spk_audio_paths=speaker_audio, prompt_audio_paths=ref_audio_path,
+                prompt_audio_texts=prompt_text, texts=text_input,
+                is_cut_text=cut_method not in {"", "cut0", "none"},
+                cut_minlen=CUT_METHOD2MINLEN.get(cut_method, 10),
+                cut_mute=float(req.get("fragment_interval", 0.3)), **kw)
+            merged = np.concatenate([np.asarray(c.audio_data) for c in clips])
+            return web.Response(body=pack_audio(merged, clips[0].samplerate, media_type),
+                                content_type=f"audio/{media_type}")
+
+        if stream_enabled:
+            mode_value = 1 if streaming_mode is True else int(streaming_mode)
+            return ("stream", speaker_audio, ref_audio_path, prompt_text,
+                    text_input, media_type, mode_value, cut_method, kw,
+                    float(req.get("fragment_interval", 0.3)),
+                    int(req.get("min_chunk_length", 25)),
+                    int(req.get("overlap_length", 5)))
+
+        clip = await self.tts.infer_async(
+            spk_audio_path=speaker_audio, prompt_audio_path=ref_audio_path,
+            prompt_audio_text=prompt_text, text=text_input, **kw)
+        return web.Response(body=pack_audio(clip.audio_data, clip.samplerate, media_type),
+                            content_type=f"audio/{media_type}")
+
+    async def tts_v2(self, request: web.Request) -> web.StreamResponse:
+        if request.method == "GET":
+            req = dict(request.query)
+        else:
+            req = await request.json()
+        out = await self._handle_api_v2(req)
+        if not isinstance(out, tuple):
+            return out
+        # streaming response path
+        (_, speaker_audio, prompt_audio, prompt_text, text_input, media_type,
+         mode_value, cut_method, kw, cut_mute, stream_chunk, overlap_len) = out
+        resp = web.StreamResponse(headers={"Content-Type": f"audio/{media_type}"})
+        await resp.prepare(request)
+        first = True
+        async for clip in self.tts.infer_stream_async(
+                spk_audio_path=speaker_audio, prompt_audio_path=prompt_audio,
+                prompt_audio_text=prompt_text, text=text_input,
+                is_cut_text=cut_method not in {"", "cut0", "none"},
+                cut_minlen=CUT_METHOD2MINLEN.get(cut_method, 10),
+                cut_mute=cut_mute, stream_mode="token",
+                stream_chunk=max(1, stream_chunk), overlap_len=max(1, overlap_len),
+                boost_first_chunk=(mode_value == 1), debug=False, **kw):
+            if first and media_type == "wav":
+                await resp.write(wave_header_chunk(sample_rate=clip.samplerate))
+                first = False
+                await resp.write(pack_audio(clip.audio_data, clip.samplerate, "raw"))
+            else:
+                await resp.write(pack_audio(
+                    clip.audio_data, clip.samplerate,
+                    "raw" if media_type == "wav" else media_type))
+        await resp.write_eof()
+        return resp
+
+    async def set_gpt_weights(self, request: web.Request) -> web.Response:
+        path = request.query.get("weights_path")
+        if not path:
+            raise web.HTTPBadRequest(text="weights_path is required")
+        for model in self.tts.get_gpt_list():
+            self.tts.unload_gpt_model(model)
+        self.tts.load_gpt_model(path)
+        return web.json_response({"message": "success"})
+
+    async def set_sovits_weights(self, request: web.Request) -> web.Response:
+        path = request.query.get("weights_path")
+        if not path:
+            raise web.HTTPBadRequest(text="weights_path is required")
+        for model in self.tts.get_sovits_list():
+            self.tts.unload_sovits_model(model)
+        self.tts.load_sovits_model(path)
+        return web.json_response({"message": "success"})
+
+
+def create_app(tts, asr_fn=None) -> "web.Application":
+    server = TTSServer(tts, asr_fn=asr_fn)
+    app = web.Application()
+    app["server"] = server
+    app.router.add_get("/", server.root)
+    app.router.add_get("/health", server.health)
+    app.router.add_post("/tts/stream", server.tts_stream)
+    app.router.add_post("/tts/batched", server.tts_batched)
+    app.router.add_get("/audio/{filename}", server.get_audio)
+    app.router.add_get("/tts", server.tts_v2)
+    app.router.add_post("/tts", server.tts_v2)
+    app.router.add_get("/set_gpt_weights", server.set_gpt_weights)
+    app.router.add_get("/set_sovits_weights", server.set_sovits_weights)
+    return app
+
+
+def main():
+    import argparse
+
+    from ..tts import TTS
+
+    ap = argparse.ArgumentParser(description="gsv-tts-lite-tpu HTTP server")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=9880)
+    ap.add_argument("--models-dir", default=None)
+    ap.add_argument("--gpt", default=None, help="GPT checkpoint path")
+    ap.add_argument("--sovits", default=None, help="SoVITS checkpoint path")
+    ap.add_argument("--dtype", default=None)
+    args = ap.parse_args()
+
+    tts = TTS(models_dir=args.models_dir, dtype=args.dtype)
+    if args.gpt:
+        tts.load_gpt_model(args.gpt)
+    if args.sovits:
+        tts.load_sovits_model(args.sovits)
+    web.run_app(create_app(tts), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,10 @@ class TTS:
         if global_config.use_jieba_fast is None:
             global_config.use_jieba_fast = use_jieba_fast
 
+        from .download import check_pretrained_models
+
+        check_pretrained_models(self.models_dir)
+
         self.gpt_models: Dict[str, Gpt] = {}
         self.sovits_models: Dict[str, Sovits] = {}
         self.spk_audio_cache: Dict[str, dict] = {}

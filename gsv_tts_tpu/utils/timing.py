@@ -1,0 +1,97 @@
+"""Lightweight timing spans and first-class latency counters.
+
+The reference has no formal tracing (SURVEY §5: tqdm bars + WebUI RTF
+readout); here spans and counters are first-class: ``span()`` context
+managers feed per-name reservoirs with p50/p95 summaries, and
+``jax_profile()`` wraps ``jax.profiler`` traces for TPU work.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict, deque
+from typing import Dict, Optional
+
+
+class Timings:
+    """Per-name rolling latency reservoirs."""
+
+    def __init__(self, window: int = 256):
+        self._window = window
+        self._data: Dict[str, deque] = defaultdict(lambda: deque(maxlen=window))
+
+    def record(self, name: str, seconds: float):
+        self._data[name].append(seconds)
+
+    @contextlib.contextmanager
+    def span(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.record(name, time.perf_counter() - t0)
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        out = {}
+        for name, vals in self._data.items():
+            if not vals:
+                continue
+            s = sorted(vals)
+            n = len(s)
+            out[name] = {
+                "count": n,
+                "p50": s[n // 2],
+                "p95": s[min(n - 1, int(n * 0.95))],
+                "mean": sum(s) / n,
+                "last": vals[-1],
+            }
+        return out
+
+
+# process-wide default instance
+timings = Timings()
+
+
+@contextlib.contextmanager
+def jax_profile(logdir: Optional[str] = None):
+    """Wrap a block in a jax.profiler trace (viewable in TensorBoard /
+    xprof).  No-ops cleanly if profiling is unsupported on the platform."""
+    import jax
+
+    if logdir is None:
+        yield
+        return
+    try:
+        jax.profiler.start_trace(logdir)
+        started = True
+    except Exception:
+        started = False
+    try:
+        yield
+    finally:
+        if started:
+            jax.profiler.stop_trace()
+
+
+class RTFMeter:
+    """Real-time-factor meter: synth seconds vs wall seconds (the reference's
+    WebUI readout, ``WebUI/web.py:355-362``)."""
+
+    def __init__(self):
+        self.wall = 0.0
+        self.audio = 0.0
+
+    @contextlib.contextmanager
+    def measure(self):
+        t0 = time.perf_counter()
+        try:
+            yield self
+        finally:
+            self.wall += time.perf_counter() - t0
+
+    def add_audio(self, seconds: float):
+        self.audio += seconds
+
+    @property
+    def rtf(self) -> float:
+        return self.wall / self.audio if self.audio else float("inf")

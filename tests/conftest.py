@@ -3,6 +3,7 @@ tests exercise a real Mesh without TPU hardware."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["GSV_OFFLINE"] = "1"  # never hit the network from tests
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"

@@ -1,0 +1,129 @@
+"""HTTP serving tests (aiohttp app with the tiny end-to-end engine)."""
+import asyncio
+import base64
+import json
+
+import numpy as np
+import pytest
+
+pytest.importorskip("aiohttp")
+torch = pytest.importorskip("torch")
+pytest.importorskip("transformers")
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from test_e2e import assets, engine  # fixtures  # noqa: F401
+
+
+@pytest.fixture()
+def client_factory(engine):  # noqa: F811
+    from gsv_tts_tpu.serving.server import create_app
+
+    app = create_app(engine)
+
+    def run(coro_fn):
+        async def body():
+            client = TestClient(TestServer(app))
+            await client.start_server()
+            try:
+                return await coro_fn(client)
+            finally:
+                await client.close()
+
+        return asyncio.run(body())
+
+    return run
+
+
+def test_root_and_health(client_factory):
+    async def go(client):
+        r = await client.get("/")
+        info = await r.json()
+        h = await (await client.get("/health")).json()
+        return r.status, info, h
+
+    status, info, health = client_factory(go)
+    assert status == 200
+    assert "/tts/stream" in info["endpoints"]
+    assert health["status"] == "ok"
+    assert len(health["gpt_models"]) == 1
+
+
+def test_sse_stream(client_factory, assets):  # noqa: F811
+    async def go(client):
+        r = await client.post("/tts/stream", json={
+            "text": "hello streaming world.",
+            "speaker_audio": assets["spk"],
+            "prompt_audio": assets["prompt"],
+            "prompt_text": "hello there.",
+            "stream_chunk": 10,
+        })
+        body = await r.text()
+        return r.status, r.headers.get("Content-Type"), body
+
+    status, ctype, body = client_factory(go)
+    assert status == 200
+    assert "text/event-stream" in ctype
+    events = [e for e in body.split("\n\n") if e.strip()]
+    audio_events = [e for e in events if e.startswith("event: audio")]
+    assert audio_events, body[:500]
+    assert any(e.startswith("event: done") for e in events)
+    total = 0
+    for ev in audio_events:
+        payload = json.loads(ev.split("data: ", 1)[1])
+        total += np.frombuffer(base64.b64decode(payload["audio"]), np.float32).size
+        assert payload["sample_rate"] == 32000
+    assert total > 0
+
+
+def test_api_v2_get_wav(client_factory, assets):  # noqa: F811
+    async def go(client):
+        r = await client.get("/tts", params={
+            "text": "api v2 compatibility.",
+            "ref_audio_path": assets["prompt"],
+            "prompt_text": "hello there.",
+            "media_type": "wav",
+        })
+        return r.status, await r.read()
+
+    status, body = client_factory(go)
+    assert status == 200
+    assert body[:4] == b"RIFF"
+
+
+def test_api_v2_missing_ref(client_factory):
+    async def go(client):
+        r = await client.get("/tts", params={"text": "x"})
+        return r.status
+
+    assert client_factory(go) == 400
+
+
+def test_batched_endpoint(client_factory, assets):  # noqa: F811
+    async def go(client):
+        r = await client.post("/tts/batched", json={
+            "texts": ["first one.", "second one."],
+            "speaker_audio": assets["spk"],
+            "prompt_audio": assets["prompt"],
+            "prompt_text": "hello there.",
+        })
+        data = await r.json()
+        # fetch the first generated file
+        r2 = await client.get(data["results"][0]["audio_url"])
+        return r.status, data, r2.status, await r2.read()
+
+    status, data, status2, wav = client_factory(go)
+    assert status == 200
+    assert len(data["results"]) == 2
+    assert status2 == 200
+    assert wav[:4] == b"RIFF"
+
+
+def test_model_switch_endpoints(client_factory, assets):  # noqa: F811
+    async def go(client):
+        r = await client.get("/set_gpt_weights", params={"weights_path": assets["gpt"]})
+        r2 = await client.get("/set_sovits_weights", params={"weights_path": assets["sovits"]})
+        return (await r.json()), (await r2.json())
+
+    a, b = client_factory(go)
+    assert a["message"] == "success" and b["message"] == "success"
