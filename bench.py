@@ -27,6 +27,9 @@ def bench_t2s_decode(n_tokens: int = 500, chunk: int = 25, bucket: int = 512,
     import jax
     import jax.numpy as jnp
 
+    from gsv_tts_tpu.utils.timing import enable_compilation_cache
+    enable_compilation_cache()
+
     from gsv_tts_tpu.models import t2s as t2s_model
     from gsv_tts_tpu.models.t2s import T2SConfig
     from gsv_tts_tpu.runtime.t2s_session import (DecodeState, SampleArgs,

@@ -95,3 +95,21 @@ class RTFMeter:
     @property
     def rtf(self) -> float:
         return self.wall / self.audio if self.audio else float("inf")
+
+
+def enable_compilation_cache(path: str = None):
+    """Enable JAX's persistent compilation cache so repeated bench/driver
+    runs skip recompiles (especially valuable over tunneled TPU sessions)."""
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "gsv_jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
