@@ -233,32 +233,46 @@ def transformer_prefill(params, cfg: T2SConfig, xy_pos: jnp.ndarray, attn_mask: 
     return x, ks, vs
 
 
-def _block_decode(x, lp, k_cache, v_cache, kv_len, num_heads):
+def _block_decode(x, lp, layer_idx, k_cache, v_cache, kv_len, num_heads,
+                  attn_impl: str = "xla"):
     """Single-token decode step of one block (``t2s_model.py:67-105``).
 
-    x        [B, D]    current token hidden
-    k_cache  [B, S, H, Dh]  (this layer's slice)
-    kv_len   [B] int32  number of valid cache entries *before* this token
+    x        [B, D]          current token hidden
+    k_cache  [L, B, S, H, Dh] the FULL stacked cache (updated in place via a
+                              tiny scatter at [layer_idx, b, kv_len])
+    kv_len   [B] int32        valid cache entries *before* this token
+    attn_impl: "xla" (masked SDPA), "flash" (Pallas length-aware kernel,
+    ``ops/flash_decode.py``) or "flash_interpret" (kernel in interpreter mode
+    for CPU tests).
+
+    TPU note: the caches flow through the layer loop as *carry*, so XLA keeps
+    one buffer and the per-token write is a scatter of H·Dh values — no
+    full-cache copy per step (a scan-ys formulation would rewrite the whole
+    [L,B,S,H,Dh] buffer every token, which measured ~2.4× slower at S=1024).
     """
+    from ..ops import flash_decode
+
     B, D = x.shape
     H = num_heads
     Dh = D // H
-    S = k_cache.shape[1]
     bidx = jnp.arange(B)
 
     residual = x
     qkv = x @ lp["qkv_w"] + lp["qkv_b"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(B, H, Dh)
-    k_cache = k_cache.at[bidx, kv_len].set(k.reshape(B, H, Dh))
-    v_cache = v_cache.at[bidx, kv_len].set(v.reshape(B, H, Dh))
+    k_cache = k_cache.at[layer_idx, bidx, kv_len].set(k.reshape(B, H, Dh))
+    v_cache = v_cache.at[layer_idx, bidx, kv_len].set(v.reshape(B, H, Dh))
 
-    scores = jnp.einsum("bhd,bshd->bhs", q, k_cache, preferred_element_type=F32)
-    scores = scores / math.sqrt(Dh)
-    valid = jnp.arange(S)[None, :] <= kv_len[:, None]  # include the new token
-    scores = jnp.where(valid[:, None, :], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    attn = jnp.einsum("bhs,bshd->bhd", probs, v_cache).reshape(B, D)
+    if attn_impl == "xla":
+        kc = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, keepdims=False)
+        attn = flash_decode.xla_decode_attention(q, kc, vc, kv_len)
+    else:
+        attn = flash_decode.flash_decode_attention_layered(
+            q, k_cache, v_cache, kv_len, layer_idx,
+            interpret=(attn_impl == "flash_interpret"))
+    attn = attn.reshape(B, D)
 
     x = residual + attn @ lp["out_w"] + lp["out_b"]
     x = _layer_norm(x, lp["ln1_g"], lp["ln1_b"])
@@ -270,17 +284,21 @@ def _block_decode(x, lp, k_cache, v_cache, kv_len, num_heads):
     return x, k_cache, v_cache
 
 
-def transformer_decode_step(params, cfg: T2SConfig, x, k_cache, v_cache, kv_len):
-    """One token through all layers; caches are [L, B, S, H, Dh] and are
-    updated functionally (donate them at the jit boundary for in-place HBM
-    updates)."""
+def transformer_decode_step(params, cfg: T2SConfig, x, k_cache, v_cache, kv_len,
+                            attn_impl: str = "xla"):
+    """One token through all layers.  Weights stream through the scan as xs;
+    the caches ride the carry and are updated in place."""
 
-    def body(h, inputs):
-        lp, kc, vc = inputs
-        h, kc, vc = _block_decode(h, lp, kc, vc, kv_len, cfg.num_heads)
-        return h, (kc, vc)
+    def body(carry, inputs):
+        h, kc, vc = carry
+        lp, layer_idx = inputs
+        h, kc, vc = _block_decode(h, lp, layer_idx, kc, vc, kv_len,
+                                  cfg.num_heads, attn_impl)
+        return (h, kc, vc), None
 
-    h, (k_cache, v_cache) = jax.lax.scan(body, x, (params["layers"], k_cache, v_cache))
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    (h, k_cache, v_cache), _ = jax.lax.scan(
+        body, (x, k_cache, v_cache), (params["layers"], layer_ids))
     return h, k_cache, v_cache
 
 

@@ -197,11 +197,12 @@ def prefill_slot(params, cfg: T2SConfig, state: DecodeState, slot,
     ), tok
 
 
-@partial(jax.jit, static_argnames=("cfg", "sa", "n_steps", "suppress_until", "dtype_name"),
+@partial(jax.jit, static_argnames=("cfg", "sa", "n_steps", "suppress_until", "dtype_name",
+                                   "attn_impl"),
          donate_argnames=("state",))
 def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
                  sa: SampleArgs, suppress_until: int = 0,
-                 dtype_name: str = "float32"):
+                 dtype_name: str = "float32", attn_impl: str = "xla"):
     """Generate ``n_steps`` tokens in one dispatch (inner ``lax.scan``).
 
     Mirrors the decode loop body of ``t2s_model.py:425-456``: embed last token
@@ -218,7 +219,7 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
         x = jnp.take(params["audio_emb"], st.last_tok, axis=0).astype(dtype) + pe
 
         h, kc, vc = t2s_model.transformer_decode_step(
-            params, cfg, x, st.k_cache, st.v_cache, st.kv_len)
+            params, cfg, x, st.k_cache, st.v_cache, st.kv_len, attn_impl)
         logits = h @ params["predict_w"]
 
         rng, sub = jax.random.split(st.rng)
@@ -253,9 +254,10 @@ class T2SEngine:
 
     def __init__(self, params, cfg: T2SConfig, gpt_cache: List[Tuple[int, int]],
                  dtype=jnp.float32, check_interval: int = 5,
-                 initial_suppression_steps: int = 10):
+                 initial_suppression_steps: int = 10, attn_impl: str = "xla"):
         self.params = params
         self.cfg = cfg
+        self.attn_impl = attn_impl
         self.dtype = jnp.dtype(dtype)
         self.check_interval = check_interval
         self.initial_suppression_steps = initial_suppression_steps
@@ -383,7 +385,8 @@ class T2SEngine:
             n = self.check_interval
             state, toks = decode_chunk(
                 self.params, cfg, state, n, sa,
-                self.initial_suppression_steps, self._dtype_name())
+                self.initial_suppression_steps, self._dtype_name(),
+                self.attn_impl)
             toks = np.asarray(toks)[0]
             for t in toks:
                 idx += 1
@@ -479,7 +482,7 @@ class T2SEngine:
                     S_cur = bigger[0]
             state, toks = decode_chunk(
                 self.params, cfg, state, self.check_interval, sa, 0,
-                self._dtype_name())
+                self._dtype_name(), self.attn_impl)
             toks = np.asarray(toks)  # [B, check_interval]
             for j in range(B):
                 slot_steps[j] += self.check_interval

@@ -59,7 +59,7 @@ class TTS:
         models_dir: Optional[str] = None,
         device: Optional[str] = None,
         dtype: Optional[str] = None,
-        use_flash_attn: bool = False,
+        use_flash_attn: bool = True,
         use_bert: bool = False,
         auto_bert: bool = True,
         use_jieba_fast: bool = False,

@@ -47,6 +47,13 @@ def models(ref_t2s_module):
     with torch.no_grad():
         ref.ar_predict_layer.weight.mul_(0.5)
     ref.initialize_runtime(torch.float32, torch.device("cpu"), [(1, 96), (1, 128), (2, 128)])
+    # the reference allocates cache roots with torch.empty (uninitialized,
+    # ``t2s_model.py:245-246``); on CPU recycled pages can hold NaNs that
+    # poison SDPA through the additive mask — zero them for determinism
+    with torch.inference_mode():
+        for bs in ref.cuda_graph_buckets:
+            ref.cuda_graph_buckets[bs][-1].k_cache.zero_()
+            ref.cuda_graph_buckets[bs][-1].v_cache.zero_()
     # the reference hard-codes suppressed ids 280/486 (``t2s_model.py:170``)
     # which exceed the tiny vocab; align both sides on in-range ids
     ref.suppressed_tokens = [10, 20, ref.EOS]
