@@ -105,10 +105,54 @@ def bench_t2s_decode(n_tokens: int = 500, chunk: int = 25, bucket: int = 512,
     }
 
 
+def bench_sovits_chunk(frames25: int = 25, n_text: int = 30, reps: int = 8):
+    """Streaming vocoder chunk: enc_p + flow + HiFi-GAN for one 25-token
+    (1 s) chunk at the [55]-frame bucket — the reference's CUDA-graph region
+    (``models.py:406-425``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsv_tts_tpu.models import sovits as jsv
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+    cfg = jsv.SovitsConfig()  # v2-class full dims
+    params = jsv.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    rng = np.random.RandomState(0)
+    codes = jnp.asarray(rng.randint(0, 1024, (1, 1, frames25)), jnp.int32)
+    text = jnp.asarray(rng.randint(0, 732, (1, n_text)), jnp.int32)
+    refer = jnp.asarray(rng.randn(1, cfg.spec_channels, 100).astype(np.float32), dtype)
+    t50 = frames25 * 2
+    bucket = 128 if t50 > 55 else 55
+    noise = jnp.zeros((1, cfg.inter_channels, t50), dtype)
+
+    @jax.jit
+    def full(params, codes, text, refer, noise):
+        ge = jsv.get_ge(params, cfg, refer)
+        z_p, y_mask, attn, _, ge_out = jsv.decode_core(params, cfg, codes, text, ge, noise)
+        pad = bucket - z_p.shape[-1]
+        z_p = jnp.pad(z_p, [(0, 0), (0, 0), (0, pad)])
+        y_mask = jnp.pad(y_mask, [(0, 0), (0, 0), (0, pad)])
+        audio = jsv.flow_dec(params, cfg, z_p, y_mask, ge_out)
+        return audio[:, :, : t50 * cfg.samples_per_frame], attn
+
+    audio, _ = full(params, codes, text, refer, noise)
+    np.asarray(audio[0, 0, :4])  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        audio, _ = full(params, codes, text, refer, noise)
+    np.asarray(audio[0, 0, :4])
+    dt = (time.perf_counter() - t0) / reps
+    audio_s = t50 / 50.0
+    return {"sovits_chunk_ms": dt * 1000.0, "sovits_rtf": dt / audio_s}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tokens", type=int, default=500)
     ap.add_argument("--chunk", type=int, default=25)
+    ap.add_argument("--skip-sovits", action="store_true")
     args = ap.parse_args()
 
     stats = bench_t2s_decode(n_tokens=args.tokens, chunk=args.chunk)
@@ -118,6 +162,17 @@ def main():
         f"prefill={stats['prefill_ms']:.1f}ms ttft(gpt)={stats['ttft_gpt_ms']:.1f}ms "
         f"gpt_rtf={stats['gpt_rtf']:.4f} compile={stats['compile_prefill_s']:.1f}s",
         file=sys.stderr)
+    if not args.skip_sovits:
+        try:
+            sv = bench_sovits_chunk()
+            e2e_rtf = stats["gpt_rtf"] + sv["sovits_rtf"]
+            ttft = stats["ttft_gpt_ms"] + sv["sovits_chunk_ms"]
+            print(f"# sovits_chunk={sv['sovits_chunk_ms']:.1f}ms "
+                  f"sovits_rtf={sv['sovits_rtf']:.4f} e2e_rtf={e2e_rtf:.4f} "
+                  f"ttft_stream={ttft:.1f}ms (targets: rtf<=0.1, ttft<=130ms)",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# sovits bench failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "gpt_decode_tok_s",
         "value": round(stats["tok_s"], 2),

@@ -571,3 +571,106 @@ def params_from_torch_state_dict(state_dict: Dict[str, Any], dtype=jnp.float32) 
         v = np.asarray(state_dict[k])
         out[k] = jnp.asarray(v, dtype)
     return out
+
+
+def init_params(rng: jax.Array, cfg: SovitsConfig, dtype=jnp.float32,
+                scale: float = 0.05) -> Dict[str, jnp.ndarray]:
+    """Random parameters with checkpoint-identical keys/shapes — used for
+    benchmarking and tests when no real checkpoint is available."""
+    key_iter = [jax.random.fold_in(rng, i) for i in range(4096)]
+    ctr = [0]
+
+    def nrm(*shape):
+        ctr[0] += 1
+        return (jax.random.normal(key_iter[ctr[0]], shape) * scale).astype(dtype)
+
+    p: Dict[str, jnp.ndarray] = {}
+
+    def conv(name, out_c, in_c, k, bias=True):
+        p[name + ".weight"] = nrm(out_c, in_c, k)
+        if bias:
+            p[name + ".bias"] = jnp.zeros((out_c,), dtype)
+
+    def lin(name, out_c, in_c, bias=True):
+        p[name + ".weight"] = nrm(out_c, in_c)
+        if bias:
+            p[name + ".bias"] = jnp.zeros((out_c,), dtype)
+
+    C, F, Hn, W = cfg.hidden_channels, cfg.filter_channels, cfg.n_heads, cfg.window_size
+    kch = C // Hn
+
+    def encoder(pfx, n_layers):
+        for i in range(n_layers):
+            for nm in ("conv_q", "conv_k", "conv_v", "conv_o"):
+                conv(f"{pfx}.attn_layers.{i}.{nm}", C, C, 1)
+            p[f"{pfx}.attn_layers.{i}.emb_rel_k"] = nrm(1, 2 * W + 1, kch)
+            p[f"{pfx}.attn_layers.{i}.emb_rel_v"] = nrm(1, 2 * W + 1, kch)
+            for nm, shp in (("norm_layers_1", C), ("norm_layers_2", C)):
+                p[f"{pfx}.{nm}.{i}.gamma"] = jnp.ones((shp,), dtype)
+                p[f"{pfx}.{nm}.{i}.beta"] = jnp.zeros((shp,), dtype)
+            conv(f"{pfx}.ffn_layers.{i}.conv_1", F, C, cfg.kernel_size)
+            conv(f"{pfx}.ffn_layers.{i}.conv_2", C, F, cfg.kernel_size)
+
+    # enc_p
+    conv("enc_p.ssl_proj", C, cfg.ssl_dim, 1)
+    encoder("enc_p.encoder_ssl", cfg.n_layers // 2)
+    encoder("enc_p.encoder_text", cfg.n_layers)
+    p["enc_p.text_embedding.weight"] = nrm(cfg.n_symbols, C)
+    for nm in ("conv_q", "conv_k", "conv_v", "conv_o"):
+        conv(f"enc_p.mrte.cross_attention.{nm}", 512, 512, 1)
+    conv("enc_p.mrte.c_pre", 512, C, 1)
+    conv("enc_p.mrte.text_pre", 512, C, 1)
+    conv("enc_p.mrte.c_post", C, 512, 1)
+    encoder("enc_p.encoder2", cfg.n_layers // 2)
+    conv("enc_p.proj", cfg.inter_channels * 2, C, 1)
+
+    # generator
+    ch0 = cfg.upsample_initial_channel
+    conv("dec.conv_pre", ch0, cfg.inter_channels, 7)
+    if cfg.gin_channels:
+        conv("dec.cond", ch0, cfg.gin_channels, 1)
+    nk = len(cfg.resblock_kernel_sizes)
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        in_c, out_c = ch0 // (2 ** i), ch0 // (2 ** (i + 1))
+        p[f"dec.ups.{i}.weight"] = nrm(in_c, out_c, k)  # ConvTranspose layout
+        p[f"dec.ups.{i}.bias"] = jnp.zeros((out_c,), dtype)
+        for j, (rk, rd) in enumerate(zip(cfg.resblock_kernel_sizes,
+                                         cfg.resblock_dilation_sizes)):
+            for m in range(len(rd)):
+                conv(f"dec.resblocks.{i * nk + j}.convs1.{m}", out_c, out_c, rk)
+                conv(f"dec.resblocks.{i * nk + j}.convs2.{m}", out_c, out_c, rk)
+    conv("dec.conv_post", 1, ch0 // (2 ** len(cfg.upsample_rates)), 7, bias=False)
+
+    # flow
+    half = cfg.inter_channels // 2
+    for i in range(cfg.flow_n_flows):
+        pfx = f"flow.flows.{i * 2}"
+        conv(f"{pfx}.pre", C, half, 1)
+        conv(f"{pfx}.enc.cond_layer", 2 * C * cfg.flow_n_layers, cfg.gin_channels, 1)
+        for j in range(cfg.flow_n_layers):
+            conv(f"{pfx}.enc.in_layers.{j}", 2 * C, C, cfg.flow_kernel_size)
+            rs = 2 * C if j < cfg.flow_n_layers - 1 else C
+            conv(f"{pfx}.enc.res_skip_layers.{j}", rs, C, 1)
+        p[f"{pfx}.post.weight"] = jnp.zeros((half, C, 1), dtype)
+        p[f"{pfx}.post.bias"] = jnp.zeros((half,), dtype)
+
+    # ref_enc (MelStyleEncoder)
+    h = cfg.ref_enc_hidden
+    lin("ref_enc.spectral.0.fc", h, cfg.ref_enc_in)
+    lin("ref_enc.spectral.3.fc", h, h)
+    for i in range(2):
+        conv(f"ref_enc.temporal.{i}.conv1.conv", 2 * h, h, cfg.ref_enc_kernel)
+    for nm in ("w_qs", "w_ks", "w_vs", "fc"):
+        lin(f"ref_enc.slf_attn.{nm}", h, h)
+    lin("ref_enc.fc.fc", cfg.gin_channels, h)
+
+    # quantizer + prompt ssl_proj
+    p["quantizer.vq.layers.0._codebook.embed"] = (
+        jax.random.normal(key_iter[0], (cfg.quantizer_bins, cfg.ssl_dim))).astype(dtype)
+    conv("ssl_proj", cfg.ssl_dim, cfg.ssl_dim, 2)
+
+    if cfg.is_v2pro:
+        lin("sv_emb", cfg.gin_channels, 20480)
+        lin("ge_to512", 512, cfg.gin_channels)
+        p["prelu.weight"] = jnp.full((cfg.gin_channels,), 0.25, dtype)
+    return p

@@ -89,3 +89,33 @@ def test_dryrun_entrypoints():
     assert int(kv_len[0]) == 69  # 64 + 5 decode steps
 
     mod.dryrun_multichip(8)
+
+
+def test_data_parallel_batched_generation():
+    """DataParallelEngine: batched continuous generation with slots sharded
+    over dp matches the greedy single-device sequences."""
+    from gsv_tts_tpu.parallel.shard import DataParallelEngine
+
+    params = t2s_model.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    mesh = pmesh.make_mesh(8, dp=8, tp=1)
+    dp_eng = DataParallelEngine(params, CFG, gpt_cache=[(1, 128), (8, 128)],
+                                dtype=jnp.float32, mesh=mesh)
+    ref_eng = __import__("gsv_tts_tpu.runtime.t2s_session",
+                         fromlist=["T2SEngine"]).T2SEngine(
+        params, CFG, gpt_cache=[(1, 128), (8, 128)], dtype=jnp.float32)
+
+    rng = np.random.RandomState(7)
+    xs, ys, bs = [], [], []
+    for i in range(5):
+        lx, ly = 6 + i % 3, 4 + i % 2
+        xs.append(rng.randint(1, 64, (lx,)).astype(np.int32))
+        ys.append(rng.randint(0, 100, (ly,)).astype(np.int32))
+        bs.append(np.zeros((lx, CFG.bert_dim), np.float32))
+
+    pred_dp, idx_dp = dp_eng.generate_batched(xs, ys, bs, top_k=1,
+                                              rng=jax.random.PRNGKey(0))
+    pred_1, idx_1 = ref_eng.generate_batched(xs, ys, bs, top_k=1,
+                                             rng=jax.random.PRNGKey(0))
+    by_idx_dp = {int(i): t.tolist() for t, i in zip(pred_dp, idx_dp)}
+    by_idx_1 = {int(i): t.tolist() for t, i in zip(pred_1, idx_1)}
+    assert by_idx_dp == by_idx_1
