@@ -375,14 +375,18 @@ class T2SEngine:
         first_chunk = True
         pre_chunk = None
         while True:
-            if int(state.kv_len[0]) + self.check_interval >= state.k_cache.shape[2]:
-                cur_S = state.k_cache.shape[2]
+            cur_S = state.k_cache.shape[2]
+            kv = int(state.kv_len[0])
+            if kv >= cur_S:
+                # bucket escalation, or stop when the largest bucket is full
+                # (the reference decodes until the cache is exactly full,
+                # ``t2s_model.py:425``)
                 bigger = [s for s in self.buckets[1] if s > cur_S]
-                if bigger:
-                    state = self._escalate(state, bigger[0])
-                else:
+                if not bigger:
                     break
-            n = self.check_interval
+                state = self._escalate(state, bigger[0])
+                cur_S = bigger[0]
+            n = min(self.check_interval, cur_S - kv)
             state, toks = decode_chunk(
                 self.params, cfg, state, n, sa,
                 self.initial_suppression_steps, self._dtype_name(),

@@ -866,7 +866,10 @@ class TTS:
                     target = b
                     break
         if target is None:
-            target = _round_up(t, 64)  # shape-bucketed fallback for long/packed decode
+            if buckets:
+                target = _round_up(t, 64)  # shape-bucketed fallback for long/packed decode
+            else:
+                target = t  # sovits_cache=[] ⇒ exact shapes (reference CPU mode)
         pad = target - t
         if pad:
             z_p = jnp.pad(z_p, [(0, 0), (0, 0), (0, pad)])
@@ -979,7 +982,9 @@ class TTS:
             start_s = end_s
             end_s = ph_end_s[idx] + last_end_s
             subtitles.append({"text": word, "start_s": start_s, "end_s": end_s})
-        if subtitles and end_s - last_end_s != ph_end_s[-1]:
+        # fallback entry covering the tail (``TTS.py:1697-1705``) — applies
+        # even when the loop broke before appending anything
+        if word and end_s - last_end_s != ph_end_s[-1]:
             subtitles.append({"text": word, "start_s": end_s,
                               "end_s": ph_end_s[-1] + last_end_s})
         return subtitles

@@ -18,7 +18,7 @@ transformers = pytest.importorskip("transformers")
 TINY_GPT = {
     "model": {
         "hidden_dim": 64, "embedding_dim": 64, "head": 4, "n_layer": 2,
-        "vocab_size": 101, "phoneme_vocab_size": 732, "dropout": 0.0, "EOS": 100,
+        "vocab_size": 1025, "phoneme_vocab_size": 732, "dropout": 0.0, "EOS": 1024,
     }
 }
 
@@ -84,8 +84,14 @@ def assets(tmp_path_factory):
     with torch.no_grad():
         for prm in sref.parameters():
             prm.normal_(0, 0.05)
+        # keep the random vocoder's output comfortably above the RMS trim
+        # thresholds (0.01/0.02) so head/tail trimming stays meaningful
+        sref.dec.conv_post.weight.mul_(30.0)
         for q in sref.quantizer.vq.layers:
             q._codebook.embed.normal_(0, 1.0)
+            # mark the codebook initialized so the reference's quantizer
+            # forward (extract_latent) won't k-means re-init it
+            q._codebook.inited.fill_(1)
     sovits_path = root / "tiny_s2.pth"
     torch.save({"config": HPS, "weight": sref.state_dict()}, str(sovits_path))
 
@@ -103,10 +109,30 @@ def assets(tmp_path_factory):
     hdir = root / "chinese-hubert-base"
     hdir.mkdir()
     (hdir / "config.json").write_text(hcfg.to_json_string())
+    (hdir / "preprocessor_config.json").write_text(json.dumps({
+        "feature_extractor_type": "Wav2Vec2FeatureExtractor",
+        "feature_size": 1, "sampling_rate": 16000, "padding_side": "right",
+        "padding_value": 0.0, "do_normalize": True, "return_attention_mask": False,
+    }))
     from safetensors.numpy import save_file
 
     save_file({k: v.numpy() for k, v in href.state_dict().items()
                if "num_batches_tracked" not in k}, str(hdir / "model.safetensors"))
+
+    # --- SV checkpoint (full ERes2NetV2 topology, random weights) ---
+    import_reference_module("GPT_SoVITS/SV/pooling_layers.py", "GPT_SoVITS.SV.pooling_layers")
+    import_reference_module("GPT_SoVITS/SV/fusion.py", "GPT_SoVITS.SV.fusion")
+    svmod = import_reference_module("GPT_SoVITS/SV/ERes2NetV2.py", "GPT_SoVITS.SV.ERes2NetV2")
+    torch.manual_seed(4)
+    sv_net = svmod.ERes2NetV2(baseWidth=24, scale=4, expansion=4)
+    with torch.no_grad():
+        for prm in sv_net.parameters():
+            prm.normal_(0, 0.02)
+        for name, buf in sv_net.named_buffers():
+            if name.endswith("running_var"):
+                buf.uniform_(0.5, 1.5)
+    (root / "sv").mkdir()
+    torch.save(sv_net.state_dict(), str(root / "sv" / "pretrained_eres2netv2w24s4ep4.ckpt"))
 
     # --- audio files ---
     rng = np.random.RandomState(3)
@@ -133,6 +159,9 @@ def engine(assets):
               models_dir=str(assets["root"]), dtype="float32")
     tts.load_gpt_model(assets["gpt"])
     tts.load_sovits_model(assets["sovits"])
+    import jax
+
+    tts._rng = jax.random.PRNGKey(42)
     return tts
 
 

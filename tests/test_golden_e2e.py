@@ -1,0 +1,237 @@
+"""Golden full-facade parity: the reference ``gsv_tts.TTS`` pipeline vs ours,
+same tiny checkpoints, greedy sampling, zero latent noise.
+
+The reference's optional native deps (av, torchaudio, soundfile, pysbd,
+py3langid) are stubbed so that BOTH engines share identical audio I/O,
+resampling, STFT and text frontend — the comparison then isolates the parts
+that matter: prompt feature extraction (HuBERT → RVQ), speaker conditioning,
+t2s generation, SoVITS decode, and the DSP/subtitle post-processing.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from gsv_tts_tpu.ops import stft as jstft
+from gsv_tts_tpu.frontend import text_processor as jtp
+from gsv_tts_tpu.utils import audio_io
+from conftest import import_reference_module
+
+from test_e2e import assets  # tiny checkpoints + wavs fixture  # noqa: F401
+from test_frontend import ZH_LEXICON  # noqa: F401
+
+
+def _install_stubs():
+    # soundfile: only `write` is used (AudioClip.save)
+    if "soundfile" not in sys.modules:
+        sf = types.ModuleType("soundfile")
+        sf.write = lambda path, data, sr: audio_io.save_wav(path, np.asarray(data).T
+                                                            if np.asarray(data).ndim == 2
+                                                            else np.asarray(data), sr)
+        sys.modules["soundfile"] = sf
+    # av: never reached (we patch _load_audio), but the import must succeed
+    if "av" not in sys.modules:
+        sys.modules["av"] = types.ModuleType("av")
+    # pysbd → our sentence splitter so cut_text matches exactly
+    if "pysbd" not in sys.modules:
+        m = types.ModuleType("pysbd")
+
+        class Segmenter:
+            def segment(self, text):
+                return jtp._split_sentences(text)
+
+        m.Segmenter = Segmenter
+        sys.modules["pysbd"] = m
+    if "py3langid" not in sys.modules:
+        m = types.ModuleType("py3langid")
+        m.classify = lambda t: ("zh", 0.0)
+        sys.modules["py3langid"] = m
+    # torchaudio: Resample/Spectrogram backed by OUR implementations so both
+    # engines see bit-identical conditioning inputs
+    if "torchaudio" not in sys.modules:
+        ta = types.ModuleType("torchaudio")
+        trans = types.ModuleType("torchaudio.transforms")
+
+        class Resample:
+            def __init__(self, sr0, sr1):
+                self.sr0, self.sr1 = sr0, sr1
+
+            def to(self, device):
+                return self
+
+            def __call__(self, x):
+                return torch.from_numpy(
+                    jstft.resample(x.detach().cpu().numpy(), self.sr0, self.sr1))
+
+        class Spectrogram:
+            def __init__(self, n_fft, win_length, hop_length, center=True,
+                         pad_mode="reflect", power=1.0):
+                self.args = (n_fft, hop_length, win_length)
+
+            def to(self, device):
+                return self
+
+            def __call__(self, x):
+                n_fft, hop, win = self.args
+                out = jstft.spectrogram(jnp.asarray(x.detach().cpu().numpy()),
+                                        n_fft, hop, win)
+                return torch.from_numpy(np.asarray(out))
+
+        trans.Resample = Resample
+        trans.Spectrogram = Spectrogram
+        ta.transforms = trans
+        compliance = types.ModuleType("torchaudio.compliance")
+        kaldi = types.ModuleType("torchaudio.compliance.kaldi")
+
+        def fbank(wav, num_mel_bins=80, sample_frequency=16000, dither=0.0):
+            from gsv_tts_tpu.models.sv import kaldi_fbank
+
+            return torch.from_numpy(
+                kaldi_fbank(wav.detach().cpu().numpy().reshape(-1),
+                            num_mel_bins=num_mel_bins, sr=int(sample_frequency)))
+
+        kaldi.fbank = fbank
+        compliance.kaldi = kaldi
+        ta.compliance = compliance
+        sys.modules["torchaudio"] = ta
+        sys.modules["torchaudio.transforms"] = trans
+        sys.modules["torchaudio.compliance"] = compliance
+        sys.modules["torchaudio.compliance.kaldi"] = kaldi
+
+
+def _load_reference_tts():
+    _install_stubs()
+    for rel, name in [
+        ("Config.py", "Config"),
+        ("LangSegment.py", "LangSegment"),
+        ("GPT_SoVITS/utils.py", "GPT_SoVITS.utils"),
+        ("GPT_SoVITS/G2P/Symbols.py", "GPT_SoVITS.G2P.Symbols"),
+        ("GPT_SoVITS/G2P/Pause.py", "GPT_SoVITS.G2P.Pause"),
+        ("GPT_SoVITS/G2P/__init__.py", "GPT_SoVITS.G2P"),
+        ("GPT_SoVITS/GPT/embedding.py", "GPT_SoVITS.GPT.embedding"),
+        ("GPT_SoVITS/GPT/utils.py", "GPT_SoVITS.GPT.utils"),
+        ("GPT_SoVITS/GPT/t2s_model.py", "GPT_SoVITS.GPT.t2s_model"),
+        ("GPT_SoVITS/SoVITS/module/commons.py", "GPT_SoVITS.SoVITS.module.commons"),
+        ("GPT_SoVITS/SoVITS/module/modules.py", "GPT_SoVITS.SoVITS.module.modules"),
+        ("GPT_SoVITS/SoVITS/module/attentions.py", "GPT_SoVITS.SoVITS.module.attentions"),
+        ("GPT_SoVITS/SoVITS/module/mrte_model.py", "GPT_SoVITS.SoVITS.module.mrte_model"),
+        ("GPT_SoVITS/SoVITS/module/core_vq.py", "GPT_SoVITS.SoVITS.module.core_vq"),
+        ("GPT_SoVITS/SoVITS/module/quantize.py", "GPT_SoVITS.SoVITS.module.quantize"),
+        ("GPT_SoVITS/SoVITS/models.py", "GPT_SoVITS.SoVITS.models"),
+        ("GPT_SoVITS/Featurizer/cnhubert.py", "GPT_SoVITS.Featurizer.cnhubert"),
+        ("GPT_SoVITS/Featurizer/cnroberta.py", "GPT_SoVITS.Featurizer.cnroberta"),
+        ("GPT_SoVITS/Featurizer/__init__.py", "GPT_SoVITS.Featurizer"),
+        ("GPT_SoVITS/SV/pooling_layers.py", "GPT_SoVITS.SV.pooling_layers"),
+        ("GPT_SoVITS/SV/fusion.py", "GPT_SoVITS.SV.fusion"),
+        ("GPT_SoVITS/SV/ERes2NetV2.py", "GPT_SoVITS.SV.ERes2NetV2"),
+        ("GPT_SoVITS/SV/sv.py", "GPT_SoVITS.SV.sv"),
+        ("GPT_SoVITS/SV/__init__.py", "GPT_SoVITS.SV"),
+        ("Player.py", "Player"),
+        ("Loader.py", "Loader"),
+        ("Download.py", "Download"),
+        ("TextProcessor.py", "TextProcessor"),
+    ]:
+        import_reference_module(rel, name)
+    return import_reference_module("TTS.py", "TTS")
+
+
+def _our_frontend_as_torch(texts, tts_config):
+    """Adapter: our ``get_phones_and_bert`` with torch-tensor BERT outputs
+    (so both engines share one frontend and the comparison isolates the
+    neural pipeline)."""
+    from gsv_tts_tpu.config import Config as JConfig
+
+    out = jtp.get_phones_and_bert(texts, JConfig(dtype="float32"))
+    if isinstance(texts, str):
+        phones, w2p, bert, norm = out
+        return phones, w2p, torch.from_numpy(np.asarray(bert, np.float32)), norm
+    phones, w2p, berts, norm = out
+    return phones, w2p, [torch.from_numpy(np.asarray(b, np.float32)) for b in berts], norm
+
+
+@pytest.fixture(scope="module")
+def ref_engine(assets):  # noqa: F811
+    ttsmod = _load_reference_tts()
+    ttsmod.check_pretrained_models = lambda d: None
+    ttsmod.get_phones_and_bert = _our_frontend_as_torch
+    ttsmod.cut_text = jtp.cut_text
+    ttsmod.sub2text_index = jtp.sub2text_index
+
+    rtts = ttsmod.TTS(gpt_cache=[(1, 96), (1, 128)], sovits_cache=[],
+                      models_dir=str(assets["root"]), device="cpu",
+                      dtype="float32", use_bert=False, auto_bert=False)
+
+    def load_audio(path):
+        audio, sr = audio_io.load_audio(path)
+        return torch.from_numpy(audio), sr
+
+    rtts._load_audio = load_audio
+    rtts.load_gpt_model(assets["gpt"])
+    rtts.load_sovits_model(assets["sovits"])
+    t2s = rtts.gpt_models[assets["gpt"]].t2s_model
+    with torch.inference_mode():
+        for bs in t2s.cuda_graph_buckets:
+            t2s.cuda_graph_buckets[bs][-1].k_cache.zero_()
+            t2s.cuda_graph_buckets[bs][-1].v_cache.zero_()
+    return rtts
+
+
+@pytest.fixture(scope="module")
+def our_engine(assets):  # noqa: F811
+    from gsv_tts_tpu import TTS
+
+    tts = TTS(gpt_cache=[(1, 96), (1, 128)], sovits_cache=[],
+              models_dir=str(assets["root"]), dtype="float32",
+              use_bert=False, auto_bert=False)
+    tts.load_gpt_model(assets["gpt"])
+    tts.load_sovits_model(assets["sovits"])
+    return tts
+
+
+def test_full_pipeline_golden(assets, ref_engine, our_engine):  # noqa: F811
+    text = "this is the golden parity test."
+    kwargs = dict(return_subtitles=True, top_k=1, top_p=1.0, temperature=1.0,
+                  repetition_penalty=1.35, noise_scale=0.0)
+    ref_clip = ref_engine.infer(assets["spk"], assets["prompt"], "hello there.",
+                                text, **kwargs)
+    our_clip = our_engine.infer(assets["spk"], assets["prompt"], "hello there.",
+                                text, **kwargs)
+
+    a = np.asarray(ref_clip.audio_data, np.float32)
+    b = np.asarray(our_clip.audio_data, np.float32)
+    assert abs(len(a) - len(b)) <= 640, (len(a), len(b))
+    n = min(len(a), len(b))
+    # same waveform (both engines greedy + noiseless); tolerance covers f32
+    # accumulation-order drift through 24 conv/attention layers
+    err = np.abs(a[:n] - b[:n]).max() if n else 0.0
+    assert err < 5e-2, err
+    corr = np.corrcoef(a[:n], b[:n])[0, 1] if n > 1 and a[:n].std() > 0 else 1.0
+    assert corr > 0.999, corr
+
+    # subtitles: same words, timestamps within one vocoder frame
+    ref_subs = ref_clip.subtitles
+    our_subs = our_clip.subtitles
+    assert [s["text"] for s in ref_subs] == [s["text"] for s in our_subs]
+    for r, o in zip(ref_subs, our_subs):
+        assert abs(r["start_s"] - o["start_s"]) < 0.04
+        assert abs(r["end_s"] - o["end_s"]) < 0.04
+        assert r["orig_idx_start"] == o["orig_idx_start"]
+
+
+def test_vc_pipeline_golden(assets, ref_engine, our_engine):  # noqa: F811
+    kwargs = dict(noise_scale=0.0)
+    ref_clip = ref_engine.infer_vc(assets["spk"], assets["prompt"],
+                                   "hello there.", **kwargs)
+    our_clip = our_engine.infer_vc(assets["spk"], assets["prompt"],
+                                   "hello there.", **kwargs)
+    a = np.asarray(ref_clip.audio_data, np.float32)
+    b = np.asarray(our_clip.audio_data, np.float32)
+    n = min(len(a), len(b))
+    assert abs(len(a) - len(b)) <= 640
+    assert np.abs(a[:n] - b[:n]).max() < 5e-2

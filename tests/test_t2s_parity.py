@@ -167,4 +167,9 @@ def test_batched_matches_single(models):
                                      rng=jax.random.PRNGKey(0))
     assert sorted(idx.tolist()) == [0, 1, 2]
     for toks, i in zip(pred, idx):
-        np.testing.assert_array_equal(np.asarray(toks).ravel(), singles[i])
+        toks = np.asarray(toks).ravel()
+        # for capped (no-EOS) rows the batched path stops check_interval
+        # early (reference ``t2s_model.py:656``) while single mode fills the
+        # cache exactly (``t2s_model.py:425``): compare the common prefix
+        assert len(singles[i]) - len(toks) <= eng.check_interval
+        np.testing.assert_array_equal(toks, singles[i][: len(toks)])
