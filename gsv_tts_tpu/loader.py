@@ -188,13 +188,12 @@ def get_gpt_weights(gpt_path, tts_config: Config) -> Gpt:
     cfg = T2SConfig.from_checkpoint_config(config)
     params = t2s_model.params_from_torch_state_dict(weights, cfg, dtype=tts_config.dtype)
     gpt_cache = tts_config.gpt_cache or [(1, 512), (1, 1024)]
-    # Pallas decode attention wins once buckets are large enough that the
-    # length-aware DMA skipping beats the kernel overhead (measured on v5e:
-    # S=512 XLA 1269 vs flash 1239 tok/s; S=1024 XLA 973 vs flash 1144).
+    # Pallas decode attention wins at every bucket size with the unrolled
+    # layer loop (v5e, flagship config: S=512 XLA 1477 vs flash 1604 tok/s;
+    # S=1024 XLA 1098 vs flash 1217).
     attn_impl = "xla"
     if getattr(tts_config, "use_flash_attn", False) and tts_config.platform == "tpu":
-        if max(s for _, s in gpt_cache) >= 768:
-            attn_impl = "flash"
+        attn_impl = "flash"
     engine = T2SEngine(params, cfg, gpt_cache=gpt_cache,
                        dtype=tts_config.dtype, attn_impl=attn_impl)
     return Gpt(engine, params, cfg, config)

@@ -265,12 +265,15 @@ def _block_decode(x, lp, layer_idx, k_cache, v_cache, kv_len, num_heads,
     v_cache = v_cache.at[layer_idx, bidx, kv_len].set(v.reshape(B, H, Dh))
 
     if attn_impl == "xla":
-        kc = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, keepdims=False)
-        vc = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, keepdims=False)
+        if isinstance(layer_idx, int):  # unrolled: static slice, no gather
+            kc, vc = k_cache[layer_idx], v_cache[layer_idx]
+        else:
+            kc = jax.lax.dynamic_index_in_dim(k_cache, layer_idx, 0, keepdims=False)
+            vc = jax.lax.dynamic_index_in_dim(v_cache, layer_idx, 0, keepdims=False)
         attn = flash_decode.xla_decode_attention(q, kc, vc, kv_len)
     else:
         attn = flash_decode.flash_decode_attention_layered(
-            q, k_cache, v_cache, kv_len, layer_idx,
+            q, k_cache, v_cache, kv_len, jnp.asarray(layer_idx, jnp.int32),
             interpret=(attn_impl == "flash_interpret"))
     attn = attn.reshape(B, D)
 
@@ -285,9 +288,20 @@ def _block_decode(x, lp, layer_idx, k_cache, v_cache, kv_len, num_heads,
 
 
 def transformer_decode_step(params, cfg: T2SConfig, x, k_cache, v_cache, kv_len,
-                            attn_impl: str = "xla"):
-    """One token through all layers.  Weights stream through the scan as xs;
-    the caches ride the carry and are updated in place."""
+                            attn_impl: str = "xla", unroll: bool = True):
+    """One token through all layers; caches updated in place.
+
+    ``unroll=True`` (default) inlines the layer loop with *static* layer
+    indices — measured ~0.1 ms/token faster than ``lax.scan`` on v5e (the
+    scan pays a dynamic-slice of every weight each iteration).  The scan path
+    remains for compile-time-sensitive uses."""
+    if unroll:
+        h = x
+        for i in range(cfg.num_layers):
+            lp = jax.tree.map(lambda a: a[i], params["layers"])
+            h, k_cache, v_cache = _block_decode(
+                h, lp, i, k_cache, v_cache, kv_len, cfg.num_heads, attn_impl)
+        return h, k_cache, v_cache
 
     def body(carry, inputs):
         h, kc, vc = carry
