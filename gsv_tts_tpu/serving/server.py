@@ -405,7 +405,10 @@ def main():
         tts.load_gpt_model(args.gpt)
     if args.sovits:
         tts.load_sovits_model(args.sovits)
-    web.run_app(create_app(tts), host=args.host, port=args.port)
+    from .asr import make_asr_fn
+
+    web.run_app(create_app(tts, asr_fn=make_asr_fn()), host=args.host,
+                port=args.port)
 
 
 if __name__ == "__main__":

@@ -232,3 +232,58 @@ def test_to_safetensors_roundtrip(assets, engine, tmp_path):
     engine.to_safetensors(assets["gpt"], str(out))
     assert (out / "model.safetensors").exists()
     assert (out / "config.json").exists()
+
+
+def test_multi_speaker_fusion(assets, engine):
+    clip = engine.infer({assets["spk"]: 0.7, assets["prompt"]: 0.3},
+                        assets["prompt"], "hello there.", "fusion test.")
+    assert len(clip.audio_data) > 0
+
+
+def test_verify_speaker(assets, engine):
+    sim_self = engine.verify_speaker(assets["spk"], assets["spk"])
+    sim_cross = engine.verify_speaker(assets["spk"], assets["prompt"])
+    assert sim_self == pytest.approx(1.0, abs=1e-3)
+    assert -1.0 <= sim_cross <= 1.0
+
+
+def test_chinese_bert_path(assets, tmp_path_factory):
+    """End-to-end Chinese synthesis with the BERT featurizer active."""
+    from transformers import BertConfig, BertModel
+
+    root = assets["root"]
+    bdir = root / "chinese-roberta-wwm-ext-large"
+    if not bdir.exists():
+        bdir.mkdir()
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + list(
+            "你好中国人天气真不错今点分。，！？.")
+        (bdir / "vocab.txt").write_text("\n".join(vocab), encoding="utf-8")
+        bcfg = BertConfig(vocab_size=len(vocab), hidden_size=1024,
+                          num_hidden_layers=3, num_attention_heads=4,
+                          intermediate_size=64, max_position_embeddings=64)
+        torch.manual_seed(7)
+        bref = BertModel(bcfg).eval()
+        (bdir / "config.json").write_text(bcfg.to_json_string())
+        from safetensors.numpy import save_file
+
+        save_file({k: v.numpy() for k, v in bref.state_dict().items()},
+                  str(bdir / "model.safetensors"))
+
+    from gsv_tts_tpu import TTS
+    from gsv_tts_tpu.config import global_config
+    from gsv_tts_tpu.frontend.g2p.chinese import ChineseG2P
+    from test_frontend import ZH_LEXICON
+
+    old_g2p = global_config.chinese_g2p
+    global_config.chinese_g2p = ChineseG2P(lexicon=ZH_LEXICON)
+    try:
+        tts = TTS(gpt_cache=[(1, 96), (1, 128)], sovits_cache=[50, 55],
+                  models_dir=str(root), dtype="float32", use_bert=True)
+        assert tts.tts_config.cnroberta is not None
+        tts.load_gpt_model(assets["gpt"])
+        tts.load_sovits_model(assets["sovits"])
+        clip = tts.infer(assets["spk"], assets["prompt"], "hello there.",
+                         "你好中国。", return_subtitles=True)
+        assert len(clip.audio_data) > 0
+    finally:
+        global_config.chinese_g2p = old_g2p

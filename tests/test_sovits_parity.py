@@ -260,3 +260,45 @@ def test_v2pro_ge_path(ref_models_module):
         params, cfg, jnp.asarray(codes), jnp.asarray(text), jnp.asarray(ref_ge), noise)
     audio_j = jsv.flow_dec(params, cfg, z_p, y_mask, ge_out)
     np.testing.assert_allclose(np.asarray(audio_j), audio.numpy(), rtol=1e-3, atol=2e-4)
+
+
+def test_init_params_keys_match_reference(ref_models_module):
+    """Random-init params must carry exactly the reference checkpoint keys
+    (inference-relevant subset) with matching shapes."""
+    ref, cfg, params = _build(ref_models_module, "v2")
+    import jax
+
+    import jax.numpy as jnp
+    from gsv_tts_tpu.models.sovits import SovitsConfig, init_params
+
+    small_cfg = jsv.SovitsConfig(
+        spec_channels=SMALL["spec_channels"],
+        inter_channels=SMALL["inter_channels"],
+        hidden_channels=SMALL["hidden_channels"],
+        filter_channels=SMALL["filter_channels"],
+        n_heads=SMALL["n_heads"],
+        n_layers=SMALL["n_layers"],
+        kernel_size=SMALL["kernel_size"],
+        resblock_kernel_sizes=tuple(SMALL["resblock_kernel_sizes"]),
+        resblock_dilation_sizes=tuple(map(tuple, SMALL["resblock_dilation_sizes"])),
+        upsample_rates=tuple(SMALL["upsample_rates"]),
+        upsample_initial_channel=SMALL["upsample_initial_channel"],
+        upsample_kernel_sizes=tuple(SMALL["upsample_kernel_sizes"]),
+        gin_channels=SMALL["gin_channels"],
+        version="v2",
+    )
+    ours = init_params(jax.random.PRNGKey(0), small_cfg)
+    loaded = set(params.keys())
+    generated = set(ours.keys())
+    # every generated key must exist in the real checkpoint with same shape
+    missing = generated - loaded
+    assert not missing, sorted(missing)[:10]
+    for k in generated:
+        assert tuple(ours[k].shape) == tuple(params[k].shape), (
+            k, ours[k].shape, params[k].shape)
+    # and everything the inference graph touches must be generated
+    inference_needed = {k for k in loaded
+                        if not k.startswith(("enc_q", "quantizer.vq.layers.0._codebook.cluster_size",
+                                             "quantizer.vq.layers.0._codebook.embed_avg",
+                                             "quantizer.vq.layers.0._codebook.inited"))}
+    assert inference_needed - generated == set(), sorted(inference_needed - generated)[:10]
