@@ -295,6 +295,19 @@ def transformer_decode_step(params, cfg: T2SConfig, x, k_cache, v_cache, kv_len,
     indices — measured ~0.1 ms/token faster than ``lax.scan`` on v5e (the
     scan pays a dynamic-slice of every weight each iteration).  The scan path
     remains for compile-time-sensitive uses."""
+    if attn_impl in ("fused", "fused_interpret"):
+        # whole-layer Pallas kernel (``ops/fused_layer.py``): one launch per
+        # layer, caches appended in place by the kernel's DMA
+        from ..ops.fused_layer import fused_decode_layer
+
+        h = x
+        for i in range(cfg.num_layers):
+            lp = jax.tree.map(lambda a: a[i], params["layers"])
+            h, k_cache, v_cache = fused_decode_layer(
+                h, lp, k_cache, v_cache, kv_len, i,
+                interpret=(attn_impl == "fused_interpret"))
+        return h, k_cache, v_cache
+
     if unroll:
         h = x
         for i in range(cfg.num_layers):

@@ -76,3 +76,55 @@ def test_decode_chunk_flash_matches_xla():
         state, toks = decode_chunk(params, cfg, state, 10, sa, 0, "float32", impl)
         outs[impl] = np.asarray(toks)
     np.testing.assert_array_equal(outs["xla"], outs["flash_interpret"])
+
+
+def test_fused_layer_matches_xla():
+    """Experimental fused decode-layer kernel (interpret mode)."""
+    from gsv_tts_tpu.models.t2s import T2SConfig, _block_decode
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.ops.fused_layer import fused_decode_layer
+
+    cfg = T2SConfig(hidden_dim=64, embedding_dim=64, num_heads=4, num_layers=2,
+                    vocab_size=101, phoneme_vocab_size=50, eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    lp = jax.tree.map(lambda a: a[1], params["layers"])
+    rng = np.random.RandomState(0)
+    L, B, S, H, Dh = 2, 3, 256, 4, 16
+    x = jnp.asarray(rng.randn(B, 64).astype(np.float32))
+    kc = jnp.asarray(rng.randn(L, B, S, H, Dh).astype(np.float32))
+    vc = jnp.asarray(rng.randn(L, B, S, H, Dh).astype(np.float32))
+    kv_len = jnp.asarray([140, 7, 255], jnp.int32)
+    h_ref, kc_ref, vc_ref = _block_decode(x, lp, 1, kc, vc, kv_len,
+                                          cfg.num_heads, "xla")
+    x_out, kc2, vc2 = fused_decode_layer(x, lp, kc, vc, kv_len, 1, interpret=True)
+    np.testing.assert_allclose(np.asarray(x_out), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(kc2), np.asarray(kc_ref))
+    np.testing.assert_array_equal(np.asarray(vc2), np.asarray(vc_ref))
+
+
+def test_decode_chunk_fused_matches_xla():
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs, decode_chunk, prefill_batch
+
+    cfg = T2SConfig(hidden_dim=64, embedding_dim=64, num_heads=4, num_layers=2,
+                    vocab_size=101, phoneme_vocab_size=50, eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randint(1, 50, (1, 12)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 100, (1, 7)), jnp.int32)
+    bert = jnp.zeros((1, 12, cfg.bert_dim), jnp.float32)
+    sa = SampleArgs(top_k=1, repetition_penalty=1.0, use_prev=False)
+    outs = {}
+    for impl in ("xla", "fused_interpret"):
+        shape = (cfg.num_layers, 1, 128, cfg.num_heads, cfg.head_dim)
+        st, _ = prefill_batch(params, cfg, x, y, bert,
+                              jnp.full((1,), 12, jnp.int32),
+                              jnp.full((1,), 7, jnp.int32),
+                              jnp.zeros(shape, jnp.float32),
+                              jnp.zeros(shape, jnp.float32),
+                              jax.random.PRNGKey(1), sa, True, "float32")
+        st, toks = decode_chunk(params, cfg, st, 10, sa, 0, "float32", impl)
+        outs[impl] = np.asarray(toks)
+    np.testing.assert_array_equal(outs["xla"], outs["fused_interpret"])
