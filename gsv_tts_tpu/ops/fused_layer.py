@@ -154,12 +154,19 @@ def _kernel(scalar_ref,  # scalar prefetch: [layer, kv_len[0..B-1]]
 
 
 @functools.lru_cache(maxsize=8)
-def _head_pool(D: int, H: int):
+def _head_pool_np(D: int, H: int):
     p = np.zeros((D, H), np.float32)
     dh = D // H
     for h in range(H):
         p[h * dh:(h + 1) * dh, h] = 1.0
-    return jnp.asarray(p), jnp.asarray(p.T.copy())
+    return p, p.T.copy()
+
+
+def _head_pool(D: int, H: int):
+    # NOTE: convert to jnp per call — caching jnp values would leak traced
+    # constants between jit traces (UnexpectedTracerError)
+    p, pt = _head_pool_np(D, H)
+    return jnp.asarray(p), jnp.asarray(pt)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
