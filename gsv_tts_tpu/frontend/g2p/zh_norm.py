@@ -84,9 +84,14 @@ _RE_NUMBER = re.compile(r"-?\d+(?:\.\d+)?")
 _RE_LONG_DIGITS = re.compile(r"(?<!\d)\d{12,}(?!\d)")
 
 
+MEASURE_WORDS = "个只本条张件位名台辆颗粒棵架间家场次遍趟回双对份杯瓶碗盘箱包层楼岁人元块角毛斤两克米"
+
+
 def normalize(text: str) -> str:
     # full-width digits → ascii
     text = text.translate(str.maketrans("０１２３４５６７８９", "0123456789"))
+    # standalone 2 before a measure word reads 两 (reference quantifier.py)
+    text = re.sub(f"(?<![0-9.])2(?=[{MEASURE_WORDS}])", "两", text)
 
     def rep_date(m):
         y, mo, d = m.groups()

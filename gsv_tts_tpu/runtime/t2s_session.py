@@ -320,7 +320,8 @@ class T2SEngine:
 
     def generate(self, x_ids, y_ids, bert, top_k=15, top_p=1.0, temperature=1.0,
                  repetition_penalty=1.35, rng: Optional[jax.Array] = None,
-                 stream_chunk: Optional[int] = None):
+                 stream_chunk: Optional[int] = None,
+                 boost_first_chunk: bool = False):
         """Greedy-loop generation for B=1.  Returns list of generated tokens
         (first post-prefill sample excluded, EOS trimmed — mirroring
         ``t2s_model.py:458-464``).  If ``stream_chunk`` is set, instead acts
@@ -329,7 +330,7 @@ class T2SEngine:
         if stream_chunk is not None:
             return self._generate_stream(
                 x_ids, y_ids, bert, top_k, top_p, temperature,
-                repetition_penalty, rng, stream_chunk)
+                repetition_penalty, rng, stream_chunk, boost_first_chunk)
         toks = None
         for toks, is_final in self._generate_stream(
                 x_ids, y_ids, bert, top_k, top_p, temperature,

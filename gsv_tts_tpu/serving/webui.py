@@ -259,6 +259,27 @@ button{padding:.5rem 1.2rem;border:0;border-radius:6px;background:#3b5bdb;color:
 <button onclick="synth()">Synthesize</button>
 <div id="status"></div><audio id="player" controls style="width:100%;margin-top:.5rem"></audio>
 </fieldset>
+<fieldset><legend>Voice conversion</legend>
+<div class="row">
+<div><label>Target speaker audio</label><input id="vc_spk"></div>
+<div><label>Source audio</label><input id="vc_src"></div>
+</div>
+<label>Source transcript</label><input id="vc_text">
+<button onclick="vc()">Convert</button>
+<audio id="vc_player" controls style="width:100%;margin-top:.5rem"></audio>
+</fieldset>
+<fieldset><legend>Presets</legend>
+<div class="row">
+<div><label>Name</label><input id="p_name"></div>
+<div><label>Speaker audio</label><input id="p_spk"></div>
+</div>
+<div class="row">
+<div><label>Prompt audio</label><input id="p_prompt"></div>
+<div><label>Prompt text</label><input id="p_text"></div>
+</div>
+<button onclick="savePreset()">Save preset</button>
+<div id="p_list"></div>
+</fieldset>
 <fieldset><legend>History</legend><ul id="hist"></ul></fieldset>
 <script>
 async function synth(){
@@ -276,7 +297,23 @@ async function loadHist(){
   const h=await (await fetch('/ui/history')).json();
   hist.innerHTML=h.slice(-12).reverse().map(e=>`<li><a href="/ui/audio/${e.file}">${e.file}</a> — ${e.duration}s, RTF ${e.rtf} — ${e.text.slice(0,60)}</li>`).join('');
 }
-loadHist();
+async function vc(){
+  const r=await fetch('/ui/vc',{method:'POST',headers:{'Content-Type':'application/json'},
+    body:JSON.stringify({speaker_audio:vc_spk.value, prompt_audio:vc_src.value, prompt_text:vc_text.value})});
+  const d=await r.json();
+  if(r.ok){vc_player.src=d.audio_url; vc_player.play();}
+}
+async function savePreset(){
+  await fetch('/ui/presets',{method:'POST',headers:{'Content-Type':'application/json'},
+    body:JSON.stringify({name:p_name.value, speaker_audio:p_spk.value,
+                         prompt_audio:p_prompt.value, prompt_text:p_text.value})});
+  loadPresets();
+}
+async function loadPresets(){
+  const p=await (await fetch('/ui/presets')).json();
+  p_list.textContent='Saved: '+Object.keys(p).join(', ');
+}
+loadHist(); loadPresets();
 </script></body></html>
 """
 

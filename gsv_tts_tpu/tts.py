@@ -369,7 +369,8 @@ class TTS:
             generator = gpt.engine.generate(
                 all_phones, prompt, bert, top_k=top_k, top_p=top_p,
                 temperature=temperature, repetition_penalty=repetition_penalty,
-                rng=self._next_rng(), stream_chunk=stream_chunk)
+                rng=self._next_rng(), stream_chunk=stream_chunk,
+                boost_first_chunk=boost_first_chunk if i == 0 else False)
             phones2_arr = np.asarray(phones2, np.int32)[None]
 
             last_subtitles_end = 0
