@@ -66,10 +66,19 @@ GPT_KEY_MAP = [
 
 
 def _torch_load(path_or_bytes) -> Dict[str, Any]:
-    import torch  # lazy: only needed for legacy pickles
+    """Deserialize a torch checkpoint: pure-Python zip reader first
+    (``utils/torch_pickle.py`` — no torch needed), torch itself as the
+    fallback for legacy/exotic pickles."""
+    from .utils import torch_pickle
 
-    obj = torch.load(path_or_bytes, map_location="cpu", weights_only=False)
-    return obj
+    try:
+        return torch_pickle.load(path_or_bytes)
+    except Exception:
+        if hasattr(path_or_bytes, "seek"):
+            path_or_bytes.seek(0)
+        import torch  # lazy fallback
+
+        return torch.load(path_or_bytes, map_location="cpu", weights_only=False)
 
 
 def _to_numpy_state_dict(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:

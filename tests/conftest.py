@@ -68,3 +68,10 @@ def import_reference_module(relpath: str, name: str):
     else:
         setattr(sys.modules[pkg_root], parts[0], mod)
     return mod
+
+
+# persistent XLA compile cache: cuts repeated test-suite wall time
+from gsv_tts_tpu.utils.timing import enable_compilation_cache
+
+enable_compilation_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                      ".jax_test_cache"))

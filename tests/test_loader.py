@@ -159,3 +159,49 @@ def test_sovits_safetensors_roundtrip(tmp_path):
     assert set(a.params.keys()) == set(b.params.keys())
     np.testing.assert_allclose(np.asarray(a.params["dec.ups.0.weight"]),
                                np.asarray(b.params["dec.ups.0.weight"]), atol=1e-7)
+
+
+def test_pure_python_torch_reader(tmp_path):
+    """utils/torch_pickle loads torch zip checkpoints without torch."""
+    from gsv_tts_tpu.utils import torch_pickle
+
+    obj = {
+        "config": {"model": {"hidden": 64, "name": "x"}, "lr": [1, 2.5]},
+        "weight": {
+            "a.weight": torch.randn(3, 5),
+            "b.bias": torch.arange(7, dtype=torch.int64),
+            "c.half": torch.randn(2, 2).half(),
+            "d.bf16": torch.randn(4, 3).bfloat16(),
+            "e.scalar": torch.tensor(2.5),
+            "f.noncontig": torch.randn(6, 8).t(),
+        },
+    }
+    path = tmp_path / "roundtrip.pth"
+    torch.save(obj, str(path))
+    out = torch_pickle.load(str(path))
+    assert out["config"] == obj["config"]
+    for k, v in obj["weight"].items():
+        got = out["weight"][k]
+        ref = v.float().numpy() if v.dtype == torch.bfloat16 else v.numpy()
+        np.testing.assert_array_equal(np.asarray(got, np.float32)
+                                      if "bf16" in k else got, ref)
+        assert tuple(got.shape) == tuple(v.shape)
+
+
+def test_loader_works_without_torch(tmp_path, monkeypatch):
+    """Checkpoint loading must not require torch at runtime."""
+    import builtins
+    import sys
+
+    _, gpt_path = _make_gpt_ckpt(tmp_path)
+
+    real_import = builtins.__import__
+
+    def guarded(name, *args, **kwargs):
+        if name == "torch" or name.startswith("torch."):
+            raise ImportError("torch blocked for this test")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", guarded)
+    gpt = loader.get_gpt_weights(gpt_path, _cfg())
+    assert gpt.cfg.eos == 100
