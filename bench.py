@@ -72,7 +72,7 @@ def bench_t2s_decode(n_tokens: int = 500, chunk: int = 25, bucket: int = 512,
     np.asarray(state.kv_len)
     compile_prefill_s = time.perf_counter() - t_prefill0
 
-    attn_impl = "flash" if platform == "tpu" else "xla"
+    attn_impl = "fused_step" if platform == "tpu" else "xla"
     for _ in range(max(1, warmup_tokens // chunk)):
         state, toks = decode_chunk(params, cfg, state, chunk, sa, 0, dtype_name,
                                    attn_impl)

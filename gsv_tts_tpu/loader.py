@@ -197,12 +197,13 @@ def get_gpt_weights(gpt_path, tts_config: Config) -> Gpt:
     cfg = T2SConfig.from_checkpoint_config(config)
     params = t2s_model.params_from_torch_state_dict(weights, cfg, dtype=tts_config.dtype)
     gpt_cache = tts_config.gpt_cache or [(1, 512), (1, 1024)]
-    # Pallas decode attention wins at every bucket size with the unrolled
-    # layer loop (v5e, flagship config: S=512 XLA 1477 vs flash 1604 tok/s;
-    # S=1024 XLA 1098 vs flash 1217).
+    # Kernel policy (v5e, flagship config): the whole-step fused kernel
+    # (ops/fused_step.py, B=1) wins at every bucket size — S=512: 2048 vs
+    # flash 1632 vs XLA 1477 tok/s; S=1024: 1755 vs 1539 vs 1098.  B>1
+    # decode falls back to the flash decode-attention kernel automatically.
     attn_impl = "xla"
     if getattr(tts_config, "use_flash_attn", False) and tts_config.platform == "tpu":
-        attn_impl = "flash"
+        attn_impl = "fused_step"
     engine = T2SEngine(params, cfg, gpt_cache=gpt_cache,
                        dtype=tts_config.dtype, attn_impl=attn_impl)
     return Gpt(engine, params, cfg, config)

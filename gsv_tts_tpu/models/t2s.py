@@ -295,6 +295,14 @@ def transformer_decode_step(params, cfg: T2SConfig, x, k_cache, v_cache, kv_len,
     indices — measured ~0.1 ms/token faster than ``lax.scan`` on v5e (the
     scan pays a dynamic-slice of every weight each iteration).  The scan path
     remains for compile-time-sensitive uses."""
+    if attn_impl in ("fused_step", "fused_step_interpret") and x.shape[0] == 1:
+        # whole-step kernel: ALL layers in one launch with double-buffered
+        # weight streaming (``ops/fused_step.py``)
+        from ..ops.fused_step import fused_decode_step
+
+        return fused_decode_step(x, params["layers"], k_cache, v_cache, kv_len,
+                                 interpret=(attn_impl == "fused_step_interpret"))
+
     if attn_impl in ("fused", "fused_interpret"):
         # whole-layer Pallas kernel (``ops/fused_layer.py``): one launch per
         # layer, caches appended in place by the kernel's DMA
