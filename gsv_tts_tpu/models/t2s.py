@@ -295,7 +295,10 @@ def transformer_decode_step(params, cfg: T2SConfig, x, k_cache, v_cache, kv_len,
     indices — measured ~0.1 ms/token faster than ``lax.scan`` on v5e (the
     scan pays a dynamic-slice of every weight each iteration).  The scan path
     remains for compile-time-sensitive uses."""
-    if attn_impl in ("fused_step", "fused_step_interpret") and x.shape[0] == 1:
+    if (attn_impl in ("fused_step", "fused_step_interpret") and x.shape[0] == 1
+            and x.shape[1] % 128 == 0):
+        # (the kernel lane-slices qkv at offsets D and 2D, so the hidden dim
+        # must be 128-aligned; smaller models fall through to flash/XLA)
         # whole-step kernel: ALL layers in one launch with double-buffered
         # weight streaming (``ops/fused_step.py``)
         from ..ops.fused_step import fused_decode_step

@@ -139,11 +139,13 @@ class TTSServer:
         })
 
     async def health(self, request: web.Request) -> web.Response:
+        engine_timings = (self.tts.get_timings()
+                          if hasattr(self.tts, "get_timings") else {})
         return web.json_response({
             "status": "ok",
             "gpt_models": [str(p) for p in self.tts.get_gpt_list()],
             "sovits_models": [str(p) for p in self.tts.get_sovits_list()],
-            "timings": self.timings.summary(),
+            "timings": {**self.timings.summary(), **engine_timings},
         })
 
     async def tts_stream(self, request: web.Request) -> web.StreamResponse:

@@ -32,6 +32,7 @@ from .loader import (Gpt, Sovits, get_gpt_weights, get_sovits_weights,
 from .models import sovits as sovits_model
 from .ops import stft
 from .player import AudioClip, AudioQueue
+from .utils.timing import Timings, RTFMeter
 
 logging.basicConfig(
     level=logging.INFO,
@@ -113,6 +114,9 @@ class TTS:
 
         self.audio_queue = AudioQueue(self.samplerate)
         self._infer_lock = threading.Lock()
+        # first-class latency observability (SURVEY §5: the reference only has
+        # tqdm bars + the WebUI RTF readout)
+        self.timings = Timings()
         self._rng = jax.random.PRNGKey(np.random.randint(0, 2 ** 31 - 1))
 
         logging.info(f"Platform: {self.tts_config.platform}, dtype: {jnp.dtype(self.tts_config.dtype).name}")
@@ -280,21 +284,24 @@ class TTS:
         gpt, prompt, phones1, bert1 = self._prepare_gpt_resources(
             gpt_model, prompt_audio_path, prompt_audio_text)
 
-        phones2, word2ph, bert2, norm_text = get_phones_and_bert(text, self.tts_config)
+        with self.timings.span("frontend"):
+            phones2, word2ph, bert2, norm_text = get_phones_and_bert(text, self.tts_config)
         all_phones = np.asarray(phones1 + phones2, np.int32)
         bert = np.concatenate([np.asarray(bert1, np.float32),
                                np.asarray(bert2, np.float32)], axis=0)
 
-        pred_semantic = gpt.engine.generate(
-            all_phones, prompt, bert, top_k=top_k, top_p=top_p,
-            temperature=temperature, repetition_penalty=repetition_penalty,
-            rng=self._next_rng())
-        semantic = np.asarray(pred_semantic).reshape(-1)
+        with self.timings.span("t2s"):
+            pred_semantic = gpt.engine.generate(
+                all_phones, prompt, bert, top_k=top_k, top_p=top_p,
+                temperature=temperature, repetition_penalty=repetition_penalty,
+                rng=self._next_rng())
+            semantic = np.asarray(pred_semantic).reshape(-1)
 
-        audio, attn = self._sovits_decode(
-            sovits, semantic[None, None, :], np.asarray(phones2, np.int32)[None],
-            ge, noise_scale=noise_scale, speed=speed)
-        audio = np.asarray(audio).reshape(-1)
+        with self.timings.span("sovits"):
+            audio, attn = self._sovits_decode(
+                sovits, semantic[None, None, :], np.asarray(phones2, np.int32)[None],
+                ge, noise_scale=noise_scale, speed=speed)
+            audio = np.asarray(audio).reshape(-1)
 
         if return_subtitles:
             assign = dsp.viterbi_monotonic(np.asarray(attn))
@@ -322,6 +329,12 @@ class TTS:
         audio_len_s = len(audio) / self.samplerate
         return AudioClip(self.audio_queue, audio.astype(np.float32),
                          self.samplerate, audio_len_s, subtitles, text)
+
+    def get_timings(self):
+        """Latency percentiles per pipeline stage (frontend / t2s / sovits /
+        first-chunk TTFA) — the engine's observability surface; also exported
+        by the HTTP server's /health endpoint."""
+        return self.timings.summary()
 
     def infer_stream(self, spk_audio_path, prompt_audio_path, prompt_audio_text,
                      text, return_subtitles: bool = False, is_cut_text: bool = True,
@@ -356,6 +369,11 @@ class TTS:
         cur_text_l = 0
         audio_len_s = 0.0
         last_end_s = 0.0
+
+        import time as _time
+
+        _t_start = _time.perf_counter()
+        _first_yield = [True]
 
         text_cuts = cut_text(text, cut_minlen)
         for i, text_cut in enumerate(text_cuts):
@@ -443,6 +461,9 @@ class TTS:
                     new_subtitles = []
 
                 audio_len_s += len(audio) / self.samplerate
+                if _first_yield[0]:
+                    self.timings.record("ttfa_s", _time.perf_counter() - _t_start)
+                    _first_yield[0] = False
                 yield AudioClip(self.audio_queue, audio.astype(np.float32),
                                 self.samplerate, audio_len_s, new_subtitles, text)
                 chunk_idx += 1
