@@ -145,10 +145,10 @@ class SVConfig:
     expansion = 4
 
 
-def eres2netv2_forward3(p: Dict[str, jnp.ndarray], feat: jnp.ndarray,
+def eres2netv2_features(p: Dict[str, jnp.ndarray], feat: jnp.ndarray,
                         cfg: SVConfig = SVConfig) -> jnp.ndarray:
-    """feat [B, T, 80] → fused pre-pooling feature mean [B, 20480]
-    (``ERes2NetV2.py:230-241``)."""
+    """feat [B, T, 80] → fused pre-pooling feature map [B, C, F, T']
+    (``ERes2NetV2.py:230-240`` before the temporal mean)."""
     x = feat.transpose(0, 2, 1)[:, None]  # [B, 1, F, T]
     out = _relu20(_bn(p, "bn1.", conv2d(x, p["conv1.weight"], padding=1)))
 
@@ -173,9 +173,22 @@ def eres2netv2_forward3(p: Dict[str, jnp.ndarray], feat: jnp.ndarray,
             in_planes = planes * cfg.expansion
     out4 = out
     out3_ds = conv2d(out3, p["layer3_ds.weight"], stride=2, padding=1)
-    fused = _aff(p, "fuse34.", out4, out3_ds)
+    return _aff(p, "fuse34.", out4, out3_ds)
+
+
+def eres2netv2_forward3(p: Dict[str, jnp.ndarray], feat: jnp.ndarray,
+                        cfg: SVConfig = SVConfig) -> jnp.ndarray:
+    """feat [B, T, 80] → fused pre-pooling feature mean [B, 20480]
+    (``ERes2NetV2.py:230-241``).
+
+    NOTE: the temporal mean lives OUTSIDE the jitted feature extractor in
+    ``ERes2Net.compute_embedding3`` — the [B,2048,10,T]→[B,2048,10] reduce
+    (in any formulation: reshape+reduce, reduce+reshape, or dot_general)
+    trips an XLA:TPU post-optimization layout assert on the current
+    toolchain, so the tiny mean runs on the host instead."""
+    fused = eres2netv2_features(p, feat, cfg)
     B = fused.shape[0]
-    return jnp.mean(fused.reshape(B, fused.shape[1] * fused.shape[2], -1), axis=-1)
+    return jnp.mean(fused.astype(F32), axis=-1).reshape(B, -1)
 
 
 class ERes2Net:
@@ -190,12 +203,15 @@ class ERes2Net:
         self.dtype = tts_config.dtype
         self.params = {k: jnp.asarray(v.numpy() if hasattr(v, "numpy") else v, self.dtype)
                        for k, v in sd.items() if "num_batches_tracked" not in k}
-        self._fwd = jax.jit(lambda p, f: eres2netv2_forward3(p, f))
+        self._fwd = jax.jit(lambda p, f: eres2netv2_features(p, f))
 
-    def compute_embedding3(self, wav: np.ndarray) -> jnp.ndarray:
+    def compute_embedding3(self, wav: np.ndarray) -> np.ndarray:
         """wav [B, T] 16 kHz → [B, 20480]."""
         wav = np.asarray(wav, np.float32)
         if wav.ndim == 1:
             wav = wav[None]
         feats = np.stack([kaldi_fbank(w) for w in wav])
-        return self._fwd(self.params, jnp.asarray(feats, self.dtype))
+        fused = np.asarray(self._fwd(self.params, jnp.asarray(feats, self.dtype)),
+                           np.float32)
+        # host-side temporal mean (see eres2netv2_forward3 note)
+        return fused.mean(axis=-1).reshape(fused.shape[0], -1)

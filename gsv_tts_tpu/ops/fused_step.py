@@ -46,8 +46,7 @@ def _kernel(scalar_ref,  # [kv_len]
             # outputs
             x_out_ref, k_new_ref, v_new_ref,
             # scratch: double-buffered weights (12 × [2, ...]), kv walk, sems
-            w_qkv_w, w_qkv_b, w_out_w, w_out_b, w_ln1_g, w_ln1_b,
-            w_mlp1_w, w_mlp1_b, w_mlp2_w, w_mlp2_b, w_ln2_g, w_ln2_b,
+            w_qkv_w, w_out_w, w_mlp1_w, w_mlp2_w,
             kv_vmem, x_scr, knew_stage, vnew_stage, w_sem, kv_sem, kvout_sem,
             *, L, S, H, D, block_s, eps=1e-5):
     length = scalar_ref[0]  # kv_len: entries strictly below the new token
@@ -55,10 +54,10 @@ def _kernel(scalar_ref,  # [kv_len]
     pool = pool_ref[:]
     poolT = poolT_ref[:]
 
-    hbm = (qkv_w_ref, qkv_b_ref, out_w_ref, out_b_ref, ln1_g_ref, ln1_b_ref,
-           mlp1_w_ref, mlp1_b_ref, mlp2_w_ref, mlp2_b_ref, ln2_g_ref, ln2_b_ref)
-    buf = (w_qkv_w, w_qkv_b, w_out_w, w_out_b, w_ln1_g, w_ln1_b,
-           w_mlp1_w, w_mlp1_b, w_mlp2_w, w_mlp2_b, w_ln2_g, w_ln2_b)
+    # only the four big matrices stream per layer; the small vector params
+    # (biases, layernorm gains) live whole in VMEM and are value-indexed
+    hbm = (qkv_w_ref, out_w_ref, mlp1_w_ref, mlp2_w_ref)
+    buf = (w_qkv_w, w_out_w, w_mlp1_w, w_mlp2_w)
 
     def start_layer_load(layer, slot):
         for j, (src, dst) in enumerate(zip(hbm, buf)):
@@ -89,7 +88,7 @@ def _kernel(scalar_ref,  # [kv_len]
         xc = x.astype(k_in_ref.dtype)
 
         qkv = jnp.dot(xc, w_qkv_w[slot], preferred_element_type=F32)
-        qkv = qkv + w_qkv_b[slot][0:1].astype(F32)
+        qkv = qkv + qkv_b_ref[i][0:1].astype(F32)
         q = qkv[:, :D]
         k_new = qkv[:, D:2 * D]
         v_new = qkv[:, 2 * D:]
@@ -163,22 +162,22 @@ def _kernel(scalar_ref,  # [kv_len]
 
             h = jnp.dot((acc / l_exp).astype(k_in_ref.dtype), w_out_w[slot],
                         preferred_element_type=F32)
-            h = x + h + w_out_b[slot][0:1].astype(F32)
+            h = x + h + out_b_ref[i][0:1].astype(F32)
             mean = jnp.mean(h, axis=-1, keepdims=True)
             var = jnp.mean((h - mean) ** 2, axis=-1, keepdims=True)
-            h = (h - mean) * jax.lax.rsqrt(var + eps) * w_ln1_g[slot][0:1].astype(F32) \
-                + w_ln1_b[slot][0:1].astype(F32)
+            h = (h - mean) * jax.lax.rsqrt(var + eps) \
+                * ln1_g_ref[i][0:1].astype(F32) + ln1_b_ref[i][0:1].astype(F32)
 
             m1 = jnp.dot(h.astype(k_in_ref.dtype), w_mlp1_w[slot],
                          preferred_element_type=F32)
-            m1 = jnp.maximum(m1 + w_mlp1_b[slot][0:1].astype(F32), 0.0)
+            m1 = jnp.maximum(m1 + mlp1_b_ref[i][0:1].astype(F32), 0.0)
             m2 = jnp.dot(m1.astype(k_in_ref.dtype), w_mlp2_w[slot],
                          preferred_element_type=F32)
-            h2 = h + m2 + w_mlp2_b[slot][0:1].astype(F32)
+            h2 = h + m2 + mlp2_b_ref[i][0:1].astype(F32)
             mean = jnp.mean(h2, axis=-1, keepdims=True)
             var = jnp.mean((h2 - mean) ** 2, axis=-1, keepdims=True)
             x_scr[:] = (h2 - mean) * jax.lax.rsqrt(var + eps) \
-                * w_ln2_g[slot][0:1].astype(F32) + w_ln2_b[slot][0:1].astype(F32)
+                * ln2_g_ref[i][0:1].astype(F32) + ln2_b_ref[i][0:1].astype(F32)
 
         pl.run_scoped(
             scoped,
@@ -218,7 +217,6 @@ def fused_decode_step(x, layers, k_cache, v_cache, kv_len,
     vc2 = v_cache.reshape(L, B, S, D)
     pool, poolT = _head_pool(D, H)
 
-    ROWS = 16
     kernel = functools.partial(_kernel, L=L, S=S, H=H, D=D, block_s=block_s)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -226,37 +224,31 @@ def fused_decode_step(x, layers, k_cache, v_cache, kv_len,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[vmem, vmem, vmem] + [any_] * 12 + [any_, any_],
+        in_specs=[vmem, vmem, vmem,
+                  any_, vmem, any_, vmem, vmem, vmem,
+                  any_, vmem, any_, vmem, vmem, vmem,
+                  any_, any_],
         out_specs=[vmem, any_, any_],
         scratch_shapes=[
             pltpu.VMEM((2, D, 3 * D), dtype),    # qkv_w
-            pltpu.VMEM((2, ROWS, 3 * D), dtype), # qkv_b
             pltpu.VMEM((2, D, D), dtype),        # out_w
-            pltpu.VMEM((2, ROWS, D), dtype),     # out_b
-            pltpu.VMEM((2, ROWS, D), F32),       # ln1_g
-            pltpu.VMEM((2, ROWS, D), F32),       # ln1_b
             pltpu.VMEM((2, D, M), dtype),        # mlp1_w
-            pltpu.VMEM((2, ROWS, M), dtype),     # mlp1_b
             pltpu.VMEM((2, M, D), dtype),        # mlp2_w
-            pltpu.VMEM((2, ROWS, D), dtype),     # mlp2_b
-            pltpu.VMEM((2, ROWS, D), F32),       # ln2_g
-            pltpu.VMEM((2, ROWS, D), F32),       # ln2_b
             pltpu.VMEM((2, block_s, D), dtype),  # kv walk buffer
             pltpu.VMEM((1, D), F32),             # activation carry
             pltpu.VMEM((2, 2, D), dtype),        # k_new staging
             pltpu.VMEM((2, 2, D), dtype),        # v_new staging
-            pltpu.SemaphoreType.DMA((2, 12)),
+            pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
-    ROWS_ = 16  # vector params replicated over sublane rows so per-layer
-    # slices stay tile-aligned for every dtype (bf16 tile 16)
-
     def as3(t, f32=False):
+        # [L, 2, N]: padded second-minor row so whole-array VMEM staging is
+        # tile-friendly; kernel value-indexes [i][0:1]
         arr = jnp.broadcast_to(t.reshape(L, 1, t.shape[-1]),
-                               (L, ROWS_, t.shape[-1]))
+                               (L, 2, t.shape[-1]))
         return arr.astype(F32) if f32 else arr
 
     x_out, k_new, v_new = pl.pallas_call(
