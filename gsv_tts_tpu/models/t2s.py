@@ -306,6 +306,11 @@ def transformer_decode_step(params, cfg: T2SConfig, x, k_cache, v_cache, kv_len,
         return fused_decode_step(x, params["layers"], k_cache, v_cache, kv_len,
                                  interpret=(attn_impl == "fused_step_interpret"))
 
+    # fused_step not applicable (B>1 or unaligned hidden dim): degrade to the
+    # flash kernel, preserving interpret mode
+    attn_impl = {"fused_step": "flash",
+                 "fused_step_interpret": "flash_interpret"}.get(attn_impl, attn_impl)
+
     if attn_impl in ("fused", "fused_interpret"):
         # whole-layer Pallas kernel (``ops/fused_layer.py``): one launch per
         # layer, caches appended in place by the kernel's DMA

@@ -163,7 +163,8 @@ def test_decode_chunk_fused_step_matches_xla():
     from gsv_tts_tpu.models.t2s import T2SConfig
     from gsv_tts_tpu.runtime.t2s_session import SampleArgs, decode_chunk, prefill_batch
 
-    cfg = T2SConfig(hidden_dim=64, embedding_dim=64, num_heads=4, num_layers=2,
+    # hidden dim must be 128-aligned for the whole-step kernel
+    cfg = T2SConfig(hidden_dim=128, embedding_dim=128, num_heads=4, num_layers=2,
                     vocab_size=101, phoneme_vocab_size=50, eos=100)
     params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     rng = np.random.RandomState(3)
