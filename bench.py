@@ -108,6 +108,46 @@ def bench_t2s_decode(n_tokens: int = 500, chunk: int = 25, bucket: int = 512,
     }
 
 
+def bench_batched_decode(B: int = 4, chunk: int = 25, bucket: int = 512,
+                         n_chunks: int = 16):
+    """Aggregate continuous-batching decode throughput (the serving
+    headline): B concurrent slots, flash decode-attention kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs, decode_chunk, prefill_batch
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+    dtype_name = jnp.dtype(dtype).name
+    cfg = T2SConfig()
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    params["predict_w"] = params["predict_w"] * 0.05
+    sa = SampleArgs(use_prev=False, repetition_penalty=1.0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(1, 700, (B, 64)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 1024, (B, 64)), jnp.int32)
+    bert = jnp.zeros((B, 64, cfg.bert_dim), jnp.float32)
+    shape = (cfg.num_layers, B, bucket, cfg.num_heads, cfg.head_dim)
+    state, _ = prefill_batch(params, cfg, x, y, bert,
+                             jnp.full((B,), 60, jnp.int32),
+                             jnp.full((B,), 60, jnp.int32),
+                             jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                             jax.random.PRNGKey(1), sa, True, dtype_name)
+    impl = "flash" if platform == "tpu" else "xla"
+    state, toks = decode_chunk(params, cfg, state, chunk, sa, 0, dtype_name, impl)
+    np.asarray(toks)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, toks = decode_chunk(params, cfg, state, chunk, sa, 0, dtype_name, impl)
+    np.asarray(toks)
+    dt = time.perf_counter() - t0
+    agg = n_chunks * chunk * B / dt
+    return {"batch": B, "agg_tok_s": agg, "streams_realtime": agg / 25.0}
+
+
 def bench_sovits_chunk(frames25: int = 25, n_text: int = 30, reps: int = 8):
     """Streaming vocoder chunk: enc_p + flow + HiFi-GAN for one 25-token
     (1 s) chunk at the [55]-frame bucket — the reference's CUDA-graph region
@@ -165,6 +205,13 @@ def main():
         f"prefill={stats['prefill_ms']:.1f}ms ttft(gpt)={stats['ttft_gpt_ms']:.1f}ms "
         f"gpt_rtf={stats['gpt_rtf']:.4f} compile={stats['compile_prefill_s']:.1f}s",
         file=sys.stderr)
+    try:
+        bt = bench_batched_decode()
+        print(f"# batched B={bt['batch']}: {bt['agg_tok_s']:.0f} aggregate tok/s "
+              f"(~{bt['streams_realtime']:.0f} concurrent realtime GPT streams)",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# batched bench failed: {e}", file=sys.stderr)
     if not args.skip_sovits:
         try:
             sv = bench_sovits_chunk()
