@@ -287,3 +287,46 @@ def test_chinese_bert_path(assets, tmp_path_factory):
         assert len(clip.audio_data) > 0
     finally:
         global_config.chinese_g2p = old_g2p
+
+
+def test_whitespace_text_does_not_crash(assets, engine):
+    """Reference TTS.py has no target-text validation — whitespace-only text
+    must synthesize (the frontend appends '.') rather than raise."""
+    clip = engine.infer(assets["spk"], assets["prompt"], "hello there.", "   ")
+    assert clip.audio_data.dtype == np.float32
+
+
+def test_text_without_trailing_pause(assets, engine):
+    """Reference appends '.' when the text lacks trailing punctuation."""
+    clip = engine.infer(assets["spk"], assets["prompt"], "hello there.",
+                        "no trailing punctuation here")
+    assert len(clip.audio_data) > 0
+
+
+def test_empty_prompt_text_raises(assets, engine):
+    with pytest.raises(ValueError):
+        engine.cache_prompt_audio(assets["prompt"] + "x", "   ")
+
+
+def test_realtime_module_gates_cleanly():
+    """serving.realtime imports fine without aiortc; use raises clearly."""
+    import importlib
+
+    mod = importlib.import_module("gsv_tts_tpu.serving.realtime")
+    try:
+        import aiortc  # noqa: F401
+        pytest.skip("aiortc installed")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="aiortc"):
+        mod._require_aiortc()
+
+
+def test_long_text_multisegment_stream(assets, engine):
+    text = ("one sentence here. another one follows, with a clause. "
+            "and a third for good measure. plus the fourth.")
+    chunks = list(engine.infer_stream(assets["spk"], assets["prompt"],
+                                      "hello there.", text, cut_minlen=5,
+                                      debug=False))
+    assert len(chunks) >= 2
+    assert all(c.audio_data.dtype == np.float32 for c in chunks)
