@@ -115,7 +115,10 @@ class ChineseG2P:
 
         from .tone_sandhi import ToneSandhi
 
-        self.tone_modifier = ToneSandhi()
+        # the sandhi merges need per-word finals; feed them from whichever
+        # pinyin backend this G2P is using (pypinyin or the bundled lexicon)
+        self.tone_modifier = ToneSandhi(
+            finals_fn=lambda w: self._get_initials_finals(w)[1])
 
         # erhua rule sets (linguistic exception data, reference
         # ``chinese.py:34-81`` semantics — compact equivalents)

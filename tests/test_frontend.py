@@ -144,6 +144,154 @@ def test_zh_norm_patterns():
     assert "幺三八幺二三四五六七八" == out
 
 
+def test_zh_norm_oracle_parity():
+    """Full-pipeline parity vs the reference TextNormalizer
+    (G2P/Chinese/Normalization/text_normlization.py) on a broad corpus plus
+    deterministic fuzz around quantifiers, units, and separators."""
+    import random
+    import types
+
+    # the reference constants.py only needs pypinyin for a UCS4 flag; stub it
+    # just for the oracle import and remove the stub afterwards so the gated
+    # real-pypinyin paths elsewhere keep seeing the true environment
+    stubbed = "pypinyin" not in sys.modules
+    if stubbed:
+        pp = types.ModuleType("pypinyin")
+        ppc = types.ModuleType("pypinyin.constants")
+        ppc.SUPPORT_UCS4 = True
+        pp.constants = ppc
+        sys.modules["pypinyin"] = pp
+        sys.modules["pypinyin.constants"] = ppc
+    try:
+        tn_mod = import_reference_module(
+            "GPT_SoVITS/G2P/Chinese/Normalization/text_normlization.py",
+            "GPT_SoVITS.G2P.Chinese.Normalization.text_normlization")
+    finally:
+        if stubbed:
+            sys.modules.pop("pypinyin", None)
+            sys.modules.pop("pypinyin.constants", None)
+    ref = tn_mod.TextNormalizer()
+
+    cases = [
+        "2024年1月5日", "24年12月31号", "2024/03/05", "2024-03-05",
+        "2024.03.05", "下午3:00开会", "8:05起床", "8:30-12:30营业",
+        "12:45:30", "19:30", "气温-3°C到5℃", "水温25摄氏度", "3°C~10°C",
+        "5kg重", "100km远", "10cm²", "1+2=3", "2³次", "x²+y²=z²",
+        "约1/3的人", "涨了50%", "-20%", "13812345678", "+86 13912345678",
+        "010-12345678", "400-123-4567", "4001234567", "3-5天", "10~20个",
+        "-42", "v2.4.1", "版本1.0.0.3", "3.14", "3.20", "0.5", ".25",
+        "-5.5", "2个人", "3多只", "12个", "2两酒", "200元", "5+个",
+        "几百个", "123", "00078", "1234", "56", "9999", "10005",
+        "200000000", "①号②号", "α射线和β射线", "我有3本书和2只猫",
+        "他说5%的概率", "电话是123456789", "序号007", "共12345678人",
+        "2次会议", "读3遍", "下午2点", "重2公斤", "3.00元", "第10⁵个",
+        "6:30:15到了", "15:45~16:00", "2米布", "买2斤肉", "2小时后",
+        "2分钟", "零下5度", "-7.5℃",
+    ]
+    rng = random.Random(0)
+    quants = "个 只 本 条 小时 分钟 次 点 克 千克 元 岁".split()
+    for _ in range(200):
+        n = rng.choice(["2", "12", "105", "3.5", "-8", "0", "2024",
+                        str(rng.randint(0, 10 ** rng.randint(1, 10)))])
+        q = rng.choice(quants)
+        pat = rng.choice(["我要{n}{q}。", "{n}{q}", "大约{n}多{q}吧",
+                          "{n}~{m}{q}", "{n}-{m}", "{n}%", "{n}/7", "{n}:30",
+                          "{n}年", "{n}日", "{n}+{m}=9", "{n}號{q}"])
+        cases.append(pat.format(n=n, q=q, m=str(rng.randint(0, 999))))
+
+    for c in cases:
+        assert "".join(ref.normalize(c)) == zh_norm.normalize(c), c
+
+
+def test_tone_sandhi_oracle_parity():
+    """modified_tone + pre_merge_for_modify parity vs the reference
+    ToneSandhi (G2P/Chinese/tone_sandhi.py) across rule-triggering words,
+    POS tags, and randomized/forced tone patterns."""
+    import random
+
+    calls = {}
+
+    def fake_lazy_pinyin(word, neutral_tone_with_five=True, style=None):
+        return calls.get(word, ["a3"] * len(word))
+
+    stubbed = "pypinyin" not in sys.modules
+    if stubbed:
+        pp = types.ModuleType("pypinyin")
+        pp.lazy_pinyin = fake_lazy_pinyin
+        pp.Style = types.SimpleNamespace(FINALS_TONE3=9, TONE3=8)
+        ppc = types.ModuleType("pypinyin.constants")
+        ppc.SUPPORT_UCS4 = True
+        pp.constants = ppc
+        sys.modules["pypinyin"] = pp
+        sys.modules["pypinyin.constants"] = ppc
+    try:
+        ts_mod = import_reference_module(
+            "GPT_SoVITS/G2P/Chinese/tone_sandhi.py",
+            "GPT_SoVITS.G2P.Chinese.tone_sandhi")
+    finally:
+        if stubbed:
+            sys.modules.pop("pypinyin", None)
+            sys.modules.pop("pypinyin.constants", None)
+    ref = ts_mod.ToneSandhi()
+
+    from gsv_tts_tpu.frontend.g2p.tone_sandhi import ToneSandhi
+
+    mine = ToneSandhi(finals_fn=fake_lazy_pinyin)
+
+    rng = random.Random(0)
+    words = ["妈妈", "试试", "看不懂", "不怕", "好不好", "看一看", "第一名",
+             "一段", "一天", "一", "二一零", "老虎", "纸老虎", "蒙古包",
+             "所有人", "好喜欢", "展览馆", "小小鸟", "了", "着", "过", "走了",
+             "孩子们", "桌子", "男子", "桌上", "家里", "上来", "下去", "三个",
+             "几个人", "半个", "个", "麻烦", "东西", "喜欢", "漂亮", "石头",
+             "时候", "什么时候", "耳朵", "人人", "哈哈", "想想", "豆腐",
+             "点心", "风筝", "骨头", "老实", "我们", "柱子", "椅子", "瓜子",
+             "电子", "以下", "可爱吧", "好的", "走吧", "真哒", "来哟", "水果",
+             "雨伞", "勇敢", "理想", "美好"]
+
+    def rand_finals(w):
+        return [rng.choice("aeiou") + rng.choice("in") + rng.choice("12345")
+                for _ in w]
+
+    for w in words:
+        for pos in ["n", "v", "a", "d", "r", "s", "l", "f", "ul", "uz",
+                    "ug", "m"]:
+            for trial in range(4):
+                f = rand_finals(w)
+                if trial == 1:
+                    f = [x[:-1] + "3" for x in f]
+                if trial == 2 and len(f) > 1:
+                    f = [x[:-1] + "3" for x in f[:-1]] + [f[-1][:-1] + "4"]
+                if trial == 3 and len(f) > 1:
+                    f = [f[0][:-1] + "3"] + [x[:-1] + "3" for x in f[1:]]
+                assert ref.modified_tone(w, pos, list(f)) == \
+                    mine.modified_tone(w, pos, list(f)), (w, pos, f)
+
+    calls.update({"听": ["ing1"], "一": ["i1"], "不": ["u4"], "怕": ["a4"],
+                  "好": ["ao3"], "妈": ["a1"], "花": ["ua1"], "儿": ["er2"],
+                  "天": ["ian1"], "展": ["an3"], "览": ["an3"], "馆": ["uan3"],
+                  "雨伞": ["v3", "an3"], "小": ["iao3"],
+                  "老虎": ["ao3", "u3"], "走": ["ou3"], "了": ["e5"],
+                  "吗": ["a5"]})
+    segs = [
+        [("听", "v"), ("一", "m"), ("听", "v")],
+        [("不", "d"), ("怕", "v")],
+        [("好", "a"), ("不", "d"), ("好", "a")],
+        [("妈", "n"), ("妈", "n")],
+        [("花", "n"), ("儿", "n")],
+        [("一", "m"), ("天", "n")],
+        [("展", "v"), ("览", "v"), ("馆", "n")],
+        [("好", "a"), ("雨伞", "n")],
+        [("小", "a"), ("老虎", "n")],
+        [("不", "d")],
+        [("走", "v"), ("了", "ul"), ("吗", "y")],
+    ]
+    for s in segs:
+        r = [tuple(x) for x in ref.pre_merge_for_modify([list(x) for x in s])]
+        m = [tuple(x) for x in mine.pre_merge_for_modify(list(s))]
+        assert r == m, s
+
+
 def test_en_norm():
     assert en_norm.int_to_words(0) == "zero"
     assert en_norm.int_to_words(21) == "twenty one"
