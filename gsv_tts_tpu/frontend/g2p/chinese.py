@@ -120,15 +120,18 @@ class ChineseG2P:
         self.tone_modifier = ToneSandhi(
             finals_fn=lambda w: self._get_initials_finals(w)[1])
 
-        # erhua rule sets (linguistic exception data, reference
-        # ``chinese.py:34-81`` semantics — compact equivalents)
+        # erhua rule sets (linguistic exception data; same membership as the
+        # reference ``chinese.py:34-81`` so pronunciations agree)
         self.must_erhua = {"小院儿", "胡同儿", "范儿", "老汉儿", "撒欢儿",
-                           "妥妥儿", "媳妇儿"}
-        self.not_erhua = {"女儿", "男儿", "婴儿", "幼儿", "孤儿", "少儿",
-                          "妻儿", "胎儿", "患儿", "婴幼儿", "混血儿",
-                          "流浪儿", "一儿", "我儿", "有儿", "花儿", "鸟儿",
-                          "马儿", "虫儿", "猫儿", "狗儿", "猪儿", "孙儿",
-                          "侄儿", "可儿"}
+                           "寻老礼儿", "妥妥儿", "媳妇儿"}
+        self.not_erhua = {
+            "虐儿", "为儿", "护儿", "瞒儿", "救儿", "替儿", "有儿", "一儿",
+            "我儿", "俺儿", "妻儿", "拐儿", "聋儿", "乞儿", "患儿", "幼儿",
+            "孤儿", "婴儿", "婴幼儿", "连体儿", "脑瘫儿", "流浪儿", "体弱儿",
+            "混血儿", "蜜雪儿", "舫儿", "祖儿", "美儿", "应采儿", "可儿",
+            "侄儿", "孙儿", "侄孙儿", "女儿", "男儿", "红孩儿", "花儿",
+            "虫儿", "马儿", "鸟儿", "猪儿", "猫儿", "狗儿", "少儿",
+        }
 
     # -- pinyin backends ---------------------------------------------------
 

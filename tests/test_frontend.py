@@ -1,5 +1,6 @@
 """Frontend tests: symbols, language segmentation, cut_text, G2P invariants,
 normalizers, and subtitle-index parity vs the reference algorithms."""
+import re
 import sys
 import types
 
@@ -224,6 +225,10 @@ def test_tone_sandhi_oracle_parity():
         pp.constants = ppc
         sys.modules["pypinyin"] = pp
         sys.modules["pypinyin.constants"] = ppc
+    # force a fresh exec so the reference module binds THIS test's stub
+    for k in [k for k in sys.modules
+              if k.startswith("refpkg.GPT_SoVITS.G2P.Chinese")]:
+        del sys.modules[k]
     try:
         ts_mod = import_reference_module(
             "GPT_SoVITS/G2P/Chinese/tone_sandhi.py",
@@ -290,6 +295,159 @@ def test_tone_sandhi_oracle_parity():
         r = [tuple(x) for x in ref.pre_merge_for_modify([list(x) for x in s])]
         m = [tuple(x) for x in mine.pre_merge_for_modify(list(s))]
         assert r == m, s
+
+
+def test_zh_g2p_end_to_end_oracle_parity(tmp_path):
+    """Whole-pipeline parity vs the reference ChineseG2P
+    (G2P/Chinese/chinese.py): jieba segmentation → pre-merge → sandhi →
+    erhua → opencpop symbol mapping → word2ph. pypinyin is stubbed on the
+    reference side with strict INITIALS/FINALS_TONE3 derived from the same
+    lexicon this repo's G2P uses, so both pipelines share pinyin ground
+    truth and the test verifies all the glue."""
+    from gsv_tts_tpu.frontend.g2p.chinese import (ChineseG2P,
+                                                  split_full_pinyin, INITIALS)
+
+    mine = ChineseG2P(lexicon=ZH_LEXICON)
+
+    strict_y = {"yi": "i", "ya": "ia", "yan": "ian", "yang": "iang",
+                "yao": "iao", "ye": "ie", "yin": "in", "ying": "ing",
+                "yo": "io", "yong": "iong", "you": "iou", "yu": "v",
+                "yuan": "van", "yue": "ve", "yun": "vn"}
+    strict_w = {"wu": "u", "wa": "ua", "wai": "uai", "wan": "uan",
+                "wang": "uang", "wei": "uei", "wen": "uen", "weng": "ueng",
+                "wo": "uo"}
+
+    def full_to_strict(py):
+        m = re.match(r"([a-zü:v]+)([1-5])$", py)
+        if not m:
+            return py, py
+        base, tone = m.groups()
+        base = base.replace("ü", "v").replace("u:", "v")
+        if base in strict_y:
+            return "", strict_y[base] + tone
+        if base in strict_w:
+            return "", strict_w[base] + tone
+        for ini in INITIALS:
+            if base.startswith(ini) and len(base) > len(ini):
+                fin = base[len(ini):]
+                if ini in ("j", "q", "x"):
+                    fin = {"u": "v", "un": "vn", "uan": "van",
+                           "ue": "ve"}.get(fin, fin)
+                fin = {"ui": "uei", "iu": "iou", "un": "uen",
+                       "ue": "ve"}.get(fin, fin)
+                return ini, fin + tone
+        return "", base + tone
+
+    style = types.SimpleNamespace(INITIALS=1, FINALS_TONE3=2)
+
+    def fake_lazy_pinyin(word, neutral_tone_with_five=True, style_=None,
+                         **kw):
+        sty = kw.get("style", style_)
+        pys = mine._word_pinyins(word)
+        if sty == style.INITIALS:
+            return [full_to_strict(p)[0] for p in pys]
+        return [full_to_strict(p)[1] for p in pys]
+
+    # synthesize opencpop-strict.txt over the lexicon's derived lookup keys
+    def derived_key(c, v_toneless):
+        if c:
+            return c + {"uei": "ui", "iou": "iu",
+                        "uen": "un"}.get(v_toneless, v_toneless)
+        p = v_toneless
+        pm = {"ing": "ying", "i": "yi", "in": "yin", "u": "wu"}
+        if p in pm:
+            return pm[p]
+        sm = {"v": "yu", "e": "e", "i": "y", "u": "w"}
+        return sm[p[0]] + p[1:] if p[0] in sm else p
+
+    keys = set()
+    for py in ZH_LEXICON.values():
+        c, v = full_to_strict(py)
+        keys.add(derived_key(c, v[:-1]))
+    d = tmp_path / "g2p" / "zh"
+    d.mkdir(parents=True)
+    lines = []
+    for k in sorted(keys):
+        ini, fin = split_full_pinyin(k)
+        lines.append(f"{k}\t{ini} {fin}")
+    (d / "opencpop-strict.txt").write_text("\n".join(lines) + "\n", "utf-8")
+
+    stubbed = "pypinyin" not in sys.modules
+    if stubbed:
+        pp = types.ModuleType("pypinyin")
+        pp.lazy_pinyin = fake_lazy_pinyin
+        pp.Style = style
+        ppc = types.ModuleType("pypinyin.constants")
+        ppc.SUPPORT_UCS4 = True
+        pp.constants = ppc
+        sys.modules["pypinyin"] = pp
+        sys.modules["pypinyin.constants"] = ppc
+    # force a fresh exec so the reference modules bind THIS test's stub
+    for k in [k for k in sys.modules
+              if k.startswith("refpkg.GPT_SoVITS.G2P.Chinese")]:
+        del sys.modules[k]
+    try:
+        ref_mod = import_reference_module(
+            "GPT_SoVITS/G2P/Chinese/chinese.py",
+            "GPT_SoVITS.G2P.Chinese.chinese")
+        ref = ref_mod.ChineseG2P(str(tmp_path))
+        texts = [
+            "你好。", "我是中国人。", "天气真好，很好。", "看一看。",
+            "一个人也不是。", "三分之一。", "二零二四年八月十六日。",
+            "你们是好人。", "雨下一天。", "女儿花儿。", "万亿千百十。",
+            "不好不是。", "很雨好。", "你好你好。",
+        ]
+        for t in texts:
+            rp, rw = ref.g2p(t)
+            mp, mw = mine.g2p(t)
+            assert rp == mp, t
+            assert rw == mw, t
+    finally:
+        if stubbed:
+            sys.modules.pop("pypinyin", None)
+            sys.modules.pop("pypinyin.constants", None)
+
+
+def test_en_norm_oracle_parity():
+    """Pipeline parity vs the reference English normalizer
+    (G2P/English/Normalization/expend.py). The reference's `inflect`
+    dependency is satisfied by this repo's interface-compatible MiniInflect
+    so both sides share number wording and the test verifies every pipeline
+    stage. Hyphens map to spaces (documented divergence: we split inflect's
+    hyphenated numbers instead of relying on wordsegment downstream)."""
+    fake = types.ModuleType("inflect")
+    fake.engine = lambda: en_norm.MiniInflect()
+    stubbed = "inflect" not in sys.modules
+    if stubbed:
+        sys.modules["inflect"] = fake
+    for k in [k for k in sys.modules
+              if k.startswith("refpkg.GPT_SoVITS.G2P.English")]:
+        del sys.modules[k]
+    try:
+        ref_mod = import_reference_module(
+            "GPT_SoVITS/G2P/English/Normalization/expend.py",
+            "GPT_SoVITS.G2P.English.Normalization.expend")
+    finally:
+        if stubbed:
+            sys.modules.pop("inflect", None)
+
+    cases = [
+        "in 1997", "the year 2000", "back in 2005", "around 1800",
+        "room 302", "pi is 3.14", "50% off", "$5 only", "$6.24 total",
+        "32.3$ spent", "£1 coin", "£2.50 fare", "99£ fine", "1/2 cup",
+        "3/4 done", "5/6 left", "3/2 ratio", "7/1 odds", "meet at 13:00",
+        "it is 4:05", "at 13:30 sharp", "run 5km today", "wait 1h",
+        "add 2tbsp sugar", "about 100m away", "1min left", "water at 25°C",
+        "98°F fever", "1. first item", "12,000 people", "1,234,567 total",
+        "the 21st century", "3rd place", "2nd try", "1 + 2 = 3",
+        "x - 1 = 0", "NASA and FBI", "the iPhone", "i.e. this", "e.g. that",
+        "café menu", "naïve approach", "-42 degrees", " -7 below",
+        "score 1000", "scored 2999", "at 1100 hours", "2010 era",
+        "0.5 percent", "a 2kg bag", "13. 234 item", "2 × 3 = 6",
+        "10 ÷ 2 = 5",
+    ]
+    for c in cases:
+        assert ref_mod.normalize(c).replace("-", " ") == en_norm.normalize(c), c
 
 
 def test_en_norm():
