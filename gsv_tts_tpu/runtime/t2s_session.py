@@ -261,6 +261,7 @@ class T2SEngine:
         self.dtype = jnp.dtype(dtype)
         self.check_interval = check_interval
         self.initial_suppression_steps = initial_suppression_steps
+        self.mesh = None  # set by .shard() for multi-chip inference
         # buckets[batch_size] = sorted list of max_kv_cache lengths
         self.buckets: Dict[int, List[int]] = {}
         for b, s in gpt_cache:
@@ -285,10 +286,38 @@ class T2SEngine:
                 f"prompt length {prompt_len} exceeds largest gpt_cache bucket {lens[-1]}")
         return B, S
 
+    def shard(self, mesh) -> "T2SEngine":
+        """Multi-chip inference (new capability vs the single-GPU reference):
+        tp-shard the transformer weights over the mesh's ``tp`` axis and lay
+        KV caches out as [L, B(dp), S, H(tp), Dh].  The same jitted
+        prefill/decode programs then run under GSPMD, which inserts the ICI
+        collectives (all-reduce after row-parallel matmuls).  The Pallas
+        attention kernels are single-device, so sharded engines use the XLA
+        attention path."""
+        from ..parallel.mesh import shard_t2s_params
+
+        self.mesh = mesh
+        self.params = shard_t2s_params(self.params, mesh)
+        self.attn_impl = "xla"
+        return self
+
+    def _cache_sharding(self, B: int):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp, tp = self.mesh.shape["dp"], self.mesh.shape["tp"]
+        return NamedSharding(self.mesh, P(
+            None, "dp" if dp > 1 and B % dp == 0 else None, None,
+            "tp" if self.cfg.num_heads % tp == 0 else None, None))
+
     def _alloc_cache(self, B: int, S: int):
         c = self.cfg
         shape = (c.num_layers, B, S, c.num_heads, c.head_dim)
-        return jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype)
+        k = jnp.zeros(shape, self.dtype)
+        v = jnp.zeros(shape, self.dtype)
+        if self.mesh is not None:
+            s = self._cache_sharding(B)
+            k, v = jax.device_put(k, s), jax.device_put(v, s)
+        return k, v
 
     def _escalate(self, state: DecodeState, new_S: int) -> DecodeState:
         """Bucket escalation (``t2s_model.py:425-428``): grow cache to the next

@@ -119,3 +119,55 @@ def test_data_parallel_batched_generation():
     by_idx_dp = {int(i): t.tolist() for t, i in zip(pred_dp, idx_dp)}
     by_idx_1 = {int(i): t.tolist() for t, i in zip(pred_1, idx_1)}
     assert by_idx_dp == by_idx_1
+
+
+def test_tp_sharded_generate_matches_single_device():
+    """T2SEngine.shard(): tp-sharded weights + head-sharded KV caches under
+    GSPMD produce token-identical greedy generations."""
+    from gsv_tts_tpu.runtime.t2s_session import T2SEngine
+
+    params = t2s_model.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    rng = np.random.RandomState(11)
+    x = rng.randint(1, 64, (10,)).astype(np.int32)
+    y = rng.randint(0, 100, (6,)).astype(np.int32)
+    b = np.zeros((10, CFG.bert_dim), np.float32)
+
+    eng1 = T2SEngine(params, CFG, gpt_cache=[(1, 96)], dtype=jnp.float32)
+    toks1 = eng1.generate(x, y, b, top_k=1, rng=jax.random.PRNGKey(5))
+
+    mesh = pmesh.make_mesh(8, dp=2, tp=4)
+    eng2 = T2SEngine(params, CFG, gpt_cache=[(1, 96)],
+                     dtype=jnp.float32).shard(mesh)
+    assert eng2.attn_impl == "xla"
+    toks2 = eng2.generate(x, y, b, top_k=1, rng=jax.random.PRNGKey(5))
+    assert np.asarray(toks1).ravel().tolist() == \
+        np.asarray(toks2).ravel().tolist()
+
+
+def test_tp_dp_sharded_batched_matches_single_device():
+    """Batched continuous generation on a dp=2 x tp=4 mesh (caches sharded on
+    batch AND heads) matches the single-device engine per request."""
+    from gsv_tts_tpu.runtime.t2s_session import T2SEngine
+
+    params = t2s_model.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    cache = [(1, 128), (4, 128)]
+    rng = np.random.RandomState(7)
+    xs, ys, bs = [], [], []
+    for i in range(5):
+        lx, ly = 6 + i % 3, 4 + i % 2
+        xs.append(rng.randint(1, 64, (lx,)).astype(np.int32))
+        ys.append(rng.randint(0, 100, (ly,)).astype(np.int32))
+        bs.append(np.zeros((lx, CFG.bert_dim), np.float32))
+
+    eng1 = T2SEngine(params, CFG, gpt_cache=cache, dtype=jnp.float32)
+    pred1, idx1 = eng1.generate_batched(xs, ys, bs, top_k=1,
+                                        rng=jax.random.PRNGKey(0))
+
+    mesh = pmesh.make_mesh(8, dp=2, tp=4)
+    eng2 = T2SEngine(params, CFG, gpt_cache=cache,
+                     dtype=jnp.float32).shard(mesh)
+    pred2, idx2 = eng2.generate_batched(xs, ys, bs, top_k=1,
+                                        rng=jax.random.PRNGKey(0))
+    by1 = {int(i): t.tolist() for t, i in zip(pred1, idx1)}
+    by2 = {int(i): t.tolist() for t, i in zip(pred2, idx2)}
+    assert by1 == by2
