@@ -1,0 +1,241 @@
+"""Multi-host serving router (scale-out beyond one TPU host).
+
+The reference serves from a single process (``personal_api.py``); TPU pods
+scale differently: each host runs its own ``serving.server`` over the chips
+it owns (optionally dp/tp-sharded via ``T2SEngine.shard``), and this router
+fans requests out across hosts over DCN:
+
+  * **least-outstanding-requests** balancing with round-robin tiebreak;
+  * **health checking** — backends are probed on ``/health`` periodically
+    and after failures; unhealthy hosts are skipped until they recover
+    (failure detection per SURVEY §5);
+  * **transparent retry** — connection-level failures fail over to the next
+    healthy backend (idempotent synthesis requests only, not weight swaps);
+  * **fan-out control plane** — ``/set_gpt_weights`` / ``/set_sovits_weights``
+    broadcast to every backend so the fleet stays consistent;
+  * streaming (SSE and chunked audio) is proxied incrementally, preserving
+    time-to-first-audio.
+
+Run: ``python -m gsv_tts_tpu.serving.router --backends http://h1:9880,...``
+"""
+from __future__ import annotations
+
+import asyncio
+import itertools
+import time
+from typing import Dict, List, Optional
+
+try:
+    import aiohttp
+    from aiohttp import web
+except ImportError as e:  # pragma: no cover
+    raise ImportError("The serving router requires `aiohttp`") from e
+
+HOP_HEADERS = {"host", "content-length", "transfer-encoding", "connection",
+               "keep-alive", "te", "trailers", "upgrade"}
+
+
+class Backend:
+    def __init__(self, url: str):
+        self.url = url.rstrip("/")
+        self.healthy = True
+        self.outstanding = 0
+        self.last_checked = 0.0
+        self.last_health: Dict = {}
+
+    def __repr__(self):
+        return (f"Backend({self.url}, healthy={self.healthy}, "
+                f"outstanding={self.outstanding})")
+
+
+class Router:
+    def __init__(self, backends: List[str], health_interval: float = 10.0,
+                 request_timeout: float = 600.0, max_retries: int = 2):
+        if not backends:
+            raise ValueError("router needs at least one backend URL")
+        self.backends = [Backend(u) for u in backends]
+        self.health_interval = health_interval
+        self.request_timeout = request_timeout
+        self.max_retries = max_retries
+        self._rr = itertools.count()
+        self._session: Optional[aiohttp.ClientSession] = None
+        self._health_task: Optional[asyncio.Task] = None
+
+    # -- lifecycle ----------------------------------------------------------
+
+    async def start(self, app=None):
+        self._session = aiohttp.ClientSession(
+            timeout=aiohttp.ClientTimeout(total=self.request_timeout))
+        await self._probe_all()
+        self._health_task = asyncio.create_task(self._health_loop())
+
+    async def stop(self, app=None):
+        if self._health_task is not None:
+            self._health_task.cancel()
+            try:
+                await self._health_task
+            except (asyncio.CancelledError, Exception):
+                pass
+        if self._session is not None:
+            await self._session.close()
+
+    # -- health -------------------------------------------------------------
+
+    async def _probe(self, b: Backend) -> bool:
+        try:
+            async with self._session.get(
+                    b.url + "/health",
+                    timeout=aiohttp.ClientTimeout(total=5)) as r:
+                b.last_health = await r.json()
+                b.healthy = r.status == 200
+        except Exception:
+            b.healthy = False
+        b.last_checked = time.monotonic()
+        return b.healthy
+
+    async def _probe_all(self):
+        await asyncio.gather(*(self._probe(b) for b in self.backends))
+
+    async def _health_loop(self):
+        while True:
+            await asyncio.sleep(self.health_interval)
+            await self._probe_all()
+
+    # -- selection ----------------------------------------------------------
+
+    def _pick(self, exclude=()) -> Optional[Backend]:
+        """Least outstanding requests among healthy backends; round-robin
+        breaks ties so equal-load hosts alternate."""
+        pool = [b for b in self.backends if b.healthy and b not in exclude]
+        if not pool:
+            # desperate fallback: retry unhealthy ones rather than 503 early
+            pool = [b for b in self.backends if b not in exclude]
+        if not pool:
+            return None
+        lo = min(b.outstanding for b in pool)
+        tied = [b for b in pool if b.outstanding == lo]
+        return tied[next(self._rr) % len(tied)]
+
+    # -- proxying -----------------------------------------------------------
+
+    @staticmethod
+    def _fwd_headers(request: web.Request) -> Dict[str, str]:
+        return {k: v for k, v in request.headers.items()
+                if k.lower() not in HOP_HEADERS}
+
+    async def proxy(self, request: web.Request) -> web.StreamResponse:
+        """Forward one request, streaming the body through; fail over to the
+        next backend on connection errors (before any byte was relayed)."""
+        body = await request.read()
+        tried: List[Backend] = []
+        for _ in range(self.max_retries + 1):
+            b = self._pick(exclude=tried)
+            if b is None:
+                break
+            tried.append(b)
+            b.outstanding += 1
+            try:
+                async with self._session.request(
+                        request.method, b.url + request.rel_url.path_qs.split("?")[0],
+                        params=request.rel_url.query, data=body or None,
+                        headers=self._fwd_headers(request)) as upstream:
+                    resp = web.StreamResponse(status=upstream.status)
+                    for k, v in upstream.headers.items():
+                        if k.lower() not in HOP_HEADERS:
+                            resp.headers[k] = v
+                    resp.headers["X-GSV-Backend"] = b.url
+                    await resp.prepare(request)
+                    async for chunk in upstream.content.iter_any():
+                        await resp.write(chunk)
+                    await resp.write_eof()
+                    return resp
+            except (aiohttp.ClientConnectionError,
+                    aiohttp.ServerTimeoutError, ConnectionError):
+                b.healthy = False  # re-probed by the health loop
+                continue
+            finally:
+                b.outstanding -= 1
+        raise web.HTTPServiceUnavailable(text="no healthy backend")
+
+    async def fanout(self, request: web.Request) -> web.Response:
+        """Broadcast a control-plane request (weight switches) to all
+        backends; succeeds only if every healthy backend succeeded."""
+        body = await request.read()
+        results = {}
+
+        async def one(b: Backend):
+            try:
+                async with self._session.request(
+                        request.method, b.url + request.rel_url.path_qs.split("?")[0],
+                        params=request.rel_url.query, data=body or None,
+                        headers=self._fwd_headers(request)) as r:
+                    results[b.url] = {"status": r.status,
+                                      "body": await r.text()}
+            except Exception as e:
+                results[b.url] = {"status": 0, "body": str(e)}
+                b.healthy = False
+
+        await asyncio.gather(*(one(b) for b in self.backends if b.healthy))
+        ok = all(v["status"] == 200 for v in results.values()) and results
+        return web.json_response({"ok": bool(ok), "backends": results},
+                                 status=200 if ok else 502)
+
+    async def health(self, request: web.Request) -> web.Response:
+        await self._probe_all()
+        return web.json_response({
+            "status": "ok" if any(b.healthy for b in self.backends)
+            else "degraded",
+            "backends": [{
+                "url": b.url, "healthy": b.healthy,
+                "outstanding": b.outstanding, "health": b.last_health,
+            } for b in self.backends],
+        })
+
+    async def root(self, request: web.Request) -> web.Response:
+        return web.json_response({
+            "service": "gsv-tts-lite-tpu router",
+            "backends": [b.url for b in self.backends],
+            "endpoints": ["/health", "/tts", "/tts/stream", "/tts/batched",
+                          "/set_gpt_weights", "/set_sovits_weights"],
+        })
+
+
+ROUTER_KEY = web.AppKey("gsv_router", object)
+
+
+def create_router_app(backends: List[str], **kw) -> "web.Application":
+    router = Router(backends, **kw)
+    app = web.Application()
+    app[ROUTER_KEY] = router
+    app.on_startup.append(router.start)
+    app.on_cleanup.append(router.stop)
+    app.router.add_get("/", router.root)
+    app.router.add_get("/health", router.health)
+    for path in ("/tts/stream", "/tts/batched"):
+        app.router.add_post(path, router.proxy)
+    app.router.add_get("/tts", router.proxy)
+    app.router.add_post("/tts", router.proxy)
+    app.router.add_get("/audio/{filename}", router.proxy)
+    for path in ("/set_gpt_weights", "/set_sovits_weights"):
+        app.router.add_get(path, router.fanout)
+        app.router.add_post(path, router.fanout)
+    return app
+
+
+def main():  # pragma: no cover - thin CLI
+    import argparse
+
+    ap = argparse.ArgumentParser(description="gsv-tts-lite-tpu multi-host router")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=9870)
+    ap.add_argument("--backends", required=True,
+                    help="comma-separated backend base URLs")
+    ap.add_argument("--health-interval", type=float, default=10.0)
+    args = ap.parse_args()
+    web.run_app(create_router_app([u for u in args.backends.split(",") if u],
+                                  health_interval=args.health_interval),
+                host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Multi-host router tests: balancing, failover, health, and fan-out.
+
+Backends are stub aiohttp apps (no engine needed) so these tests exercise
+exactly the router logic in gsv_tts_tpu/serving/router.py.
+"""
+import asyncio
+import json
+
+import pytest
+
+pytest.importorskip("aiohttp")
+
+from aiohttp import web
+from aiohttp.test_utils import TestClient, TestServer
+
+from gsv_tts_tpu.serving.router import create_router_app
+
+
+def make_backend(name, fail_health=False, fail_tts=False):
+    calls = {"tts": 0, "weights": 0}
+
+    async def health(request):
+        if fail_health:
+            raise web.HTTPInternalServerError(text="down")
+        return web.json_response({"status": "ok", "name": name})
+
+    async def tts(request):
+        calls["tts"] += 1
+        if fail_tts:
+            raise web.HTTPInternalServerError(text="boom")
+        body = await request.json() if request.can_read_body else {}
+        return web.json_response({"name": name, "echo": body})
+
+    async def stream(request):
+        calls["tts"] += 1
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream"})
+        await resp.prepare(request)
+        for i in range(3):
+            await resp.write(f"event: audio\ndata: {name}-{i}\n\n".encode())
+        await resp.write(b"event: done\ndata: {}\n\n")
+        await resp.write_eof()
+        return resp
+
+    async def weights(request):
+        calls["weights"] += 1
+        return web.json_response({"message": "success", "name": name})
+
+    app = web.Application()
+    app.router.add_get("/health", health)
+    app.router.add_post("/tts", tts)
+    app.router.add_get("/tts", tts)
+    app.router.add_post("/tts/stream", stream)
+    app.router.add_get("/set_gpt_weights", weights)
+    app["calls"] = calls
+    return app
+
+
+def run_async(coro_fn):
+    return asyncio.run(coro_fn())
+
+
+def test_router_balances_and_proxies():
+    async def go():
+        b1, b2 = make_backend("b1"), make_backend("b2")
+        s1, s2 = TestServer(b1), TestServer(b2)
+        await s1.start_server()
+        await s2.start_server()
+        app = create_router_app([str(s1.make_url("")), str(s2.make_url(""))],
+                                health_interval=3600)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            names = set()
+            for _ in range(4):
+                r = await client.post("/tts", json={"text": "hi"})
+                assert r.status == 200
+                data = await r.json()
+                names.add(data["name"])
+                assert data["echo"]["text"] == "hi"
+            # least-outstanding + round-robin must reach both backends
+            assert names == {"b1", "b2"}
+            assert b1["calls"]["tts"] == 2 and b2["calls"]["tts"] == 2
+        finally:
+            await client.close()
+            await s1.close()
+            await s2.close()
+
+    run_async(go)
+
+
+def test_router_streams_sse_through():
+    async def go():
+        b1 = make_backend("b1")
+        s1 = TestServer(b1)
+        await s1.start_server()
+        app = create_router_app([str(s1.make_url(""))], health_interval=3600)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/tts/stream", json={})
+            body = await r.text()
+            assert r.status == 200
+            assert "text/event-stream" in r.headers["Content-Type"]
+            assert body.count("event: audio") == 3
+            assert "event: done" in body
+            assert r.headers["X-GSV-Backend"]
+        finally:
+            await client.close()
+            await s1.close()
+
+    run_async(go)
+
+
+def test_router_fails_over_to_healthy_backend():
+    async def go():
+        b2 = make_backend("b2")
+        s2 = TestServer(b2)
+        await s2.start_server()
+        # backend 1 is a closed port: connection errors → failover
+        app = create_router_app(["http://127.0.0.1:1",
+                                 str(s2.make_url(""))], health_interval=3600)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            for _ in range(3):
+                r = await client.post("/tts", json={"text": "x"})
+                assert r.status == 200
+                assert (await r.json())["name"] == "b2"
+            h = await (await client.get("/health")).json()
+            assert h["status"] == "ok"
+            healthy = {b["url"]: b["healthy"] for b in h["backends"]}
+            assert healthy[str(s2.make_url("")).rstrip("/")] is True
+            assert healthy["http://127.0.0.1:1"] is False
+        finally:
+            await client.close()
+            await s2.close()
+
+    run_async(go)
+
+
+def test_router_fanout_weight_switch():
+    async def go():
+        b1, b2 = make_backend("b1"), make_backend("b2")
+        s1, s2 = TestServer(b1), TestServer(b2)
+        await s1.start_server()
+        await s2.start_server()
+        app = create_router_app([str(s1.make_url("")), str(s2.make_url(""))],
+                                health_interval=3600)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.get("/set_gpt_weights",
+                                 params={"weights_path": "/x.ckpt"})
+            data = await r.json()
+            assert r.status == 200 and data["ok"]
+            assert b1["calls"]["weights"] == 1
+            assert b2["calls"]["weights"] == 1
+        finally:
+            await client.close()
+            await s1.close()
+            await s2.close()
+
+    run_async(go)
+
+
+def test_router_all_down_returns_503():
+    async def go():
+        app = create_router_app(["http://127.0.0.1:1", "http://127.0.0.1:2"],
+                                health_interval=3600, max_retries=1)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/tts", json={})
+            assert r.status == 503
+        finally:
+            await client.close()
+
+    run_async(go)
