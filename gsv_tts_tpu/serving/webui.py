@@ -12,8 +12,9 @@ aiohttp app serving a built-in single-page UI that talks to the REST API
     JSON next to the models dir (``web.py`` preset pickles);
   * synthesis history with replayable files;
   * model scan/switch over the models dir (``web.py`` model dropdowns);
-  * loudness normalization post-FX (numpy; the reference's pedalboard chain
-    is an optional extra).
+  * post-FX: quick RMS loudness clamp by default, or the full "enhance"
+    studio chain from ``gsv_tts_tpu.fx`` (native re-implementation of the
+    reference's pedalboard/pyloudnorm chain, ``web.py:40-74``).
 """
 from __future__ import annotations
 
@@ -128,7 +129,13 @@ class WebUI:
             )
             pieces.append(np.asarray(clip.audio_data, np.float32))
         audio = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
-        if params.get("loudness_normalize", True):
+        if params.get("enhance", False) and audio.size:
+            from ..fx import enhance_audio
+
+            # full studio-polish chain incl. -18 LUFS normalization
+            # (reference WebUI enhance_audio, web.py:40-74)
+            audio = enhance_audio(audio, self.tts.samplerate)
+        elif params.get("loudness_normalize", True):
             audio = loudness_normalize(audio)
         wall = time.perf_counter() - t0
         dur = len(audio) / self.tts.samplerate
@@ -255,6 +262,7 @@ button{padding:.5rem 1.2rem;border:0;border-radius:6px;background:#3b5bdb;color:
 <div><label>temperature</label><input id="temp" value="1.0"></div>
 <div><label>speed</label><input id="speed" value="1.0"></div>
 <div><label>noise</label><input id="noise" value="0.5"></div>
+<div><label>enhance</label><input id="enhance" type="checkbox"></div>
 </div>
 <button onclick="synth()">Synthesize</button>
 <div id="status"></div><audio id="player" controls style="width:100%;margin-top:.5rem"></audio>
@@ -286,7 +294,8 @@ async function synth(){
   status.textContent='Synthesizing…';
   const body={text:text.value, speaker_audio:spk.value||null, prompt_audio:prompt.value,
               prompt_text:ptext.value, top_k:+topk.value, temperature:+temp.value,
-              speed:+speed.value, noise_scale:+noise.value};
+              speed:+speed.value, noise_scale:+noise.value,
+              enhance:enhance.checked};
   const r=await fetch('/ui/synth',{method:'POST',headers:{'Content-Type':'application/json'},body:JSON.stringify(body)});
   const d=await r.json();
   if(!r.ok){status.textContent='Error: '+JSON.stringify(d);return}

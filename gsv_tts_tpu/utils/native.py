@@ -32,6 +32,14 @@ class _NativeLib:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        self._has_envelope = hasattr(lib, "gsv_envelope_follow")
+        if self._has_envelope:
+            lib.gsv_envelope_follow.restype = None
+            lib.gsv_envelope_follow.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_float, ctypes.c_float,
+                ctypes.POINTER(ctypes.c_float),
+            ]
 
     def sola_offset(self, query: np.ndarray, key: np.ndarray, overlap_len: int) -> int:
         query = np.ascontiguousarray(query, np.float32)
@@ -49,6 +57,19 @@ class _NativeLib:
         self._lib.gsv_viterbi_monotonic(
             probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return out
+
+    def envelope_follow(self, level: np.ndarray, att: float,
+                        rel: float) -> np.ndarray:
+        """Attack/release one-pole level detector (compressor ballistics);
+        None-able: callers must check ``hasattr`` (older built libraries may
+        predate the symbol)."""
+        level = np.ascontiguousarray(level, np.float32)
+        out = np.empty_like(level)
+        self._lib.gsv_envelope_follow(
+            level.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(level),
+            ctypes.c_float(att), ctypes.c_float(rel),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         return out
 
 

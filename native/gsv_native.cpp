@@ -80,4 +80,18 @@ void gsv_viterbi_monotonic(const float* probs, int64_t t, int64_t n,
   }
 }
 
+// Attack/release envelope follower (compressor level detector): one-pole
+// smoothing whose coefficient switches on signal direction.  Inherently
+// sequential, so it lives here rather than in numpy.
+void gsv_envelope_follow(const float* level, int64_t n, float att, float rel,
+                         float* out) {
+  double e = 0.0;
+  for (int64_t i = 0; i < n; ++i) {
+    const double v = level[i];
+    const double c = v > e ? att : rel;
+    e = c * e + (1.0 - c) * v;
+    out[i] = (float)e;
+  }
+}
+
 }  // extern "C"
