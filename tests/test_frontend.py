@@ -562,3 +562,82 @@ def test_sub2text_index_parity():
     a = tp.sub2text_index(copy.deepcopy(subs), norm_text, orig_text)
     b = ref.sub2text_index(copy.deepcopy(subs), norm_text, orig_text)
     assert a == b
+
+
+def test_ja_prosody_oracle_parity():
+    """Japanese prosody extraction parity vs the reference
+    (G2P/Japanese/japanese.py pyopenjtalk_g2p_prosody) using hand-crafted
+    HTS full-context labels through a stubbed pyopenjtalk: accent rise [,
+    accent fall ], accent-phrase boundary #, question $/? endings, pau,
+    unvoiced-vowel lowering, IDLE nodes, and the per-node word2ph split."""
+
+    def lab(p3, a=None, f1=None, e3=None):
+        s = f"xx^xx-{p3}+xx=xx"
+        if a is not None:
+            s += f"/A:{a[0]}+{a[1]}+{a[2]}/F:{f1}_0"
+        else:
+            s += "/A:xx"
+        if e3 is not None:
+            s += f"!{e3}_0"
+        return s
+
+    # 私(ワタシ w a t a sh i) は(ワ w a) 、(IDLE) 蛙(カエル k a e r U):
+    # phrase1 ワタシワ heiban (rise after mora 1), phrase2 カエル accent 2
+    # (fall after エ), question ending; U exercises unvoiced lowering.
+    text = "私は、蛙"
+    features = [
+        {"string": "私", "pron": "ワタシ"},
+        {"string": "は", "pron": "ワ"},
+        {"string": "、", "pron": "IDLE"},
+        {"string": "蛙", "pron": "カエル"},
+    ]
+    labels = [
+        lab("sil"),
+        lab("w", (1, 1, 4), 4), lab("a", (1, 1, 4), 4),
+        lab("t", (2, 2, 3), 4), lab("a", (2, 2, 3), 4),
+        lab("sh", (3, 3, 2), 4), lab("i", (3, 3, 2), 4),
+        lab("w", (4, 4, 1), 4), lab("a", (4, 4, 1), 4),
+        lab("k", (-1, 1, 3), 3), lab("a", (-1, 1, 3), 3),
+        lab("e", (0, 2, 2), 3),
+        lab("r", (1, 3, 1), 3), lab("U", (1, 3, 1), 3),
+        lab("sil", e3=1),
+    ]
+    g2p_words = {"ワタシ": "w a t a sh i", "ワ": "w a", "カエル": "k a e r U"}
+
+    pjt = types.ModuleType("pyopenjtalk")
+    pjt.run_frontend = lambda t: features
+    pjt.make_label = lambda f: labels
+    pjt.g2p = lambda pron: g2p_words[pron]
+
+    stubbed = "pyopenjtalk" not in sys.modules
+    if stubbed:
+        sys.modules["pyopenjtalk"] = pjt
+    for k in [k for k in sys.modules
+              if k.startswith("refpkg.GPT_SoVITS.G2P.Japanese")]:
+        del sys.modules[k]
+    try:
+        ref_mod = import_reference_module(
+            "GPT_SoVITS/G2P/Japanese/japanese.py",
+            "GPT_SoVITS.G2P.Japanese.japanese")
+        ref = ref_mod.JapaneseG2P()
+        ref_w2p = {"word": [], "ph": []}
+        ref_phones, ref_w2p = ref.pyopenjtalk_g2p_prosody(text, ref_w2p)
+
+        from gsv_tts_tpu.frontend.g2p.japanese import JapaneseG2P
+
+        mine = JapaneseG2P()
+        assert mine._pyopenjtalk is not None
+        my_w2p = {"word": [], "ph": []}
+        my_phones = mine._openjtalk_prosody(text, my_w2p)
+    finally:
+        if stubbed:
+            sys.modules.pop("pyopenjtalk", None)
+
+    assert ref_phones[0] == "^" and ref_phones[-1] == "?"
+    assert my_phones == ref_phones[1:-1]
+    assert my_w2p == ref_w2p
+    # structural sanity: the marks landed where the accent rules say
+    assert my_phones == ["w", "a", "[", "t", "a", "sh", "i", "w", "a", "#",
+                         "k", "a", "[", "e", "]", "r", "u"]
+    assert my_w2p["word"] == ["私", "は", "蛙"]
+    assert sum(my_w2p["ph"]) == len(my_phones)
