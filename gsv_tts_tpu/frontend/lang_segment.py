@@ -91,7 +91,50 @@ class LangSegment:
                 merged[-1]["text"] += seg["text"]
             else:
                 merged.append(dict(seg))
+        # english post-format (reference _insert_english_uppercase,
+        # LangSegment.py:73-76): split mid-word capitals ("SoVITS" →
+        # "So V I T S") and add a trailing space
+        for seg in merged:
+            if seg["lang"] == "en":
+                seg["text"] = re.sub(r"(?<!\b)([A-Z])", r" \1",
+                                     seg["text"]).strip("-") + " "
+        # reference post-pass runs LAST, after tags, and does not re-merge
+        merged = cls._post_process_short_cjk(merged)
         return [s for s in merged if s["text"].strip() or s["text"]]
+
+    # short-CJK neighbour smoothing (reference _post_process_short_cjk,
+    # LangSegment.py:344-377): zh with kana → ja; short zh (≤6 CJK chars)
+    # adopts a ja/ko neighbour (previous first); short kana-less ja adopts a
+    # zh neighbour.  Applies to tag-forced segments too, like the reference.
+    @staticmethod
+    def _post_process_short_cjk(segments: List[Dict[str, str]]):
+        if len(segments) <= 1:
+            return segments
+        cjk = re.compile(r"[一-鿿]")
+        kana = re.compile(r"[぀-ゟ゠-ヿｦ-ﾟ]")
+        for i, seg in enumerate(segments):
+            has_kana = bool(kana.search(seg["text"]))
+            n_cjk = len(cjk.findall(seg["text"]))
+            if seg["lang"] == "zh":
+                if has_kana:
+                    seg["lang"] = "ja"
+                    continue
+                if 0 < n_cjk <= 6:
+                    nb = None
+                    if i > 0 and segments[i - 1]["lang"] in ("ja", "ko"):
+                        nb = segments[i - 1]["lang"]
+                    elif (i < len(segments) - 1
+                          and segments[i + 1]["lang"] in ("ja", "ko")):
+                        nb = segments[i + 1]["lang"]
+                    if nb:
+                        seg["lang"] = nb
+            elif seg["lang"] == "ja" and not has_kana and 0 < n_cjk <= 6:
+                if i > 0 and segments[i - 1]["lang"] == "zh":
+                    seg["lang"] = "zh"
+                elif (i < len(segments) - 1
+                      and segments[i + 1]["lang"] == "zh"):
+                    seg["lang"] = "zh"
+        return segments
 
     # -- core segmentation -------------------------------------------------
 
@@ -141,14 +184,6 @@ class LangSegment:
         for i, s in enumerate(segs):
             if s[0] is None:
                 s[0] = nearest_lang(i)
-
-        # smooth 1-char CJK islands between same-language neighbours
-        for i in range(1, len(segs) - 1):
-            lang, chunk = segs[i]
-            if (len(chunk.strip()) == 1 and lang in ("zh", "ja")
-                    and segs[i - 1][0] == segs[i + 1][0]
-                    and segs[i - 1][0] in ("zh", "ja") and segs[i - 1][0] != lang):
-                segs[i][0] = segs[i - 1][0]
 
         # apply language filters (unfiltered languages fall back to nearest)
         allowed = set(cls._filters)

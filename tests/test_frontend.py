@@ -94,14 +94,58 @@ def test_split_pinyin_symbols_are_valid():
 def test_lang_segment_mixed():
     segs = LangSegment.getTexts("你好hello世界こんにちは")
     langs = [s["lang"] for s in segs]
-    assert "".join(s["text"] for s in segs) == "你好hello世界こんにちは"
+    # en segments gain a trailing space (reference _insert_english_uppercase)
+    joined = "".join(s["text"] for s in segs).replace(" ", "")
+    assert joined == "你好hello世界こんにちは"
     assert langs[0] == "zh" and "en" in langs and "ja" in langs
 
 
 def test_lang_segment_tags():
+    # NOTE: matching the reference, the short-CJK post-pass runs AFTER tag
+    # handling, so a 1-char zh-tagged segment next to ja is pulled to ja
+    # (LangSegment.py:344-377); a longer zh-tagged run keeps its tag.
     segs = LangSegment.getTexts("<ja>雨</ja>と<zh>雨</zh>")
-    assert segs[0]["lang"] == "ja" and segs[0]["text"].startswith("雨")
-    assert segs[-1]["lang"] == "zh" and segs[-1]["text"] == "雨"
+    assert [s["lang"] for s in segs] == ["ja", "ja"]
+    segs = LangSegment.getTexts("<zh>今天天气真好一起出去</zh>と<ja>雨</ja>")
+    assert segs[0]["lang"] == "zh"
+
+
+def test_lang_segment_oracle_parity():
+    """Segment-exact parity vs the reference LangSegment (scripts, tags,
+    digits, half-width kana, acronym splitting, short-CJK smoothing).
+    py3langid is stubbed identically on both sides."""
+    stubbed = "py3langid" not in sys.modules
+    if stubbed:
+        m = types.ModuleType("py3langid")
+        m.classify = lambda t: ("en", 0.0)
+        sys.modules["py3langid"] = m
+    try:
+        ref_mod = import_reference_module("LangSegment.py", "LangSegment")
+        cases = [
+            "你好hello世界こんにちは",
+            "<ja>雨</ja>と<zh>雨</zh>",
+            "안녕하세요 hello",
+            "今天天气真好。Let's go out!",
+            "これはテストです。This is a test. 这是测试。",
+            "GPT-SoVITS是一个TTS系统",
+            "数字123と漢字",
+            "ｶﾀｶﾅ半角とカタカナ全角",
+            "简体中文繁體中文どっち",
+            "hello world",
+            "こんにちは",
+            "你好",
+            "ABC是DEF",
+            "iPhone手机很好用",
+            "今日はHello昨日はGoodbye",
+        ]
+        for c in cases:
+            r = [(s["lang"], s["text"])
+                 for s in ref_mod.LangSegment.getTexts(c)]
+            m2 = [(s["lang"], s["text"]) for s in LangSegment.getTexts(c)]
+            assert r == m2, c
+    finally:
+        if stubbed:
+            sys.modules.pop("py3langid", None)
 
 
 def test_lang_segment_korean():
