@@ -33,6 +33,12 @@ def _split_sentences(text: str) -> List[str]:
         return pysbd.Segmenter().segment(text)
     except ImportError:
         pass
+    return builtin_split_sentences(text)
+
+
+def builtin_split_sentences(text: str) -> List[str]:
+    """Dependency-free sentence splitter (pysbd stand-in): split on ender
+    runs + closing quotes, keeping abbreviations and decimals intact."""
     out: List[str] = []
     buf = ""
     i = 0

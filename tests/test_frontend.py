@@ -685,3 +685,46 @@ def test_ja_prosody_oracle_parity():
                          "k", "a", "[", "e", "]", "r", "u"]
     assert my_w2p["word"] == ["私", "は", "蛙"]
     assert sum(my_w2p["ph"]) == len(my_phones)
+
+
+def test_cut_text_oracle_parity():
+    """cut_text clause-split / minlen-merge / leading-punct-repair parity vs
+    the reference (TextProcessor.py:18-59), with pysbd stubbed by the SAME
+    sentence splitter on both sides so the downstream logic is isolated."""
+    from gsv_tts_tpu.frontend.text_processor import builtin_split_sentences
+
+    pysbd_stub = sys.modules.get("pysbd")
+    fresh = types.ModuleType("pysbd")
+
+    class Segmenter:
+        def segment(self, text):
+            return builtin_split_sentences(text)
+
+    fresh.Segmenter = Segmenter
+    sys.modules["pysbd"] = fresh
+    # the reference module binds `seg = pysbd.Segmenter()` at import time;
+    # force a re-exec so it picks up THIS stub
+    sys.modules.pop("refpkg.TextProcessor", None)
+    try:
+        ref = _load_ref_textprocessor()
+        cases = [
+            "今天天气真好，我们一起出去玩吧。明天也要加油哦！",
+            "好。！？真的很好呀今天。",
+            "Short. Also short. And a third one here, with commas, yes.",
+            "一句超级长的话，有很多很多的逗号，一直说个不停，直到结束。",
+            "\n\n开头有换行。然后继续。",
+            "только одно предложение без знаков",
+            "多句。短。话。每。句。都。很。短。",
+            "Mixed 中文 and English, numbers 123, and pauses; more text here.",
+            "……省略号开头。正文在这里，继续说话。",
+        ]
+        for minlen in (2, 6, 10, 25):
+            for c in cases:
+                assert ref.cut_text(c, minlen) == tp.cut_text(c, minlen), \
+                    (c, minlen)
+    finally:
+        if pysbd_stub is not None:
+            sys.modules["pysbd"] = pysbd_stub
+        else:
+            sys.modules.pop("pysbd", None)
+        sys.modules.pop("refpkg.TextProcessor", None)
