@@ -728,3 +728,65 @@ def test_cut_text_oracle_parity():
         else:
             sys.modules.pop("pysbd", None)
         sys.modules.pop("refpkg.TextProcessor", None)
+
+
+def test_g2p_dispatcher_oracle_parity():
+    """text_to_phonemes dispatcher parity vs the reference
+    (G2P/__init__.py:16-77): ellipsis collapsing, pause-symbol mapping,
+    UNK replacement, consecutive-punctuation dedup, and the backward
+    word2ph repair. Both sides share THIS repo's G2P instances via the
+    reference's global_config, isolating the dispatcher logic."""
+    _load_ref_textprocessor()
+    ref_g2p = sys.modules["refpkg.GPT_SoVITS.G2P"]
+    ref_cfg = sys.modules["refpkg.Config"].global_config
+
+    from gsv_tts_tpu.frontend import g2p as my_g2p
+    from gsv_tts_tpu.frontend.g2p.japanese import JapaneseG2P
+
+    ja = JapaneseG2P()
+    old = (ref_cfg.chinese_g2p, getattr(ref_cfg, "japanese_g2p", None),
+           getattr(ref_cfg, "english_g2p", None))
+    ref_cfg.chinese_g2p = global_config.chinese_g2p  # lexicon-backed fixture
+    ref_cfg.japanese_g2p = ja
+    my_old_ja = global_config.japanese_g2p
+    global_config.japanese_g2p = ja  # avoid lazy init under the stub below
+    # the reference dispatcher imports its Chinese/Japanese modules even when
+    # an instance is injected; satisfy those imports only (never called —
+    # and `ja` above was constructed BEFORE the stub, so it keeps the kana
+    # fallback rather than picking up the stub)
+    stubs = {}
+    for name in ("pypinyin", "pyopenjtalk"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            if name == "pypinyin":
+                m.lazy_pinyin = lambda *a, **k: []
+                m.Style = types.SimpleNamespace(INITIALS=1, FINALS_TONE3=2)
+                mc = types.ModuleType("pypinyin.constants")
+                mc.SUPPORT_UCS4 = True
+                m.constants = mc
+                sys.modules["pypinyin.constants"] = mc
+            stubs[name] = m
+            sys.modules[name] = m
+    try:
+        cases = [
+            ("你好，，不是。。。一个人", "zh"),   # dup pause + ellipsis collapse
+            ("你好。。。。", "zh"),
+            ("三分之一，是不是？？", "zh"),
+            ("こんにちは、、", "ja"),
+            ("カタカナ！！！", "ja"),
+        ]
+        for text, lang in cases:
+            rp, rw, rn = ref_g2p.text_to_phonemes(text, lang)
+            mp, mw, mn = my_g2p.text_to_phonemes(text, lang)
+            assert rp == mp, (text, lang)
+            assert rw == mw, (text, lang)
+            assert rn == mn, (text, lang)
+            assert len(mp) == sum(mw["ph"])
+            assert ref_g2p.phonemes_to_ids(rp) == my_g2p.phonemes_to_ids(mp)
+    finally:
+        ref_cfg.chinese_g2p, ref_cfg.japanese_g2p, ref_cfg.english_g2p = old
+        global_config.japanese_g2p = my_old_ja
+        for name in stubs:
+            sys.modules.pop(name, None)
+        if "pypinyin" in stubs:
+            sys.modules.pop("pypinyin.constants", None)
