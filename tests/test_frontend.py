@@ -768,6 +768,12 @@ def test_g2p_dispatcher_oracle_parity():
             stubs[name] = m
             sys.modules[name] = m
     try:
+        # make `from .Chinese import ChineseG2P` (and Japanese) resolvable
+        # regardless of which placeholder modules earlier tests left behind
+        import_reference_module("GPT_SoVITS/G2P/Chinese/__init__.py",
+                                "GPT_SoVITS.G2P.Chinese")
+        import_reference_module("GPT_SoVITS/G2P/Japanese/__init__.py",
+                                "GPT_SoVITS.G2P.Japanese")
         cases = [
             ("你好，，不是。。。一个人", "zh"),   # dup pause + ellipsis collapse
             ("你好。。。。", "zh"),
