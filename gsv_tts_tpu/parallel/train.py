@@ -70,3 +70,47 @@ def make_train_step(cfg: T2SConfig, optimizer: optax.GradientTransformation,
         return params, opt_state, loss
 
     return step
+
+
+def make_optimizer(peak_lr: float = 1e-4, warmup_steps: int = 500,
+                   decay_steps: int = 50_000, end_lr_scale: float = 0.1,
+                   weight_decay: float = 0.01, clip_norm: float = 1.0,
+                   b1: float = 0.9, b2: float = 0.95):
+    """AdamW with linear warmup → cosine decay and global-norm clipping
+    (the standard AR-decoder recipe; the reference has no training code)."""
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=peak_lr, warmup_steps=warmup_steps,
+        decay_steps=decay_steps, end_value=peak_lr * end_lr_scale)
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay),
+    ), schedule
+
+
+def pad_batch(cfg: T2SConfig, samples, pad_multiple: int = 32):
+    """Collate [(x_ids, y_ids, bert), ...] into the padded dict consumed by
+    the train step.  Lengths round up to ``pad_multiple`` so the number of
+    jit specializations stays bounded (same bucketing idea as inference).
+    """
+    import numpy as np
+
+    def rup(n):
+        return max(pad_multiple, -(-n // pad_multiple) * pad_multiple)
+
+    B = len(samples)
+    Lx = rup(max(len(s[0]) for s in samples))
+    Ly = rup(max(len(s[1]) for s in samples))
+    x = np.zeros((B, Lx), np.int32)
+    y = np.zeros((B, Ly), np.int32)
+    bert = np.zeros((B, Lx, cfg.bert_dim), np.float32)
+    x_lens = np.zeros((B,), np.int32)
+    y_lens = np.zeros((B,), np.int32)
+    for i, (xi, yi, bi) in enumerate(samples):
+        x[i, :len(xi)] = xi
+        y[i, :len(yi)] = yi
+        if bi is not None:
+            bert[i, :len(xi)] = bi
+        x_lens[i], y_lens[i] = len(xi), len(yi)
+    return {"x_ids": jnp.asarray(x), "y_ids": jnp.asarray(y),
+            "bert": jnp.asarray(bert), "x_lens": jnp.asarray(x_lens),
+            "y_lens": jnp.asarray(y_lens)}

@@ -171,3 +171,32 @@ def test_tp_dp_sharded_batched_matches_single_device():
     by1 = {int(i): t.tolist() for t, i in zip(pred1, idx1)}
     by2 = {int(i): t.tolist() for t, i in zip(pred2, idx2)}
     assert by1 == by2
+
+
+def test_make_optimizer_schedule_and_training():
+    """Warmup-cosine AdamW + ragged pad_batch: loss decreases, schedule
+    warms up then decays."""
+    from gsv_tts_tpu.parallel.train import make_optimizer, pad_batch
+
+    optimizer, schedule = make_optimizer(peak_lr=3e-3, warmup_steps=4,
+                                         decay_steps=32)
+    assert float(schedule(0)) == 0.0
+    assert float(schedule(4)) == pytest.approx(3e-3, rel=1e-6)
+    assert float(schedule(32)) < float(schedule(8))
+
+    rng = np.random.RandomState(0)
+    samples = [(rng.randint(1, 64, (5 + i,)).astype(np.int32),
+                rng.randint(0, 100, (7 + i % 3,)).astype(np.int32),
+                None) for i in range(4)]
+    batch = pad_batch(CFG, samples, pad_multiple=8)
+    assert batch["x_ids"].shape[1] % 8 == 0
+    assert int(batch["x_lens"][3]) == 8 and int(batch["y_lens"][0]) == 7
+
+    params = t2s_model.init_params(jax.random.PRNGKey(2), CFG, dtype=jnp.float32)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(CFG, optimizer, dtype=jnp.float32))
+    losses = []
+    for _ in range(6):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
