@@ -58,8 +58,20 @@ def test_webui_synth_roundtrip(engine, assets, tmp_path):  # noqa: F811
             body = await r2.read()
             assert body[:4] == b"RIFF"
 
+            # enhance path: full fx chain applied server-side
+            r = await client.post("/ui/synth", json={
+                "text": "enhanced test one.",
+                "speaker_audio": assets["spk"],
+                "prompt_audio": assets["prompt"],
+                "prompt_text": "hello there.",
+                "enhance": True})
+            data2 = await r.json()
+            assert r.status == 200, data2
+            body2 = await (await client.get(data2["audio_url"])).read()
+            assert body2[:4] == b"RIFF" and len(body2) > 1000
+
             hist = await (await client.get("/ui/history")).json()
-            assert len(hist) == 1
+            assert len(hist) == 2
 
             models = await (await client.get("/ui/models")).json()
             assert len(models["gpt_loaded"]) >= 1
