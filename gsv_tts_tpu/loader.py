@@ -226,6 +226,26 @@ def gpt_to_safetensors(gpt_path: str, output_dir: str, tts_config: Config):
         json.dump(config, f, indent=4, ensure_ascii=False)
 
 
+def save_trained_gpt(params, cfg, output_dir: str, config: dict = None):
+    """Save (possibly trained) t2s params as a safetensors checkpoint dir
+    loadable by :func:`get_gpt_weights`.  New capability vs the reference
+    (which only converts existing checkpoints)."""
+    from safetensors.numpy import save_file
+
+    sd = t2s_model.params_to_torch_state_dict(params, cfg)
+    os.makedirs(output_dir, exist_ok=True)
+    save_file(sd, os.path.join(output_dir, "model.safetensors"))
+    if config is None:
+        config = {"model": {
+            "hidden_dim": cfg.hidden_dim, "embedding_dim": cfg.embedding_dim,
+            "head": cfg.num_heads, "n_layer": cfg.num_layers,
+            "vocab_size": cfg.vocab_size,
+            "phoneme_vocab_size": cfg.phoneme_vocab_size, "EOS": cfg.eos,
+        }}
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        json.dump(config, f, indent=4, ensure_ascii=False)
+
+
 def sovits_to_safetensors(sovits_path: str, output_dir: str, tts_config: Config):
     dict_s2, version = load_sovits_raw(str(sovits_path))
     hps = HParams(dict_s2["config"])

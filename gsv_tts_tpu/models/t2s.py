@@ -175,6 +175,41 @@ def params_from_torch_state_dict(state_dict: Dict[str, Any], cfg: T2SConfig, dty
     return params
 
 
+def params_to_torch_state_dict(params: Dict[str, Any],
+                               cfg: T2SConfig) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`params_from_torch_state_dict`: our stacked pytree →
+    a float32 numpy state dict in the runtime key layout (what the
+    safetensors fast path stores), so trained weights can be saved into a
+    checkpoint every loader understands.  ``pe`` is derived, not stored.
+
+    Every returned tensor is made C-contiguous: safetensors serializes the
+    raw buffer, so a transposed VIEW would silently save corrupted data."""
+    p = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
+    sd = {
+        "ar_text_embedding.word_embeddings.weight": p["text_emb"],
+        "ar_audio_embedding.word_embeddings.weight": p["audio_emb"],
+        "bert_proj.weight": p["bert_proj_w"].T,
+        "bert_proj.bias": p["bert_proj_b"],
+        "ar_text_position.alpha": p["text_pos_alpha"].reshape(()),
+        "ar_audio_position.alpha": p["audio_pos_alpha"].reshape(()),
+        "ar_predict_layer.weight": p["predict_w"].T,
+    }
+    lay = p["layers"]
+    per_layer = [
+        ("qkv.weight", "qkv_w", True), ("qkv.bias", "qkv_b", False),
+        ("out_proj.weight", "out_w", True), ("out_proj.bias", "out_b", False),
+        ("norm1.weight", "ln1_g", False), ("norm1.bias", "ln1_b", False),
+        ("norm2.weight", "ln2_g", False), ("norm2.bias", "ln2_b", False),
+        ("mlp.0.weight", "mlp1_w", True), ("mlp.0.bias", "mlp1_b", False),
+        ("mlp.2.weight", "mlp2_w", True), ("mlp.2.bias", "mlp2_b", False),
+    ]
+    for i in range(cfg.num_layers):
+        for torch_name, ours, transpose in per_layer:
+            m = lay[ours][i]
+            sd[f"t2s_transformer.blocks.{i}.{torch_name}"] = m.T if transpose else m
+    return {k: np.ascontiguousarray(v) for k, v in sd.items()}
+
+
 # ---------------------------------------------------------------------------
 # Core math
 # ---------------------------------------------------------------------------

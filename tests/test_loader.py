@@ -205,3 +205,34 @@ def test_loader_works_without_torch(tmp_path, monkeypatch):
     monkeypatch.setattr(builtins, "__import__", guarded)
     gpt = loader.get_gpt_weights(gpt_path, _cfg())
     assert gpt.cfg.eos == 100
+
+
+def test_save_trained_gpt_roundtrip(tmp_path):
+    """Trained-params export → safetensors dir → reload: pytree-equal params
+    (new capability vs the reference, which only converts checkpoints)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gsv_tts_tpu.config import Config
+    from gsv_tts_tpu.loader import save_trained_gpt, get_gpt_weights
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+
+    cfg = T2SConfig(hidden_dim=64, embedding_dim=64, num_heads=4,
+                    num_layers=2, vocab_size=101, phoneme_vocab_size=64,
+                    eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(7), cfg,
+                                   dtype=jnp.float32)
+    out = tmp_path / "trained_gpt"
+    save_trained_gpt(params, cfg, str(out))
+
+    gpt = get_gpt_weights(str(out), Config(dtype="float32"))
+    assert gpt.cfg.num_layers == 2 and gpt.cfg.vocab_size == 101
+    flat1 = jax.tree.leaves(params)
+    flat2 = jax.tree.leaves(gpt.params)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-6, atol=1e-6)
