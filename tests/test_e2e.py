@@ -330,3 +330,26 @@ def test_long_text_multisegment_stream(assets, engine):
                                       debug=False))
     assert len(chunks) >= 2
     assert all(c.audio_data.dtype == np.float32 for c in chunks)
+
+
+def test_concurrent_async_inference_serializes(assets, engine):
+    """The coarse _infer_lock (reference TTS.py:145) must make concurrent
+    async calls safe: all complete, audio is valid, and the engine state
+    stays consistent."""
+    import asyncio
+    from concurrent.futures import ThreadPoolExecutor
+
+    async def go():
+        ex = ThreadPoolExecutor(max_workers=4)
+        clips = await asyncio.gather(*[
+            engine.infer_async(assets["spk"], assets["prompt"],
+                               "hello there.", f"concurrent test {i}.",
+                               executor=ex)
+            for i in range(4)
+        ])
+        return clips
+
+    clips = asyncio.run(go())
+    assert len(clips) == 4
+    for c in clips:
+        assert c.audio_data.dtype == np.float32 and len(c.audio_data) > 0
