@@ -359,7 +359,8 @@ class T2SEngine:
         if stream_chunk is not None:
             return self._generate_stream(
                 x_ids, y_ids, bert, top_k, top_p, temperature,
-                repetition_penalty, rng, stream_chunk, boost_first_chunk)
+                repetition_penalty, rng, stream_chunk, boost_first_chunk,
+                stream_final_semantics=True)
         toks = None
         for toks, is_final in self._generate_stream(
                 x_ids, y_ids, bert, top_k, top_p, temperature,
@@ -369,7 +370,8 @@ class T2SEngine:
 
     def _generate_stream(self, x_ids, y_ids, bert, top_k, top_p, temperature,
                          repetition_penalty, rng, stream_chunk,
-                         boost_first_chunk: bool = False):
+                         boost_first_chunk: bool = False,
+                         stream_final_semantics: bool = False):
         cfg = self.cfg
         rng = rng if rng is not None else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         x_ids = np.asarray(x_ids, np.int32).reshape(-1)
@@ -444,7 +446,14 @@ class T2SEngine:
                     pre_chunk = out[None, None, :]
 
         if eos_at is not None:
-            final = generated[1:eos_at]
+            # Reference quirk, reproduced for parity: in STREAM mode the
+            # EOS-ended final window `pre_tokens[:, -idx:]` keeps the
+            # prefill-sampled first token because the EOS concat is skipped
+            # (t2s_model.py:534-553), while the non-stream `infer` (which
+            # concats EOS before trimming, t2s_model.py:450-464) drops it.
+            # Cap-ended runs drop it in both modes.
+            start = 0 if stream_final_semantics else 1
+            final = generated[start:eos_at]
         else:
             final = generated[1:]
         yield np.asarray(final, np.int64)[None, None, :], True

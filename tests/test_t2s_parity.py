@@ -135,8 +135,14 @@ def test_stream_chunks_concatenate(models):
                                stream_chunk=10))
     assert chunks[-1][1] is True
     final = np.asarray(chunks[-1][0]).ravel()
-    np.testing.assert_array_equal(final, full)
-    # every intermediate yield is a prefix of the final sequence
+    # reference quirk (t2s_model.py:534-553): an EOS-ended STREAM keeps the
+    # prefill-sampled first token that the non-stream path drops; cap-ended
+    # runs match exactly
+    if len(final) == len(full) + 1:
+        np.testing.assert_array_equal(final[1:], full)
+    else:
+        np.testing.assert_array_equal(final, full)
+    # every intermediate yield is a prefix of the non-stream sequence
     for toks, is_final in chunks[:-1]:
         t = np.asarray(toks).ravel()
         np.testing.assert_array_equal(t, full[: len(t)])
