@@ -23,17 +23,25 @@ F32 = jnp.float32
 
 
 def t2s_loss(params, cfg: T2SConfig, x_ids, y_ids, bert, x_lens, y_lens,
-             dtype=jnp.bfloat16):
+             dtype=jnp.bfloat16, remat: bool = False):
     """Next-semantic-token CE over the audio block (+EOS at the end).
 
     x_ids [B, Lx] phonemes, y_ids [B, Ly] target semantic tokens.
     The packed row is [x | y]; position ``x_len + t`` predicts ``y[t + 1]``
     (and the last valid position predicts EOS).
+
+    ``remat=True`` rematerializes the transformer forward in the backward
+    pass (``jax.checkpoint``) — trades ~1/3 more FLOPs for activation memory
+    scaling O(L·√depth) instead of O(L·depth); use for long batches / big
+    models on HBM-tight chips.
     """
     B, Ly = y_ids.shape
     xy_pos, mask, _ = t2s_model.embed_prompt_batch(
         params, cfg, x_ids, y_ids, bert, x_lens, y_lens, dtype)
-    h, _, _ = t2s_model.transformer_prefill(params, cfg, xy_pos, mask)
+    fwd = t2s_model.transformer_prefill
+    if remat:
+        fwd = jax.checkpoint(fwd, static_argnums=(1,))
+    h, _, _ = fwd(params, cfg, xy_pos, mask)
     logits = (h @ params["predict_w"]).astype(F32)  # [B, T, V]
 
     T = xy_pos.shape[1]
@@ -55,7 +63,7 @@ def t2s_loss(params, cfg: T2SConfig, x_ids, y_ids, bert, x_lens, y_lens,
 
 
 def make_train_step(cfg: T2SConfig, optimizer: optax.GradientTransformation,
-                    dtype=jnp.bfloat16):
+                    dtype=jnp.bfloat16, remat: bool = False):
     """Returns a jittable (params, opt_state, batch) -> (params, opt_state,
     loss) step.  Shard params/batch before jitting (``parallel/mesh.py``);
     GSPMD handles the tp all-reduces and dp gradient psum."""
@@ -64,7 +72,7 @@ def make_train_step(cfg: T2SConfig, optimizer: optax.GradientTransformation,
         loss, grads = jax.value_and_grad(
             lambda p: t2s_loss(p, cfg, batch["x_ids"], batch["y_ids"],
                                batch["bert"], batch["x_lens"], batch["y_lens"],
-                               dtype))(params)
+                               dtype, remat=remat))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

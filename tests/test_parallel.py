@@ -200,3 +200,23 @@ def test_make_optimizer_schedule_and_training():
         params, opt_state, loss = step(params, opt_state, batch)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_remat_grads_match():
+    """jax.checkpoint rematerialization: identical loss and gradients."""
+    from gsv_tts_tpu.parallel.train import t2s_loss
+
+    params = t2s_model.init_params(jax.random.PRNGKey(4), CFG, dtype=jnp.float32)
+    batch = _batch(2, seed=9)
+
+    def loss_fn(remat):
+        return lambda p: t2s_loss(p, CFG, batch["x_ids"], batch["y_ids"],
+                                  batch["bert"], batch["x_lens"],
+                                  batch["y_lens"], jnp.float32, remat=remat)
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss_fn(False)))(params)
+    l2, g2 = jax.jit(jax.value_and_grad(loss_fn(True)))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
