@@ -515,36 +515,46 @@ class T2SEngine:
         next_req = len(wave)
         max_S = self.buckets[B][-1]
 
+        # the reference's decode loop checks at GLOBAL steps 1, 6, 11, ...
+        # (``for idx in range(1000)`` with ``idx % check_interval == 0``,
+        # t2s_model.py:634-655), so the first chunk is 1 step and the rest
+        # are check_interval; slot refills inherit the global phase
+        first_chunk = True
         while not all(ignore):
+            n_steps = 1 if first_chunk else self.check_interval
+            first_chunk = False
             S_cur = state.k_cache.shape[2]
             kv = np.asarray(state.kv_len)
-            if int(kv.max()) + self.check_interval >= S_cur:
+            if int(kv.max()) + n_steps >= S_cur:
                 bigger = [s for s in self.buckets[B] if s > S_cur]
                 if bigger:
                     state = self._escalate(state, bigger[0])
                     S_cur = bigger[0]
             state, toks = decode_chunk(
-                self.params, cfg, state, self.check_interval, sa, 0,
+                self.params, cfg, state, n_steps, sa, 0,
                 self._dtype_name(), self.attn_impl)
-            toks = np.asarray(toks)  # [B, check_interval]
+            toks = np.asarray(toks)  # [B, n_steps]
             for j in range(B):
-                slot_steps[j] += self.check_interval
+                slot_steps[j] += n_steps
             kv = np.asarray(state.kv_len)
             buf = None
             for j in range(B):
                 if ignore[j]:
                     continue
-                eos_hit = cfg.eos in toks[j]
+                # the reference checks EOS only on the interval's LAST sample
+                # (``samples[:, 0] == EOS`` at the boundary, t2s_model.py:655)
+                eos_hit = int(toks[j][-1]) == cfg.eos
                 reached = int(kv[j]) + self.check_interval >= S_cur and not [s for s in self.buckets[B] if s > S_cur]
                 if not (eos_hit or reached):
                     continue
                 if buf is None:
                     buf = np.asarray(state.tok_buf)
-                # harvest: generated tokens excluding the first post-prefill
-                # sample, up to (not incl.) EOS  (``t2s_model.py:674-679``)
+                # harvest (``t2s_model.py:674-679``): the reference window
+                # ``pre_tokens[i, kv-steps+1 : kv]`` excludes both the first
+                # post-prefill sample AND the last written sample, then trims
+                # at the first EOS
                 y_len = slot_start[j] - int(np.asarray(state.x_len)[j])
-                gen = buf[j, y_len: y_len + slot_steps[j] + 1]
-                gen = gen[1:]
+                gen = buf[j, y_len + 1: y_len + slot_steps[j]]
                 eos_pos = np.nonzero(gen == cfg.eos)[0]
                 if eos_pos.size:
                     gen = gen[: eos_pos[0]]

@@ -294,3 +294,26 @@ def test_stream_pipeline_golden(assets, ref_engine, our_engine,  # noqa: F811
     assert err < 5e-2, err
     corr = np.corrcoef(a[:n], b[:n])[0, 1] if n > 1 and a[:n].std() > 0 else 1.0
     assert corr > 0.999, corr
+
+
+def test_batched_pipeline_golden(assets, ref_engine, our_engine):  # noqa: F811
+    """Batched parity: continuous-batched GPT + packed SoVITS decode with
+    slice_indices produce the same per-request waveforms as the reference
+    (greedy, noiseless). Requires a (2, S) GPT bucket on both engines."""
+    texts = ["golden batched test one.", "and the second request here."]
+    kwargs = dict(top_k=1, top_p=1.0, temperature=1.0,
+                  repetition_penalty=1.35, noise_scale=0.0,
+                  return_subtitles=True)
+    ref_clips = ref_engine.infer_batched(
+        assets["spk"], assets["prompt"], "hello there.", texts, **kwargs)
+    our_clips = our_engine.infer_batched(
+        assets["spk"], assets["prompt"], "hello there.", texts, **kwargs)
+    assert len(ref_clips) == len(our_clips) == 2
+    for rc, oc in zip(ref_clips, our_clips):
+        a = np.asarray(rc.audio_data, np.float32)
+        b = np.asarray(oc.audio_data, np.float32)
+        assert abs(len(a) - len(b)) <= 640, (len(a), len(b))
+        n = min(len(a), len(b))
+        assert np.abs(a[:n] - b[:n]).max() < 5e-2
+        assert [s["text"] for s in rc.subtitles] == \
+            [s["text"] for s in oc.subtitles]
