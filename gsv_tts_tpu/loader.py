@@ -78,7 +78,17 @@ def _torch_load(path_or_bytes) -> Dict[str, Any]:
             path_or_bytes.seek(0)
         import torch  # lazy fallback
 
-        return torch.load(path_or_bytes, map_location="cpu", weights_only=False)
+        try:
+            return torch.load(path_or_bytes, map_location="cpu", weights_only=True)
+        except Exception:
+            # Unrestricted unpickling executes arbitrary code from the file;
+            # only allow it when the operator explicitly opts in for a trusted
+            # legacy checkpoint (weight-switch endpoints load caller paths).
+            if os.environ.get("GSV_UNSAFE_LOAD") != "1":
+                raise
+            if hasattr(path_or_bytes, "seek"):
+                path_or_bytes.seek(0)
+            return torch.load(path_or_bytes, map_location="cpu", weights_only=False)
 
 
 def _to_numpy_state_dict(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:

@@ -389,14 +389,10 @@ class T2SEngine:
             self.params, cfg, xp[None], yp[None], bp[None],
             jnp.asarray([len(x_ids)], I32), jnp.asarray([len(y_ids)], I32),
             k_cache, v_cache, rng, sa, True, self._dtype_name())
-        # NOTE: prefill wrote K/V for the *padded* layout; compact is needed
-        # only when padding exists inside the prompt. For B=1 we re-layout via
-        # kv positions: positions [len(x), Lx) and [Lx+len(y), ...) are junk but
-        # x-junk sits *between* x and y. Simplest correct fix: treat padded
-        # lengths as real by feeding pad tokens 0 — the reference pads batch
-        # prompts with 0 the same way (``t2s_model.py:576-578``) — but per-row
-        # masks there exclude them.  Here we instead include pad inside lens:
-        # see _generate_stream_padded below.
+        # NOTE: embed_prompt_batch packs each row as [x | y | pad] — valid
+        # tokens are contiguous, so every kv position < kv_len holds real
+        # prompt state and padded positions never enter the attended region.
+        # No compaction pass is needed after prefill.
         del k_cache, v_cache
 
         max_S = self.buckets[1][-1]

@@ -10,7 +10,11 @@ fans requests out across hosts over DCN:
     and after failures; unhealthy hosts are skipped until they recover
     (failure detection per SURVEY §5);
   * **transparent retry** — connection-level failures fail over to the next
-    healthy backend (idempotent synthesis requests only, not weight swaps);
+    healthy backend, but only before any byte was relayed to the client
+    (mid-stream upstream loss aborts the response instead);
+  * **load shedding** — each backend carries at most ``max_outstanding``
+    in-flight requests; when every healthy backend is saturated the router
+    answers 503 + ``Retry-After`` rather than queueing unboundedly;
   * **fan-out control plane** — ``/set_gpt_weights`` / ``/set_sovits_weights``
     broadcast to every backend so the fleet stays consistent;
   * streaming (SSE and chunked audio) is proxied incrementally, preserving
@@ -50,13 +54,15 @@ class Backend:
 
 class Router:
     def __init__(self, backends: List[str], health_interval: float = 10.0,
-                 request_timeout: float = 600.0, max_retries: int = 2):
+                 request_timeout: float = 600.0, max_retries: int = 2,
+                 max_outstanding: int = 32):
         if not backends:
             raise ValueError("router needs at least one backend URL")
         self.backends = [Backend(u) for u in backends]
         self.health_interval = health_interval
         self.request_timeout = request_timeout
         self.max_retries = max_retries
+        self.max_outstanding = max_outstanding
         self._rr = itertools.count()
         self._session: Optional[aiohttp.ClientSession] = None
         self._health_task: Optional[asyncio.Task] = None
@@ -104,12 +110,20 @@ class Router:
     # -- selection ----------------------------------------------------------
 
     def _pick(self, exclude=()) -> Optional[Backend]:
-        """Least outstanding requests among healthy backends; round-robin
-        breaks ties so equal-load hosts alternate."""
-        pool = [b for b in self.backends if b.healthy and b not in exclude]
+        """Least outstanding requests among healthy backends with spare
+        capacity; round-robin breaks ties so equal-load hosts alternate.
+        Sheds with 503 when every healthy backend is at max_outstanding —
+        queueing further work would only grow tail latency unboundedly."""
+        healthy = [b for b in self.backends if b.healthy and b not in exclude]
+        pool = [b for b in healthy if b.outstanding < self.max_outstanding]
         if not pool:
+            if healthy:
+                raise web.HTTPServiceUnavailable(
+                    text="all backends at capacity",
+                    headers={"Retry-After": "1"})
             # desperate fallback: retry unhealthy ones rather than 503 early
-            pool = [b for b in self.backends if b not in exclude]
+            pool = [b for b in self.backends if b not in exclude
+                    and b.outstanding < self.max_outstanding]
         if not pool:
             return None
         lo = min(b.outstanding for b in pool)
@@ -134,6 +148,7 @@ class Router:
                 break
             tried.append(b)
             b.outstanding += 1
+            resp: Optional[web.StreamResponse] = None
             try:
                 async with self._session.request(
                         request.method, b.url + request.rel_url.path_qs.split("?")[0],
@@ -149,9 +164,18 @@ class Router:
                         await resp.write(chunk)
                     await resp.write_eof()
                     return resp
-            except (aiohttp.ClientConnectionError,
+            except (aiohttp.ClientConnectionError, aiohttp.ClientPayloadError,
                     aiohttp.ServerTimeoutError, ConnectionError):
                 b.healthy = False  # re-probed by the health loop
+                if resp is not None and resp.prepared:
+                    # Bytes already went to the client: failing over would
+                    # prepare a second response on the same request. Abort
+                    # this one instead (truncated body, no retry).
+                    try:
+                        await resp.write_eof()
+                    except Exception:  # noqa: BLE001 — client may be gone too
+                        pass
+                    return resp
                 continue
             finally:
                 b.outstanding -= 1
@@ -231,9 +255,12 @@ def main():  # pragma: no cover - thin CLI
     ap.add_argument("--backends", required=True,
                     help="comma-separated backend base URLs")
     ap.add_argument("--health-interval", type=float, default=10.0)
+    ap.add_argument("--max-outstanding", type=int, default=32,
+                    help="per-backend in-flight cap; excess requests get 503")
     args = ap.parse_args()
     web.run_app(create_router_app([u for u in args.backends.split(",") if u],
-                                  health_interval=args.health_interval),
+                                  health_interval=args.health_interval,
+                                  max_outstanding=args.max_outstanding),
                 host=args.host, port=args.port)
 
 

@@ -755,10 +755,15 @@ class TTS:
         queue: asyncio.Queue = asyncio.Queue()
 
         def run():
+            # Exceptions must travel through the queue: the executor future
+            # is discarded, so anything that escapes here would otherwise be
+            # swallowed and the consumer would see a clean (empty) stream.
             try:
                 with self._infer_lock:
                     for chunk in self.infer_stream(*args, **kwargs):
                         loop.call_soon_threadsafe(queue.put_nowait, chunk)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                loop.call_soon_threadsafe(queue.put_nowait, exc)
             finally:
                 loop.call_soon_threadsafe(queue.put_nowait, None)
 
@@ -767,6 +772,8 @@ class TTS:
             chunk = await queue.get()
             if chunk is None:
                 break
+            if isinstance(chunk, BaseException):
+                raise chunk
             yield chunk
 
     async def infer_batched_async(self, *args,

@@ -81,6 +81,24 @@ class _FakeModule:
     """Stand-in for torch dtype globals (torch.float32 etc.)."""
 
 
+# Builtins that only construct data (no code execution).  Same spirit as
+# torch's _weights_only_unpickler allowlist.
+_SAFE_BUILTINS = frozenset({
+    "set", "frozenset", "bytearray", "complex", "slice",
+    "dict", "list", "tuple",
+})
+
+# The numpy globals legitimate checkpoints reference (array reconstruction
+# + dtype).  numpy's own reconstructors never execute embedded code.
+_SAFE_NUMPY = frozenset({
+    ("numpy", "ndarray"), ("numpy", "dtype"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy._core.multiarray", "scalar"),
+})
+
+
 class _Unpickler(pickle.Unpickler):
     def __init__(self, file, archive: zipfile.ZipFile, prefix: str):
         super().__init__(file, encoding="utf-8")
@@ -107,10 +125,17 @@ class _Unpickler(pickle.Unpickler):
 
             return collections.OrderedDict
         if module == "builtins":
-            import builtins
+            # Only data-container builtins (mirrors torch's weights_only
+            # unpickler).  Returning arbitrary builtins attributes (eval,
+            # exec, getattr, __import__, ...) would let a crafted data.pkl
+            # REDUCE straight into code execution.
+            if name in _SAFE_BUILTINS:
+                import builtins
 
-            return getattr(builtins, name)
-        if module in ("numpy", "numpy.core.multiarray", "numpy._core.multiarray"):
+                return getattr(builtins, name)
+            raise pickle.UnpicklingError(
+                f"builtins.{name} is not allowed in checkpoint pickles")
+        if (module, name) in _SAFE_NUMPY:
             import importlib
 
             return getattr(importlib.import_module(module), name)

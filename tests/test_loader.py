@@ -236,3 +236,48 @@ def test_save_trained_gpt_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_torch_pickle_rejects_code_execution(tmp_path):
+    """A crafted data.pkl that REDUCEs into eval/os.system must raise, not
+    execute (the unpickler allowlists only data-container builtins)."""
+    import pickle
+    import zipfile
+
+    import pytest
+
+    from gsv_tts_tpu.utils import torch_pickle
+
+    class Evil:
+        def __reduce__(self):
+            return (eval, ("__import__('os').system('touch /tmp/pwned_gsv')",))
+
+    path = tmp_path / "evil.ckpt"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("archive/data.pkl", pickle.dumps(Evil()))
+    with pytest.raises(pickle.UnpicklingError, match="not allowed"):
+        torch_pickle.load(str(path))
+    assert not os.path.exists("/tmp/pwned_gsv")
+
+    # getattr laundering (builtins.getattr as a GLOBAL) must also fail
+    with zipfile.ZipFile(tmp_path / "evil2.ckpt", "w") as z:
+        z.writestr("archive/data.pkl",
+                   b"\x80\x04cbuiltins\ngetattr\n.")
+    with pytest.raises(pickle.UnpicklingError):
+        torch_pickle.load(str(tmp_path / "evil2.ckpt"))
+
+
+def test_torch_pickle_safe_builtins_still_load(tmp_path):
+    """Container builtins (set/slice/complex) remain loadable."""
+    import pickle
+    import zipfile
+
+    from gsv_tts_tpu.utils import torch_pickle
+
+    obj = {"a": {1, 2}, "b": slice(1, 5, 2), "c": complex(1, 2),
+           "d": bytearray(b"xy"), "e": (1, [2, 3])}
+    path = tmp_path / "ok.ckpt"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("archive/data.pkl", pickle.dumps(obj))
+    out = torch_pickle.load(str(path))
+    assert out == obj

@@ -177,3 +177,83 @@ def test_router_all_down_returns_503():
             await client.close()
 
     run_async(go)
+
+
+def test_router_sheds_at_capacity():
+    """With every healthy backend at max_outstanding, new requests get an
+    immediate 503 + Retry-After instead of queueing behind the stall."""
+    async def go():
+        release = asyncio.Event()
+        started = asyncio.Event()
+
+        async def slow_tts(request):
+            started.set()
+            await release.wait()
+            return web.json_response({"name": "slow"})
+
+        app_b = web.Application()
+        app_b.router.add_get("/health",
+                             lambda r: web.json_response({"status": "ok"}))
+        app_b.router.add_post("/tts", slow_tts)
+        s1 = TestServer(app_b)
+        await s1.start_server()
+        app = create_router_app([str(s1.make_url(""))], health_interval=3600,
+                                max_outstanding=1)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            first = asyncio.create_task(client.post("/tts", json={}))
+            await asyncio.wait_for(started.wait(), timeout=5)
+            r2 = await client.post("/tts", json={})
+            assert r2.status == 503
+            assert r2.headers.get("Retry-After") == "1"
+            release.set()
+            r1 = await first
+            assert r1.status == 200  # the in-flight request still completes
+        finally:
+            release.set()
+            await client.close()
+            await s1.close()
+
+    run_async(go)
+
+
+def test_router_mid_stream_upstream_loss_aborts_not_retries():
+    """If the upstream dies after bytes were relayed, the router must end
+    the (truncated) response cleanly — never prepare a second response on
+    the same request or replay onto another backend."""
+    async def go():
+        b2 = make_backend("b2")
+
+        async def dying_stream(request):
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream"})
+            await resp.prepare(request)
+            await resp.write(b"event: audio\ndata: dying-0\n\n")
+            await resp.drain()
+            request.transport.close()  # abrupt mid-body disconnect
+            return resp
+
+        app_b = web.Application()
+        app_b.router.add_get("/health",
+                             lambda r: web.json_response({"status": "ok"}))
+        app_b.router.add_post("/tts/stream", dying_stream)
+        s1, s2 = TestServer(app_b), TestServer(b2)
+        await s1.start_server()
+        await s2.start_server()
+        app = create_router_app([str(s1.make_url(""))],  # dying backend only
+                                health_interval=3600)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/tts/stream", json={})
+            body = await r.text()
+            assert r.status == 200
+            assert "dying-0" in body          # relayed bytes arrived
+            assert "b2" not in body           # and nothing was replayed
+        finally:
+            await client.close()
+            await s1.close()
+            await s2.close()
+
+    run_async(go)

@@ -127,3 +127,51 @@ def test_model_switch_endpoints(client_factory, assets):  # noqa: F811
 
     a, b = client_factory(go)
     assert a["message"] == "success" and b["message"] == "success"
+
+
+def test_stream_async_propagates_errors(engine):  # noqa: F811
+    """infer_stream failures must raise from infer_stream_async, not end the
+    stream cleanly (the executor future is discarded)."""
+    def boom(*a, **k):
+        yield from ()
+        raise RuntimeError("synthetic stream failure")
+
+    orig = engine.infer_stream
+    engine.infer_stream = boom
+    try:
+        async def go():
+            chunks = []
+            async for c in engine.infer_stream_async("x"):
+                chunks.append(c)
+            return chunks
+
+        with pytest.raises(RuntimeError, match="synthetic stream failure"):
+            asyncio.run(go())
+    finally:
+        engine.infer_stream = orig
+
+
+def test_sse_stream_error_event(client_factory, engine, assets):  # noqa: F811
+    """A failing stream must surface as `event: error`, not `event: done`."""
+    def boom(*a, **k):
+        yield from ()
+        raise RuntimeError("kaput")
+
+    orig = engine.infer_stream
+    engine.infer_stream = boom
+    try:
+        async def go(client):
+            r = await client.post("/tts/stream", json={
+                "text": "will fail.",
+                "speaker_audio": assets["spk"],
+                "prompt_audio": assets["prompt"],
+                "prompt_text": "hello there.",
+            })
+            return r.status, await r.text()
+
+        status, body = client_factory(go)
+    finally:
+        engine.infer_stream = orig
+    events = [e for e in body.split("\n\n") if e.strip()]
+    assert any(e.startswith("event: error") for e in events), body[:500]
+    assert not any(e.startswith("event: done") for e in events)
