@@ -3,11 +3,22 @@
 Dictionary chain mirroring the reference (``G2P/English/english.py``):
 ``cmudict.rep`` (from line 57, double-space separated) → ``cmudict-fast.rep``
 → ``engdict-hot.rep`` overrides, all loaded from ``models_dir/g2p/en`` when
-present; plus the nltk cmudict corpus if installed.  OOV handling: single
-letters spell out, possessive ``'s`` voicing rules, compound-word splitting
-by dictionary greedy match, and a built-in rule-based letter-to-sound
-fallback (the reference ships a numpy GRU seq2seq; the rule LTS keeps the
-pipeline dependency-free and always emits valid ARPAbet).
+present; plus the nltk cmudict corpus if installed.
+
+Pronunciation resolution per token (``english.py:121-211``):
+  1. non-alpha tokens pass through; single letters spell out ("A" → EY1);
+  2. homographs pick a pronunciation by POS prefix match
+     (``english.py:143-151``) — POS from nltk when its tagger data is
+     installed, else the built-in tagger (``en_pos.py``);
+  3. CMU dictionary lookup;
+  4. title-case words fall back to the name dictionary
+     (``english.py:170-172``);
+  5. OOV ≤3 chars spell out; possessive ``'s`` applies voicing rules;
+  6. compounds split by corpus word segmentation (``en_oov.Segmenter``,
+     the wordsegment model of ``english.py:204``);
+  7. remaining OOV goes to the g2p_en GRU seq2seq when
+     ``checkpoint20.npz`` is installed (``g2p_en.py:99-120``), else the
+     built-in rule LTS (always emits valid ARPAbet).
 """
 from __future__ import annotations
 
@@ -17,7 +28,7 @@ from pathlib import Path
 from typing import Dict, List, Optional
 
 from ..pause import escaped_pause
-from . import en_norm
+from . import en_norm, en_oov, en_pos
 
 _WORD_RE = re.compile(r"[A-Za-z]+(?:'[A-Za-z]+)?|[^A-Za-z\s]")
 
@@ -128,16 +139,43 @@ class EnglishG2P:
                 pass
         for w in ("ae", "ai", "ar", "ios", "hud", "os"):
             self.cmu.pop(w, None)
+        self.homographs = en_oov.load_homographs(models_dir)
+        self.namedict = en_oov.load_namedict(models_dir)
+        self.gru_lts = en_oov.load_gru_lts(models_dir)
+        self.segmenter = en_oov.Segmenter(models_dir, lexicon=self.cmu)
+        self._pos_tag = self._pick_tagger(models_dir)
+
+    @staticmethod
+    def _pick_tagger(models_dir):
+        """nltk's perceptron tagger when its data is installed (exact
+        reference behavior, ``english.py:25,124``); built-in tagger else."""
+        try:
+            import nltk
+
+            if models_dir is not None:
+                nltk.data.path.insert(
+                    0, str(Path(models_dir) / "g2p" / "en" / "nltk"))
+            nltk.pos_tag(["probe"])  # raises LookupError without data
+            return nltk.pos_tag
+        except Exception:
+            return en_pos.pos_tag
 
     def text_normalize(self, text: str) -> str:
         text = en_norm.normalize(text)
-        text = re.sub(f"[^a-zA-Z\\s{escaped_pause}']", "", text)
+        # the reference keeps ONLY letters/whitespace/pause marks
+        # (``english.py:217``) — apostrophes are stripped ("it's" → "its"),
+        # so the possessive branch below only fires on unnormalized input
+        text = re.sub(f"[^a-zA-Z\\s{escaped_pause}]", "", text)
         return re.sub(r"\s+", " ", text).strip()
 
     def qryword(self, o_word: str) -> List[str]:
         word = o_word.lower()
         if len(word) > 1 and word in self.cmu:
             return list(self.cmu[word])
+        # title-case OOV: the reference's given-name dictionary
+        # (``english.py:170-172``)
+        if o_word.istitle() and word in self.namedict:
+            return list(self.namedict[word][0])
         if len(word) <= 3:
             phones: List[str] = []
             for ch in word:
@@ -148,7 +186,7 @@ class EnglishG2P:
                 else:
                     phones += LETTER_PRON[ch]
             return phones
-        m = re.match(r"^([a-z]+)'s$", word)
+        m = re.match(r"^([a-z]+)('s)$", word)
         if m:
             phones = self.qryword(m.group(1))[:]
             if phones and phones[-1] in ("P", "T", "K", "F", "TH", "HH"):
@@ -158,33 +196,51 @@ class EnglishG2P:
             else:
                 phones += ["Z"]
             return phones
-        # compound splitting by greedy dictionary match
-        split = self._try_compound(word)
-        if split:
-            return [p for comp in split for p in self.qryword(comp)]
+        # compound splitting by corpus word segmentation (``english.py:204``)
+        comps = self.segmenter.segment(word)
+        if len(comps) <= 1:
+            return self.predict(word)
+        return [p for comp in comps for p in self.qryword(comp)]
+
+    def predict(self, word: str) -> List[str]:
+        """OOV letter-to-sound: the g2p_en GRU when its checkpoint asset is
+        installed (``g2p_en.py:99-120``), the rule LTS otherwise."""
+        if self.gru_lts is not None:
+            return self.gru_lts.predict(word)
         return rule_lts(word)
 
-    def _try_compound(self, word: str) -> Optional[List[str]]:
-        n = len(word)
-        for i in range(3, n - 2):
-            a, b = word[:i], word[i:]
-            if a in self.cmu and b in self.cmu:
-                return [a, b]
-        return None
-
     def g2p(self, text: str):
-        tokens = _WORD_RE.findall(text)
+        words = _WORD_RE.findall(text)
+        tokens = self._pos_tag(words)
         word2ph = {"word": [], "ph": []}
         phones: List[str] = []
-        for o_word in tokens:
+        for o_word, pos in tokens:
             word = o_word.lower()
             if re.search("[a-z]", word) is None:
                 pron = [word]
             elif len(word) == 1:
-                pron = ["EY1"] if o_word == "A" else list(LETTER_PRON[word])
+                # dict entry for single letters ("a" article → AH0); the
+                # capitalized standalone "A" reads as the letter name
+                # (``english.py:136-141``)
+                if o_word == "A":
+                    pron = ["EY1"]
+                else:
+                    pron = list(self.cmu.get(word, LETTER_PRON[word]))
+            elif word in self.homographs:
+                # POS-prefix homograph dispatch (``english.py:143-151``);
+                # the len(pos) < len(pos1) clause lets bare "VB" trigger the
+                # "VBP" entry for "read"
+                pron1, pron2, pos1 = self.homographs[word]
+                if pos.startswith(pos1):
+                    pron = pron1
+                elif len(pos) < len(pos1) and pos == pos1[: len(pos)]:
+                    pron = pron1
+                else:
+                    pron = pron2
             else:
                 pron = self.qryword(o_word)
-            pron = [p for p in pron if p not in (" ", "<pad>", "</s>", "<s>")]
+            pron = [("UNK" if p == "<unk>" else p) for p in pron
+                    if p not in (" ", "<pad>", "UW", "</s>", "<s>")]
             phones += pron
             word2ph["word"].append(o_word)
             word2ph["ph"].append(len(pron))

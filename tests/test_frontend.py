@@ -796,3 +796,266 @@ def test_g2p_dispatcher_oracle_parity():
             sys.modules.pop(name, None)
         if "pypinyin" in stubs:
             sys.modules.pop("pypinyin.constants", None)
+
+
+def _make_en_models_dir(tmp_path):
+    """Synthetic English G2P asset bundle (cmudict/fast/hot + GRU npz +
+    homographs.en + namedict) shared by ours and the reference oracle."""
+    import pickle
+
+    from gsv_tts_tpu.frontend.g2p import en_oov
+    from gsv_tts_tpu.frontend.g2p.english import LETTER_PRON
+
+    base = tmp_path / "g2p" / "en"
+    (base / "g2p_en").mkdir(parents=True)
+
+    words = {
+        "the": "DH AH0", "a": "AH0", "an": "AE1 N", "i": "AY1",
+        "you": "Y UW1", "he": "HH IY1", "she": "SH IY1", "we": "W IY1",
+        "they": "DH EY1", "it": "IH1 T", "is": "IH1 Z", "was": "W AA1 Z",
+        "will": "W IH1 L", "would": "W UH1 D", "to": "T UW1",
+        "and": "AH0 N D", "of": "AH1 V", "in": "IH0 N", "on": "AA1 N",
+        "this": "DH IH1 S", "that": "DH AE1 T", "with": "W IH1 DH",
+        "book": "B UH1 K", "books": "B UH1 K S", "cat": "K AE1 T",
+        "dog": "D AO1 G", "house": "HH AW1 S", "water": "W AO1 T ER0",
+        "play": "P L EY1", "station": "S T EY1 SH AH0 N",
+        "fire": "F AY1 ER0", "fly": "F L AY1", "ground": "G R AW1 N D",
+        "breaking": "B R EY1 K IH0 NG", "news": "N UW1 Z",
+        "yesterday": "Y EH1 S T ER0 D EY2", "today": "T AH0 D EY1",
+        "strong": "S T R AO1 NG", "rope": "R OW1 P", "near": "N IH1 R",
+        "wire": "W AY1 ER0", "please": "P L IY1 Z", "good": "G UH1 D",
+        "very": "V EH1 R IY0", "big": "B IH1 G", "new": "N UW1",
+        "singer": "S IH1 NG ER0", "metal": "M EH1 T AH0 L",
+        "john": "JH AA1 N", "johns": "JH AA1 N Z", "mary": "M EH1 R IY0",
+        "time": "T AY1 M", "people": "P IY1 P AH0 L", "go": "G OW1",
+        "went": "W EH1 N T", "see": "S IY1", "saw": "S AO1",
+        "music": "M Y UW1 Z IH0 K", "about": "AH0 B AW1 T",
+        "ae": "EY1 IY1", "ai": "EY1 AY1", "ar": "EY1 AA1 R",
+        "ios": "AY1 OW0 EH1 S", "hud": "HH AH1 D", "os": "OW1 EH1 S",
+    }
+    # homograph words must also exist in the dict (dict hit is shadowed by
+    # the homograph branch, but qryword recursion may land on them)
+    words.update({
+        "read": "R EH1 D", "record": "R EH1 K ER0 D",
+        "wind": "W IH1 N D", "live": "L IH1 V", "lead": "L IY1 D",
+        "present": "P R EH1 Z AH0 N T", "close": "K L OW1 S",
+        "use": "Y UW1 S", "tear": "T IH1 R", "object": "AA1 B JH EH0 K T",
+        "content": "K AA1 N T EH0 N T", "desert": "D EH1 Z ER0 T",
+        "project": "P R AA1 JH EH0 K T", "bow": "B OW1",
+        "minute": "M IH1 N AH0 T", "complex": "K AA1 M P L EH0 K S",
+    })
+    for ch, pron in LETTER_PRON.items():
+        words.setdefault(ch, " ".join(pron))
+
+    lines = [";;; header"] * 56
+    lines += [f"{w.upper()}  {p}" for w, p in sorted(words.items())]
+    (base / "cmudict.rep").write_text("\n".join(lines) + "\n")
+    (base / "cmudict-fast.rep").write_text(
+        "zebra Z IY1 B R AH0\nquokka K W AA1 K AH0\n")
+    (base / "engdict-hot.rep").write_text("gsv JH IY1 EH1 S V IY1\n")
+
+    rng = np.random.RandomState(0)
+    shapes = {
+        "enc_emb": (29, 64), "enc_w_ih": (384, 64), "enc_w_hh": (384, 128),
+        "enc_b_ih": (384,), "enc_b_hh": (384,),
+        "dec_emb": (74, 64), "dec_w_ih": (384, 64), "dec_w_hh": (384, 128),
+        "dec_b_ih": (384,), "dec_b_hh": (384,),
+        "fc_w": (74, 128), "fc_b": (74,),
+    }
+    np.savez(base / "g2p_en" / "checkpoint20.npz",
+             **{k: (rng.randn(*s) * 0.4).astype(np.float32)
+                for k, s in shapes.items()})
+
+    hg_lines = [f"{w}|{' '.join(p1)}|{' '.join(p2)}|{pos1}"
+                for w, (p1, p2, pos1) in sorted(en_oov.BUILTIN_HOMOGRAPHS.items())]
+    (base / "g2p_en" / "homographs.en").write_text("\n".join(hg_lines) + "\n")
+
+    with open(base / "namedict_cache.pickle", "wb") as f:
+        pickle.dump({"xanthe": [["Z", "AE1", "N", "TH", "IY0"]],
+                     "bronwyn": [["B", "R", "AA1", "N", "W", "IH0", "N"]]}, f)
+    return tmp_path
+
+
+def test_english_g2p_oracle_parity(tmp_path):
+    """Full-chain parity vs the reference EnglishG2P
+    (G2P/English/english.py + g2p_en.py) over mixed sentences: dictionary
+    chain, homograph POS dispatch, namedict, ≤3-char spell-out, compound
+    segmentation, and the GRU OOV seq2seq (random weights, exact numpy
+    parity).  nltk's tagger/tokenizer and wordsegment are satisfied by THIS
+    repo's implementations on both sides (same-engine injection, as with
+    MiniInflect), isolating the G2P logic itself."""
+    from gsv_tts_tpu.frontend.g2p import en_norm, en_pos
+    from gsv_tts_tpu.frontend.g2p.english import EnglishG2P, _WORD_RE
+
+    models_dir = _make_en_models_dir(tmp_path)
+    ours = EnglishG2P(models_dir=str(models_dir))
+    assert ours.gru_lts is not None  # npz asset picked up
+
+    # --- stub nltk / wordsegment / inflect for the reference import ---
+    class _Tok:
+        def tokenize(self, text):
+            return _WORD_RE.findall(text)
+
+    nltk_stub = types.ModuleType("nltk")
+    nltk_stub.pos_tag = en_pos.pos_tag
+    nltk_stub.data = types.SimpleNamespace(path=[])
+    tok_stub = types.ModuleType("nltk.tokenize")
+    tok_stub.TweetTokenizer = _Tok
+    nltk_stub.tokenize = tok_stub
+    ws_stub = types.ModuleType("wordsegment")
+    ws_stub.load = lambda: None
+    ws_stub.segment = ours.segmenter.segment
+    inflect_stub = types.ModuleType("inflect")
+    inflect_stub.engine = lambda: en_norm.MiniInflect()
+
+    saved = {k: sys.modules.get(k)
+             for k in ("nltk", "nltk.tokenize", "wordsegment", "inflect")}
+    for k in [k for k in sys.modules if k.startswith("refpkg.GPT_SoVITS.G2P")]:
+        del sys.modules[k]
+    sys.modules["nltk"] = nltk_stub
+    sys.modules["nltk.tokenize"] = tok_stub
+    sys.modules["wordsegment"] = ws_stub
+    sys.modules["inflect"] = inflect_stub
+    try:
+        import_reference_module("GPT_SoVITS/G2P/Pause.py", "GPT_SoVITS.G2P.Pause")
+        import_reference_module(
+            "GPT_SoVITS/G2P/English/Normalization/expend.py",
+            "GPT_SoVITS.G2P.English.Normalization.expend")
+        import_reference_module("GPT_SoVITS/G2P/English/g2p_en.py",
+                                "GPT_SoVITS.G2P.English.g2p_en")
+        ref_mod = import_reference_module("GPT_SoVITS/G2P/English/english.py",
+                                          "GPT_SoVITS.G2P.English.english")
+        ref = ref_mod.EnglishG2P(str(models_dir))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+        for k in [k for k in sys.modules if k.startswith("refpkg.GPT_SoVITS.G2P.English")]:
+            del sys.modules[k]
+
+    pools = {
+        "noun": ["book", "cat", "dog", "house", "water", "music", "time",
+                 "people", "news", "metal", "wire", "rope"],
+        "homograph": ["read", "record", "wind", "live", "lead", "present",
+                      "close", "use", "tear", "object", "content", "desert",
+                      "project", "bow", "minute", "complex"],
+        "oov": ["blorptastic", "quixotry", "vexnor", "playstation",
+                "fireground", "watermusic", "zebra", "quokka", "gsv",
+                "xq", "zzz", "Xanthe", "Bronwyn", "Unknownname"],
+        "verbish": ["go", "went", "see", "saw", "play", "please"],
+    }
+    rng = np.random.RandomState(42)
+    templates = [
+        "I will {h} the {n}.", "He {h} it yesterday.",
+        "Please {h} the {n}.", "The {h} was very {h2}.",
+        "A strong {n} will {h} the {o}.", "They {v} near a {h} {n}.",
+        "{o} is breaking news today.", "She saw the {o} and the {n}.",
+        "We {v} to {h} about 12 {n}s.", "My {n} costs $5 today.",
+        "{o} and {o2} went to the {n}.", "Did you {h} the {h2} {n}?",
+    ]
+    sentences = []
+    for _ in range(300):
+        t = rng.choice(templates)
+        s = t.format(
+            h=rng.choice(pools["homograph"]), h2=rng.choice(pools["homograph"]),
+            n=rng.choice(pools["noun"]), o=rng.choice(pools["oov"]),
+            o2=rng.choice(pools["oov"]), v=rng.choice(pools["verbish"]))
+        sentences.append(s)
+
+    mismatch = 0
+    total_phones = 0
+    for s in sentences:
+        norm_ref = ref.text_normalize(s)
+        norm_ours = ours.text_normalize(s)
+        assert norm_ref == norm_ours, (s, norm_ref, norm_ours)
+        ph_ref, w2p_ref = ref.g2p(norm_ref)
+        ph_ours, w2p_ours = ours.g2p(norm_ours)
+        total_phones += len(ph_ref)
+        if ph_ref != ph_ours or w2p_ref["ph"] != w2p_ours["ph"]:
+            mismatch += 1
+    # VERDICT round-1 "done" bar: ≥99 % agreement over mixed sentences
+    assert mismatch <= len(sentences) // 100, \
+        f"{mismatch}/{len(sentences)} sentences diverged ({total_phones} phones)"
+
+
+def test_en_pos_tagger_basics():
+    from gsv_tts_tpu.frontend.g2p.en_pos import pos_tag
+
+    tags = dict(pos_tag("I will read the book".split()))
+    assert tags["read"].startswith("V")
+    assert tags["book"].startswith("N")
+    tags = dict(pos_tag("the wind was strong".split()))
+    assert tags["wind"].startswith("N")
+    tags = dict(pos_tag("please record the record".split()))
+    assert pos_tag("please record the record".split())[1][1].startswith("V")
+    assert pos_tag("please record the record".split())[3][1].startswith("N")
+    tags = dict(pos_tag("she quickly closes the door".split()))
+    assert tags["quickly"] == "RB"
+    assert tags["closes"].startswith("V")
+
+
+def test_en_segmenter_corpus_model(tmp_path):
+    """Norvig-style segmentation with corpus statistics."""
+    from gsv_tts_tpu.frontend.g2p.en_oov import Segmenter
+
+    base = tmp_path / "g2p" / "en" / "wordsegment"
+    base.mkdir(parents=True)
+    (base / "unigrams.txt").write_text(
+        "play\t500000000\nstation\t300000000\nplays\t80000000\n"
+        "tation\t1000\nfire\t400000000\nground\t350000000\n"
+        "the\t2000000000\nof\t1500000000\n")
+    (base / "bigrams.txt").write_text("play station\t2000000\n")
+    seg = Segmenter(models_dir=str(tmp_path))
+    assert seg.segment("playstation") == ["play", "station"]
+    assert seg.segment("fireground") == ["fire", "ground"]
+    assert seg.segment("the") == ["the"]
+    # lexicon DP fallback without corpus files
+    seg2 = Segmenter(models_dir=None,
+                     lexicon={"play": 1, "station": 1, "fire": 1, "ground": 1})
+    assert seg2.segment("playstation") == ["play", "station"]
+    assert seg2.segment("qqqq") == ["qqqq"]
+
+
+def test_en_gru_lts_matches_reference_numpy(tmp_path):
+    """The GRU OOV seq2seq must reproduce the reference numpy cell exactly
+    (same checkpoint ⇒ same greedy phoneme sequence)."""
+    models_dir = _make_en_models_dir(tmp_path)
+    from gsv_tts_tpu.frontend.g2p.en_oov import load_gru_lts
+
+    gru = load_gru_lts(str(models_dir))
+    assert gru is not None
+
+    saved = {k: sys.modules.get(k) for k in ("nltk", "nltk.tokenize")}
+    nltk_stub = types.ModuleType("nltk")
+    nltk_stub.pos_tag = lambda toks: [(t, "NN") for t in toks]
+    tok_stub = types.ModuleType("nltk.tokenize")
+
+    class _Tok:
+        def tokenize(self, text):
+            return text.split()
+
+    tok_stub.TweetTokenizer = _Tok
+    nltk_stub.tokenize = tok_stub
+    for k in [k for k in sys.modules if k.startswith("refpkg.GPT_SoVITS.G2P.English")]:
+        del sys.modules[k]
+    sys.modules["nltk"] = nltk_stub
+    sys.modules["nltk.tokenize"] = tok_stub
+    try:
+        gmod = import_reference_module("GPT_SoVITS/G2P/English/g2p_en.py",
+                                       "GPT_SoVITS.G2P.English.g2p_en")
+        # the reference G2p needs homographs.en + the npz in models_dir
+        ref = gmod.G2p(str(models_dir), cmu={})
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+        for k in [k for k in sys.modules if k.startswith("refpkg.GPT_SoVITS.G2P.English")]:
+            del sys.modules[k]
+
+    for word in ("blorptastic", "quixotry", "vexnor", "hello", "xylophone",
+                 "gsvttslite", "aaaa", "qwertyuiop"):
+        assert gru.predict(word) == ref.predict(word), word
