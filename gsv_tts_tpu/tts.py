@@ -896,7 +896,13 @@ class TTS:
                     break
         if target is None:
             if buckets:
-                target = _round_up(t, 64)  # shape-bucketed fallback for long/packed decode
+                # geometric ladder above the configured buckets: ×1.5 rungs
+                # snapped to 64-frame multiples, so arbitrarily long packed
+                # batches compile O(log t) flow/vocoder programs instead of
+                # one per 64-frame quantum
+                target = max(buckets)
+                while target < t:
+                    target = _round_up(int(target * 1.5) + 1, 64)
             else:
                 target = t  # sovits_cache=[] ⇒ exact shapes (reference CPU mode)
         pad = target - t

@@ -353,3 +353,22 @@ def test_concurrent_async_inference_serializes(assets, engine):
     assert len(clips) == 4
     for c in clips:
         assert c.audio_data.dtype == np.float32 and len(c.audio_data) > 0
+
+
+def test_packed_sovits_compile_growth_bounded(assets, engine):
+    """The geometric frame-bucket ladder must keep flow/vocoder jit
+    specializations bounded on heterogeneous batched workloads
+    (round-1 finding: per-64-frame rounding compiled one program per
+    length quantum)."""
+    rng = np.random.RandomState(0)
+    words = ["one", "two", "three", "four", "alpha", "beta", "gamma",
+             "delta", "long", "short", "mixed", "case"]
+    texts = [" ".join(rng.choice(words, size=rng.randint(2, 14))) + "."
+             for _ in range(20)]
+    engine.infer_batched(assets["spk"], assets["prompt"], "hello there.",
+                         texts)
+    flow_fns = [fn for key, fn in engine._decode_jit_cache.items()
+                if key[1] == "flow_dec"]
+    assert flow_fns
+    n_programs = sum(fn._cache_size() for fn in flow_fns)
+    assert n_programs <= 4, f"{n_programs} flow/vocoder specializations"

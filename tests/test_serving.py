@@ -175,3 +175,36 @@ def test_sse_stream_error_event(client_factory, engine, assets):  # noqa: F811
     events = [e for e in body.split("\n\n") if e.strip()]
     assert any(e.startswith("event: error") for e in events), body[:500]
     assert not any(e.startswith("event: done") for e in events)
+
+
+@pytest.mark.parametrize("media_type,expect", [
+    ("wav", 200), ("raw", 200), ("ogg", None), ("aac", None), ("mp9", 400),
+])
+def test_api_v2_media_types(client_factory, assets, media_type, expect):  # noqa: F811
+    """Every api_v2 media_type answers deterministically: wav/raw always
+    succeed; ogg/aac succeed with the optional soundfile encoder and
+    return a documented 415 + supported list without it; unknown → 400."""
+    try:
+        import soundfile  # noqa: F401
+        has_sf = True
+    except ImportError:
+        has_sf = False
+    if expect is None:
+        expect = 200 if has_sf else 415
+
+    async def go(client):
+        r = await client.get("/tts", params={
+            "text": "media type check.",
+            "ref_audio_path": assets["prompt"],
+            "prompt_text": "hello there.",
+            "media_type": media_type,
+        })
+        return r.status, await r.read()
+
+    status, body = client_factory(go)
+    assert status == expect, (media_type, status, body[:200])
+    if status == 200 and media_type == "wav":
+        assert body[:4] == b"RIFF"
+    if status in (400, 415):
+        data = json.loads(body)
+        assert "supported" in data and "wav" in data["supported"]
