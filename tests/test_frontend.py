@@ -490,6 +490,36 @@ def test_en_norm_oracle_parity():
         "0.5 percent", "a 2kg bag", "13. 234 item", "2 × 3 = 6",
         "10 ÷ 2 = 5",
     ]
+    # deterministic fuzz mirroring the zh-normalizer suite: numbers through
+    # every expend.py stage (years, money, percent, time, fractions,
+    # ordinals, measures, decimals, grouping) at varied magnitudes/signs
+    import random
+
+    rng = random.Random(0)
+    units = ["km", "m", "cm", "kg", "g", "h", "min", "s", "tbsp", "tsp",
+             "ml", "mph"]
+    for _ in range(280):
+        n = rng.choice([
+            str(rng.randint(0, 9)), str(rng.randint(10, 99)),
+            str(rng.randint(100, 999)), str(rng.randint(1000, 9999)),
+            str(rng.randint(10000, 10 ** 7)),
+            f"{rng.randint(0, 99)}.{rng.randint(0, 999)}",
+            f"{rng.randint(1, 9)},{rng.randint(100, 999)}",
+        ])
+        m = str(rng.randint(1, 59))
+        pat = rng.choice([
+            "about {n} items", "in {n}", "the {n}th time", "{n}% done",
+            "${n} total", "£{n} fare", "{n}$ spent", "{n}£ fine",
+            "{n}/{m} of it", "meet at {h}:{mm}", "{n} + {m} = x",
+            "{n} - {m} = y", "wait {n}{u}", "run {n}{u} fast",
+            "a {n}{u} bag", "{n}. listed item", "it costs {n} dollars",
+            "temperature {n}°C", "about -{n} below", "room {n}",
+        ])
+        c = pat.format(n=n, m=m, u=rng.choice(units),
+                       h=rng.randint(0, 23), mm=f"{rng.randint(0, 59):02d}")
+        cases.append(c)
+
+    assert len(cases) >= 300
     for c in cases:
         assert ref_mod.normalize(c).replace("-", " ") == en_norm.normalize(c), c
 
