@@ -43,7 +43,6 @@ def bench_t2s_decode(n_tokens: int = 500, chunk: int = 25, bucket: int = 512,
     params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
     # keep logits sane for sampling
     params["predict_w"] = params["predict_w"] * 0.05
-
     sa = SampleArgs()
     rng = np.random.RandomState(0)
     B = 1
@@ -148,6 +147,57 @@ def bench_batched_decode(B: int = 4, chunk: int = 25, bucket: int = 512,
     return {"batch": B, "agg_tok_s": agg, "streams_realtime": agg / 25.0}
 
 
+def bench_sharded_decode(bucket: int = 512, n_tokens: int = 250, chunk: int = 25):
+    """GSPMD overhead probe (VERDICT r1 item 5): the flagship decode under a
+    1×1 jax.sharding.Mesh vs the plain single-chip XLA path.  On multi-chip
+    hardware the same code path runs tp>1; here it quantifies what wrapping
+    the jitted step in GSPMD costs on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.parallel import mesh as pmesh
+    from gsv_tts_tpu.runtime.t2s_session import (SampleArgs, T2SEngine,
+                                                 decode_chunk, prefill_batch)
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+    dtype_name = jnp.dtype(dtype).name
+    cfg = T2SConfig()
+    sa = SampleArgs()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(1, cfg.phoneme_vocab_size, (1, 60)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, cfg.vocab_size - 1, (1, 75)), jnp.int32)
+    bert = jnp.zeros((1, 60, cfg.bert_dim), jnp.float32)
+
+    out = {}
+    for label, shard in (("xla_1chip", False), ("gspmd_1x1", True)):
+        params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+        params["predict_w"] = params["predict_w"] * 0.05
+        eng = T2SEngine(params, cfg, gpt_cache=[(1, bucket)], dtype=dtype,
+                        attn_impl="xla")
+        if shard:
+            eng = eng.shard(pmesh.make_mesh(1))
+        k_cache, v_cache = eng._alloc_cache(1, bucket)
+        state, _ = prefill_batch(eng.params, cfg, x, y, bert,
+                                 jnp.full((1,), 60, jnp.int32),
+                                 jnp.full((1,), 75, jnp.int32),
+                                 k_cache, v_cache, jax.random.PRNGKey(1), sa,
+                                 True, dtype_name)
+        state, toks = decode_chunk(eng.params, cfg, state, chunk, sa, 0,
+                                   dtype_name, eng.attn_impl)
+        np.asarray(toks)  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(n_tokens // chunk):
+            state, toks = decode_chunk(eng.params, cfg, state, chunk, sa, 0,
+                                       dtype_name, eng.attn_impl)
+        np.asarray(toks)
+        out[label] = n_tokens / (time.perf_counter() - t0)
+    out["gspmd_overhead_pct"] = 100.0 * (out["xla_1chip"] / out["gspmd_1x1"] - 1.0)
+    return out
+
+
 def bench_sovits_chunk(frames25: int = 25, n_text: int = 30, reps: int = 8):
     """Streaming vocoder chunk: enc_p + flow + HiFi-GAN for one 25-token
     (1 s) chunk at the [55]-frame bucket — the reference's CUDA-graph region
@@ -196,6 +246,8 @@ def main():
     ap.add_argument("--tokens", type=int, default=500)
     ap.add_argument("--chunk", type=int, default=25)
     ap.add_argument("--skip-sovits", action="store_true")
+    ap.add_argument("--sharded", action="store_true",
+                    help="also measure the GSPMD 1x1-mesh decode overhead")
     args = ap.parse_args()
 
     stats = bench_t2s_decode(n_tokens=args.tokens, chunk=args.chunk)
@@ -205,6 +257,15 @@ def main():
         f"prefill={stats['prefill_ms']:.1f}ms ttft(gpt)={stats['ttft_gpt_ms']:.1f}ms "
         f"gpt_rtf={stats['gpt_rtf']:.4f} compile={stats['compile_prefill_s']:.1f}s",
         file=sys.stderr)
+    if args.sharded:
+        try:
+            sh = bench_sharded_decode()
+            print(f"# sharded: xla_1chip={sh['xla_1chip']:.0f} tok/s, "
+                  f"gspmd_1x1={sh['gspmd_1x1']:.0f} tok/s "
+                  f"(GSPMD overhead {sh['gspmd_overhead_pct']:+.1f}%)",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# sharded bench failed: {e}", file=sys.stderr)
     try:
         bt = bench_batched_decode()
         print(f"# batched B={bt['batch']}: {bt['agg_tok_s']:.0f} aggregate tok/s "

@@ -224,10 +224,15 @@ def _layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-
     return out.astype(dtype)
 
 
-def _block_prefill(x, lp, attn_mask, num_heads):
+def _block_prefill(x, lp, attn_mask, num_heads, lens=None, impl="xla"):
     """One post-norm transformer block over the full prompt
     (``t2s_model.py:31-65``).  Returns (hidden, k, v) with k/v in
-    [B, T, H, Dh] layout for the cache."""
+    [B, T, H, Dh] layout for the cache.
+
+    ``impl="flash"``/``"flash_interpret"`` (with ``lens=(x_lens, xy_lens)``)
+    uses the Pallas hybrid-mask kernel (``ops/flash_prefill.py``) — no
+    [B, H, T, T] score materialization; ``attn_mask`` is ignored there
+    (the kernel derives the identical mask from the lengths)."""
     B, T, D = x.shape
     H = num_heads
     Dh = D // H
@@ -239,11 +244,18 @@ def _block_prefill(x, lp, attn_mask, num_heads):
     k = k.reshape(B, T, H, Dh)
     v = v.reshape(B, T, H, Dh)
 
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=F32)
-    scores = scores / math.sqrt(Dh)
-    scores = jnp.where(attn_mask[:, None, :, :], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
+    if impl in ("flash", "flash_interpret") and lens is not None:
+        from ..ops.flash_prefill import flash_prefill_attention
+
+        attn = flash_prefill_attention(
+            q, k, v, lens[0], lens[1], num_heads=H,
+            interpret=(impl == "flash_interpret"))
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=F32)
+        scores = scores / math.sqrt(Dh)
+        scores = jnp.where(attn_mask[:, None, :, :], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
 
     x = residual + jnp.einsum("btd,de->bte", attn, lp["out_w"]) + lp["out_b"]
     x = _layer_norm(x, lp["ln1_g"], lp["ln1_b"])
@@ -255,13 +267,14 @@ def _block_prefill(x, lp, attn_mask, num_heads):
     return x, k, v
 
 
-def transformer_prefill(params, cfg: T2SConfig, xy_pos: jnp.ndarray, attn_mask: jnp.ndarray):
+def transformer_prefill(params, cfg: T2SConfig, xy_pos: jnp.ndarray,
+                        attn_mask: jnp.ndarray, lens=None, impl: str = "xla"):
     """Run all layers over the packed prompt; returns final hidden states and
     stacked per-layer K/V ``[L, B, T, H, Dh]`` (reference
     ``T2STransformer.process_prompt``, ``t2s_model.py:114-127``)."""
 
     def body(x, lp):
-        x, k, v = _block_prefill(x, lp, attn_mask, cfg.num_heads)
+        x, k, v = _block_prefill(x, lp, attn_mask, cfg.num_heads, lens, impl)
         return x, (k, v)
 
     x, (ks, vs) = jax.lax.scan(body, xy_pos, params["layers"])

@@ -29,7 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_layer import _head_pool
 
 F32 = jnp.float32
-BLOCK_S = 128
+BLOCK_S = 128  # 256 measured worse (2680 vs 2783 tok/s): the walk is
+               # bandwidth-bound, extra masked rows cost more than waits
 NEG = -1e30
 
 # order of the streamed per-layer tensors
@@ -275,3 +276,498 @@ def fused_decode_step(x, layers, k_cache, v_cache, kv_len,
     v_cache = jax.lax.dynamic_update_slice(
         v_cache, v_new[:, 0].reshape(L, 1, 1, H, Dh), (0, 0, pos, 0, 0))
     return x_out, k_cache, v_cache
+
+
+# ---------------------------------------------------------------------------
+# v2: the ENTIRE decode step in one launch — embedding + PE gather, all
+# layers, KV-row cache writes (aliased, at the dynamic position), the logits
+# head, and the full sampling pipeline (suppression → repetition penalty →
+# top-p → temperature → top-k → Gumbel argmax).  Removes the ~0.15 ms/token
+# of out-of-kernel XLA per step that capped v1 at ~2100 tok/s on v5e.
+#
+# Reference hot loop being beaten: ``t2s_model.py:425-456`` (CUDA-graph
+# replay of decode_next_token + eager embed/sample) and the sampling chain
+# ``GPT/utils.py:5-59``.
+# ---------------------------------------------------------------------------
+
+
+def _first_argmax(row, lane, sentinel):
+    """Index of the first maximum of ``row`` [1, Vp] (ties → lowest lane),
+    matching jnp.argmax semantics without relying on argmax lowering."""
+    m = jnp.max(row)
+    return jnp.min(jnp.where(row >= m, lane, sentinel))
+
+
+def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
+                   alpha_ref,   # SMEM [1, 1] f32 — audio_pos_alpha
+                   pool_ref, poolT_ref, tok_buf_ref,  # tok_buf [S, 1] i32 (VMEM)
+                   g_ref,       # [1, Vp] f32 — per-step Gumbel noise
+                   audio_emb_ref, pe_ref, pw_ref,     # HBM: [V, D], [P, D], [D, Vp]
+                   w_packed_ref,                      # HBM [L, D, 3D+D+2M]
+                   qkv_b_ref, out_b_ref, ln1_g_ref, ln1_b_ref,
+                   mlp1_b_ref, mlp2_b_ref, ln2_g_ref, ln2_b_ref,
+                   k_in_ref, v_in_ref,
+                   # outputs
+                   tok_out_ref, row_out_ref, k_out_ref, v_out_ref,
+                   # scratch
+                   w_all, pw_buf, kv_vmem, x_scr, emb_stage, pe_stage,
+                   logits_vmem, k_win, v_win,
+                   w_sem, pw_sem, kv_sem, win_rsem, win_wsem, row_sem,
+                   *, L, S, H, D, M, V, Vp, CHV, block_s, sa, suppressed,
+                   eps=1e-5):
+    """Whole decode step, DMA-issue-minimized: the four per-layer weight
+    matrices arrive as ONE packed [D, 3D+D+2M] transfer (mlp2 pre-transposed
+    so every matrix is row-major over D), and the K/V appends batch into a
+    single [L, 8, D] aligned-window read-modify-write pair for the entire
+    step.  The scalar core issues ~3 DMAs per layer instead of ~12.
+    (A combined [L, 2, B, S, D] cache with one descriptor per walk block
+    was tried and measured 1628 vs 2916 tok/s — the K→V stride makes the
+    DMA non-rectangular-slow; split caches with two descriptors win.)"""
+    length = scalar_ref[0]
+    pe_idx = scalar_ref[1]
+    last_tok = scalar_ref[2]
+    buf_len = scalar_ref[3]
+    suppress = scalar_ref[4]
+    scale = 1.0 / math.sqrt(D // H)
+    pool = pool_ref[:]
+    poolT = poolT_ref[:]
+    cdtype = k_in_ref.dtype
+    n_pw_chunks = Vp // CHV
+    # lane offsets of the packed matrices (all 128-multiples)
+    O_OUT, O_M1, O_M2 = 3 * D, 4 * D, 4 * D + M
+
+    def start_layer_load(layer, slot):
+        # background priority: the weight stream must not head-block the
+        # latency-critical attention-walk / window DMAs on the queue
+        pltpu.make_async_copy(w_packed_ref.at[layer], w_all.at[slot],
+                              w_sem.at[slot]).start(priority=1)
+
+    def wait_layer_load(slot):
+        pltpu.make_async_copy(w_packed_ref.at[0], w_all.at[slot],
+                              w_sem.at[slot]).wait()
+
+    def pw_dma(c, slot):
+        return pltpu.make_async_copy(
+            pw_ref.at[:, pl.ds(c * CHV, CHV)], pw_buf.at[slot],
+            pw_sem.at[slot])
+
+    # token embedding + positional-entry gather, kicked off alongside
+    # layer 0's weight stream.  Tiled memrefs require 8-aligned sublane
+    # slices, so each gather DMAs the aligned 8-row window and the kernel
+    # mask-selects the wanted row (exact: 7 summands are zero).
+    emb_al = (last_tok // 8) * 8
+    pe_al = (pe_idx // 8) * 8
+    emb_dma = pltpu.make_async_copy(
+        audio_emb_ref.at[pl.ds(emb_al, 8)], emb_stage, row_sem.at[0])
+    pe_dma = pltpu.make_async_copy(
+        pe_ref.at[pl.ds(pe_al, 8)], pe_stage, row_sem.at[1])
+    emb_dma.start()
+    pe_dma.start()
+    start_layer_load(0, 0)
+
+    # the new K/V rows land inside the aligned 8-row window [al, al+8):
+    # Mosaic only slices tiled memrefs at 8-row boundaries, so the kernel
+    # reads the window for ALL layers once, patches row ``off`` per layer in
+    # VMEM, and writes everything back after the layer loop (history rows
+    # are rewritten with their own values; row ``length`` was junk — the
+    # cache-valid region is strictly below it, and this step's attention
+    # walk reads the unmodified HBM cache, which stays bit-identical there)
+    al = (length // 8) * 8
+    off = length - al
+    kwin_read = pltpu.make_async_copy(
+        k_in_ref.at[:, 0, pl.ds(al, 8)], k_win, win_rsem.at[0])
+    vwin_read = pltpu.make_async_copy(
+        v_in_ref.at[:, 0, pl.ds(al, 8)], v_win, win_rsem.at[1])
+    kwin_read.start()
+    vwin_read.start()
+
+    emb_dma.wait()
+    pe_dma.wait()
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    emb_row = jnp.sum(
+        emb_stage[:].astype(F32) * (row8 == last_tok - emb_al), axis=0,
+        keepdims=True)
+    pe_row = jnp.sum(pe_stage[:] * (row8 == pe_idx - pe_al), axis=0,
+                     keepdims=True)
+    # mirror the XLA path's dtype chain: (alpha * pe) cast to the compute
+    # dtype, added to the embedding row IN that dtype, then promoted to f32
+    pe_q = (alpha_ref[0, 0] * pe_row).astype(cdtype)
+    x_scr[:] = (emb_row.astype(cdtype) + pe_q).astype(F32)
+    kwin_read.wait()
+    vwin_read.wait()
+
+    def layer_body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        def walk_dma(bi, slot_b):
+            kd = pltpu.make_async_copy(
+                k_in_ref.at[i, 0, pl.ds(bi * block_s, block_s)],
+                kv_vmem.at[slot_b, 0], kv_sem.at[slot_b, 0])
+            vd = pltpu.make_async_copy(
+                v_in_ref.at[i, 0, pl.ds(bi * block_s, block_s)],
+                kv_vmem.at[slot_b, 1], kv_sem.at[slot_b, 1])
+            return kd, vd
+
+        # prefetch walk block 0 behind the weight wait + qkv matmul
+        @pl.when(length > 0)
+        def _():
+            kd0, vd0 = walk_dma(0, 0)
+            kd0.start()
+            vd0.start()
+
+        @pl.when(i + 1 < L)
+        def _():
+            start_layer_load(i + 1, nxt)
+
+        @pl.when(i + 1 == L)
+        def _():
+            # last layer computing: stream the logits head behind it
+            pw_dma(0, 0).start(priority=1)
+            if n_pw_chunks > 1:
+                pw_dma(1, 1).start(priority=1)
+
+        wait_layer_load(slot)
+
+        x = x_scr[:]
+        xc = x.astype(cdtype)
+
+        qkv = jnp.dot(xc, w_all[slot][:, :O_OUT], preferred_element_type=F32)
+        qkv = qkv + qkv_b_ref[i][0:1].astype(F32)
+        q = qkv[:, :D]
+        k_new = qkv[:, D:2 * D]
+        v_new = qkv[:, 2 * D:]
+
+        k_win[i] = jnp.where(row8 == off,
+                             jnp.broadcast_to(k_new.astype(cdtype), (8, D)),
+                             k_win[i])
+        v_win[i] = jnp.where(row8 == off,
+                             jnp.broadcast_to(v_new.astype(cdtype), (8, D)),
+                             v_win[i])
+
+        # double-buffered walk: block 0 prefetched above, block i+1 streams
+        # while block i reduces (weights run at background priority so these
+        # foreground DMAs jump the queue)
+        def scoped(acc_ref, m_ref, l_ref):
+            m_ref[:] = jnp.full_like(m_ref, NEG)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            n_blocks = pl.cdiv(length, block_s)
+
+            def blk(bi, _):
+                start = bi * block_s
+                slot_b = jax.lax.rem(bi, 2)
+
+                @pl.when(bi + 1 < n_blocks)
+                def _():
+                    kd, vd = walk_dma(bi + 1, jax.lax.rem(bi + 1, 2))
+                    kd.start()
+                    vd.start()
+
+                kd, vd = walk_dma(bi, slot_b)
+                kd.wait()
+                vd.wait()
+                kb = kv_vmem[slot_b, 0].astype(F32)
+                vb = kv_vmem[slot_b, 1].astype(F32)
+                scores = jnp.dot(kb * q, pool, preferred_element_type=F32) * scale
+                sidx = jax.lax.broadcasted_iota(jnp.int32, (block_s, 1), 0) + start
+                valid = sidx < length
+                scores = jnp.where(valid, scores, NEG)
+                m_prev = m_ref[0]
+                m_new = jnp.maximum(m_prev, jnp.max(scores, axis=0))
+                corr = jnp.exp(m_prev - m_new)
+                p = jnp.where(valid, jnp.exp(scores - m_new[None, :]), 0.0)
+                l_ref[0] = l_ref[0] * corr + jnp.sum(p, axis=0)
+                p_exp = jnp.dot(p, poolT, preferred_element_type=F32)
+                corr_exp = jnp.dot(corr[None, :], poolT, preferred_element_type=F32)
+                acc_ref[:] = acc_ref[:] * corr_exp + jnp.sum(
+                    p_exp * vb, axis=0, keepdims=True)
+                m_ref[0] = m_new
+                return 0
+
+            jax.lax.fori_loop(0, n_blocks, blk, 0)
+
+            s_self = jnp.dot(q * k_new, pool, preferred_element_type=F32)[0] * scale
+            m_prev = m_ref[0]
+            m_new = jnp.maximum(m_prev, s_self)
+            corr = jnp.exp(m_prev - m_new)
+            p_self = jnp.exp(s_self - m_new)
+            l = l_ref[0] * corr + p_self
+            corr_exp = jnp.dot(corr[None, :], poolT, preferred_element_type=F32)
+            pself_exp = jnp.dot(p_self[None, :], poolT, preferred_element_type=F32)
+            acc = acc_ref[:] * corr_exp + pself_exp * v_new
+            l_exp = jnp.dot(l[None, :], poolT, preferred_element_type=F32)
+
+            h = jnp.dot((acc / l_exp).astype(cdtype),
+                        w_all[slot][:, O_OUT:O_M1], preferred_element_type=F32)
+            h = x + h + out_b_ref[i][0:1].astype(F32)
+            mean = jnp.mean(h, axis=-1, keepdims=True)
+            var = jnp.mean((h - mean) ** 2, axis=-1, keepdims=True)
+            h = (h - mean) * jax.lax.rsqrt(var + eps) \
+                * ln1_g_ref[i][0:1].astype(F32) + ln1_b_ref[i][0:1].astype(F32)
+
+            m1 = jnp.dot(h.astype(cdtype), w_all[slot][:, O_M1:O_M2],
+                         preferred_element_type=F32)
+            m1 = jnp.maximum(m1 + mlp1_b_ref[i][0:1].astype(F32), 0.0)
+            # mlp2 is packed transposed ([D, M]); contract both last dims
+            m2 = jax.lax.dot_general(
+                m1.astype(cdtype), w_all[slot][:, O_M2:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=F32)
+            h2 = h + m2 + mlp2_b_ref[i][0:1].astype(F32)
+            mean = jnp.mean(h2, axis=-1, keepdims=True)
+            var = jnp.mean((h2 - mean) ** 2, axis=-1, keepdims=True)
+            x_scr[:] = (h2 - mean) * jax.lax.rsqrt(var + eps) \
+                * ln2_g_ref[i][0:1].astype(F32) + ln2_b_ref[i][0:1].astype(F32)
+
+        pl.run_scoped(
+            scoped,
+            acc_ref=pltpu.VMEM((1, D), F32),
+            m_ref=pltpu.VMEM((1, H), F32),
+            l_ref=pltpu.VMEM((1, H), F32),
+        )
+        return 0
+
+    jax.lax.fori_loop(0, L, layer_body, 0)
+
+    # write the patched K/V windows for ALL layers back in one DMA pair
+    kwin_write = pltpu.make_async_copy(
+        k_win, k_out_ref.at[:, 0, pl.ds(al, 8)], win_wsem.at[0])
+    vwin_write = pltpu.make_async_copy(
+        v_win, v_out_ref.at[:, 0, pl.ds(al, 8)], win_wsem.at[1])
+    kwin_write.start()
+    vwin_write.start()
+
+    # ---- logits head: chunked [1,D]@[D,CHV] matmuls over the streamed head ----
+    xc = x_scr[:].astype(cdtype)
+    for c in range(n_pw_chunks):
+        slot = c % 2
+        pw_dma(c, slot).wait()
+        logits_vmem[0:1, pl.ds(c * CHV, CHV)] = jnp.dot(
+            xc, pw_buf[slot], preferred_element_type=F32)
+        # refill this slot only after the matmul consumed it
+        if c + 2 < n_pw_chunks:
+            pw_dma(c + 2, slot).start()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Vp), 1)
+    row = logits_vmem[:]
+    row = jnp.where(lane < V, row, NEG)
+
+    # suppression window (reference ``t2s_model.py:444-445``): -inf on the
+    # configured ids while step_idx < initial_suppression_steps
+    if suppressed:
+        sup = (lane == suppressed[0])
+        for sid in suppressed[1:]:
+            sup = sup | (lane == sid)
+        row = jnp.where((suppress > 0) & sup, NEG, row)
+
+    # repetition penalty (``GPT/utils.py:20-27``): scatter semantics via a
+    # membership mask over the previous-token buffer
+    if sa.use_prev and sa.repetition_penalty != 1.0:
+        rp = sa.repetition_penalty
+        CHB = min(128, S)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHB, Vp), 0)
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, (CHB, Vp), 1)
+        mem = jnp.zeros((1, Vp), F32)
+        for b in range(S // CHB):
+            ids = tok_buf_ref[pl.ds(b * CHB, CHB), 0:1]  # [CHB, 1]
+            valid = (row_ids + b * CHB) < buf_len
+            eq = (lane_b == ids) & valid
+            mem = mem + jnp.sum(eq.astype(F32), axis=0, keepdims=True)
+        member = mem > 0
+        row = jnp.where(member, jnp.where(row < 0, row * rp, row / rp), row)
+
+    # nucleus (top-p) on pre-temperature logits (``utils.py:29-39``):
+    # iteratively peel maxima until the cumulative probability crosses top_p
+    if sa.top_p < 1.0:
+        m = jnp.max(row)
+        e = jnp.exp(row - m)
+        p = e / jnp.sum(e)
+
+        def cond(st):
+            _, _, cum, j = st
+            return (cum <= sa.top_p) & (j < V)
+
+        def body(st):
+            pw, keep, cum, j = st
+            idx = _first_argmax(pw, lane, Vp)
+            mx = jnp.max(pw)
+            cum2 = cum + mx
+            keep_this = (j == 0) | (cum2 <= sa.top_p)
+            keep = keep | ((lane == idx) & keep_this)
+            pw = jnp.where(lane == idx, -1.0, pw)
+            return pw, keep, cum2, j + 1
+
+        _, keep, _, _ = jax.lax.while_loop(
+            cond, body,
+            (p, jnp.zeros((1, Vp), bool), jnp.float32(0.0), jnp.int32(0)))
+        row = jnp.where(keep, row, NEG)
+
+    row = row * (1.0 / max(sa.temperature, 1e-5))
+
+    # top-k pivot filter (``utils.py:43-46``): the kth-largest value survives
+    k = min(sa.top_k, V)
+    if k < V:
+        work = row
+        for _ in range(k - 1):
+            idx = _first_argmax(work, lane, Vp)
+            work = jnp.where(lane == idx, NEG, work)
+        pivot = jnp.max(work)
+        row = jnp.where(row < pivot, NEG, row)
+
+    row_out_ref[:] = row
+
+    # Gumbel-argmax draw (``utils.py:5-9``): argmax(log softmax + G) ==
+    # argmax(row + G) — the log-softmax shift is rank-invariant.  The noise
+    # arrives precomputed (same threefry stream as the XLA path, generated
+    # once per dispatch outside the scan), keeping the kernel deterministic.
+    tot = row + g_ref[:]
+    tok_out_ref[0, 0] = _first_argmax(tot, lane, Vp)
+
+    # drain the window write-back
+    kwin_write.wait()
+    vwin_write.wait()
+
+
+def _pw_chunk(Vp: int) -> int:
+    for c in (384, 256, 128):
+        if Vp % c == 0:
+            return c
+    return 128
+
+
+def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
+                             kv_len, x_len, last_tok, buf_len, step_idx,
+                             gumbel, *, sa, suppress_until: int = 0,
+                             suppressed=(), interpret: bool = False):
+    """One FULL decode step in a single kernel launch (B = 1): embedding,
+    all transformer layers, in-place KV append, logits head, and sampling.
+
+    ``params`` is the engine param dict (uses ``layers_packed`` /
+    ``predict_w_padded`` when present — callers in a scan must hoist those);
+    ``tok_buf`` [1, S] i32; scalars are [1]-shaped device arrays; ``gumbel``
+    [1, Vp] f32 precomputed draw noise (the engine's threefry key chain).
+    Static: ``sa``, ``suppress_until``, ``suppressed``.
+
+    Returns ``(tok [1] i32, row [1, Vp] f32, k_cache, v_cache)``; caches are
+    aliased in place.  Token-exact vs the XLA sampling path given the same
+    noise (the filtered row is tested against ``ops/sampling``).
+    """
+    L, B, S, H, Dh = k_cache.shape
+    assert B == 1
+    D = H * Dh
+    layers = params["layers"]
+    M = layers["mlp1_w"].shape[-1]
+    dtype = k_cache.dtype
+    V = params["predict_w"].shape[-1]
+    Vp = _round_up_128(V)
+    CHV = _pw_chunk(Vp)
+    block_s = min(BLOCK_S, S)
+
+    pw_pad = params["predict_w_padded"] if "predict_w_padded" in params else \
+        jnp.pad(params["predict_w"], ((0, 0), (0, Vp - V)))
+    w_packed = params["layers_packed"] if "layers_packed" in params else \
+        pack_layer_weights(layers)
+
+    kc2 = k_cache.reshape(L, B, S, D)
+    vc2 = v_cache.reshape(L, B, S, D)
+    pool, poolT = _head_pool(D, H)
+
+    suppress = (step_idx < suppress_until).astype(jnp.int32) \
+        if suppress_until else jnp.zeros_like(step_idx)
+    scalars = jnp.concatenate([
+        kv_len.astype(jnp.int32).reshape(1),
+        (kv_len - x_len).astype(jnp.int32).reshape(1),
+        last_tok.astype(jnp.int32).reshape(1),
+        buf_len.astype(jnp.int32).reshape(1),
+        suppress.reshape(1),
+    ])
+
+    kernel = functools.partial(
+        _kernel_sample, L=L, S=S, H=H, D=D, M=M, V=V, Vp=Vp, CHV=CHV,
+        block_s=block_s, sa=sa,
+        suppressed=tuple(suppressed) if suppress_until else ())
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    any_ = pl.BlockSpec(memory_space=pltpu.ANY)
+    # the row-gather tables must stay off-chip: a 1-row slice DMA from a
+    # VMEM-resident source violates Mosaic's (8,128) sublane tiling
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY) \
+        if not hasattr(pltpu, "HBM") else pl.BlockSpec(memory_space=pltpu.HBM)
+    W = 4 * D + 2 * M  # packed lane width: qkv(3D) | out(D) | mlp1(M) | mlp2ᵀ(M)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[smem, vmem, vmem, vmem, vmem,  # alpha, pool, poolT, tok_buf, gumbel
+                  hbm, hbm, any_,             # audio_emb, pe, predict_w_pad
+                  any_,                       # packed layer weights
+                  vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem,  # biases/LN
+                  any_, any_],                # caches
+        out_specs=[smem, vmem, any_, any_],
+        scratch_shapes=[
+            pltpu.VMEM((2, D, W), dtype),        # packed weights (2 slots)
+            pltpu.VMEM((2, D, CHV), dtype),      # predict head chunks
+            pltpu.VMEM((2, 2, block_s, D), dtype),  # kv walk (2 slots × K/V)
+            pltpu.VMEM((1, D), F32),             # activation carry
+            pltpu.VMEM((8, D), dtype),           # emb 8-row stage
+            pltpu.VMEM((8, D), F32),             # pe 8-row stage
+            pltpu.VMEM((1, Vp), F32),            # logits row
+            pltpu.VMEM((L, 8, D), dtype),        # K append windows (all layers)
+            pltpu.VMEM((L, 8, D), dtype),        # V append windows
+            pltpu.SemaphoreType.DMA((2,)),       # weight stream slots
+            pltpu.SemaphoreType.DMA((2,)),       # predict-head chunks
+            pltpu.SemaphoreType.DMA((2, 2)),     # attention kv walk
+            pltpu.SemaphoreType.DMA((2,)),       # window reads (K, V)
+            pltpu.SemaphoreType.DMA((2,)),       # window writes (K, V)
+            pltpu.SemaphoreType.DMA((2,)),       # emb/pe gathers
+        ],
+    )
+
+    def as3(t, f32=False):
+        arr = jnp.broadcast_to(t.reshape(L, 1, t.shape[-1]),
+                               (L, 2, t.shape[-1]))
+        return arr.astype(F32) if f32 else arr
+
+    n_inputs = 20  # scalars + 19 tensor operands, in call order below
+    tok, row, kc_out, vc_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, Vp), F32),
+            jax.ShapeDtypeStruct((L, B, S, D), dtype),
+            jax.ShapeDtypeStruct((L, B, S, D), dtype),
+        ],
+        input_output_aliases={n_inputs - 2: 2, n_inputs - 1: 3},
+        interpret=interpret,
+    )(scalars,
+      params["audio_pos_alpha"].astype(F32).reshape(1, 1),
+      pool, poolT, tok_buf[0][:, None].astype(jnp.int32),
+      gumbel.astype(F32),
+      params["audio_emb"], params["pe"], pw_pad,
+      w_packed,
+      as3(layers["qkv_b"]), as3(layers["out_b"]),
+      as3(layers["ln1_g"], True), as3(layers["ln1_b"], True),
+      as3(layers["mlp1_b"]),
+      as3(layers["mlp2_b"]),
+      as3(layers["ln2_g"], True), as3(layers["ln2_b"], True),
+      kc2, vc2)
+
+    return (tok.reshape(1), row,
+            kc_out.reshape(L, B, S, H, Dh), vc_out.reshape(L, B, S, H, Dh))
+
+
+def pack_layer_weights(layers) -> jnp.ndarray:
+    """Pack the four per-layer matrices into one ``[L, D, 3D+D+2M]`` tensor
+    (mlp2 transposed so every matrix is row-major over the hidden dim) —
+    lets the kernel stream a layer's weights as a single DMA.  Call once at
+    engine init; inside a scan this is a full-weights copy per trace."""
+    return jnp.concatenate([
+        layers["qkv_w"], layers["out_w"], layers["mlp1_w"],
+        jnp.swapaxes(layers["mlp2_w"], 1, 2),
+    ], axis=-1)
+
+
+def _round_up_128(x: int) -> int:
+    return ((x + 127) // 128) * 128

@@ -86,6 +86,14 @@ class SampleArgs:
 # jitted kernels
 # ---------------------------------------------------------------------------
 
+def _prefill_impl(attn_impl: str) -> str:
+    """Decode attn_impl → prefill attention implementation: the Pallas
+    hybrid-mask prefill kernel rides along with the Pallas decode paths."""
+    return {"fused_step": "flash", "flash": "flash", "fused": "flash",
+            "fused_step_interpret": "flash_interpret",
+            "flash_interpret": "flash_interpret",
+            "fused_interpret": "flash_interpret"}.get(attn_impl, "xla")
+
 def _sample_logits(rng, logits, tok_buf, sa: SampleArgs, vocab: int, mask_eos: bool, suppress: jnp.ndarray, suppressed: Tuple[int, ...]):
     """Shared logit post-processing: suppression, EOS masking, sampling."""
     logits = logits.astype(F32)
@@ -108,18 +116,21 @@ def _sample_logits(rng, logits, tok_buf, sa: SampleArgs, vocab: int, mask_eos: b
     return tok.astype(I32)
 
 
-@partial(jax.jit, static_argnames=("cfg", "sa", "first_suppress", "dtype_name"),
+@partial(jax.jit, static_argnames=("cfg", "sa", "first_suppress", "dtype_name",
+                                   "attn_impl"),
          donate_argnames=("k_cache", "v_cache"))
 def prefill_batch(params, cfg: T2SConfig, x_ids, y_ids, bert, x_lens, y_lens,
                   k_cache, v_cache, rng, sa: SampleArgs, first_suppress: bool,
-                  dtype_name: str = "float32"):
+                  dtype_name: str = "float32", attn_impl: str = "xla"):
     """Full-batch prefill into fresh caches; samples the first token per row
     (reference prefill + first sample, ``t2s_model.py:414-421,608-616``)."""
     dtype = jnp.dtype(dtype_name)
     B = x_ids.shape[0]
     xy_pos, mask, last_mask = t2s_model.embed_prompt_batch(
         params, cfg, x_ids, y_ids, bert, x_lens, y_lens, dtype)
-    h, ks, vs = t2s_model.transformer_prefill(params, cfg, xy_pos, mask)
+    h, ks, vs = t2s_model.transformer_prefill(
+        params, cfg, xy_pos, mask, lens=(x_lens, x_lens + y_lens),
+        impl=_prefill_impl(attn_impl))
     T = xy_pos.shape[1]
     k_cache = jax.lax.dynamic_update_slice(k_cache, ks, (0, 0, 0, 0, 0))
     v_cache = jax.lax.dynamic_update_slice(v_cache, vs, (0, 0, 0, 0, 0))
@@ -151,11 +162,11 @@ def prefill_batch(params, cfg: T2SConfig, x_ids, y_ids, bert, x_lens, y_lens,
     return state, tok
 
 
-@partial(jax.jit, static_argnames=("cfg", "sa", "dtype_name"),
+@partial(jax.jit, static_argnames=("cfg", "sa", "dtype_name", "attn_impl"),
          donate_argnames=("state",))
 def prefill_slot(params, cfg: T2SConfig, state: DecodeState, slot,
                  x_ids, y_ids, bert, x_len, y_len, sa: SampleArgs,
-                 dtype_name: str = "float32"):
+                 dtype_name: str = "float32", attn_impl: str = "xla"):
     """Continuous-batching slot refill (``t2s_model.py:696-722``): prefill one
     request into cache slot ``slot`` while other slots keep decoding.  Uses the
     packed ragged embedding so padded inputs compact to [x | y | pad]."""
@@ -168,7 +179,10 @@ def prefill_slot(params, cfg: T2SConfig, state: DecodeState, slot,
     # padded rows must still attend somewhere to avoid NaN softmax rows
     mask = mask | (jnp.arange(mask.shape[-1])[None, None, :] == 0)
 
-    h, ks, vs = t2s_model.transformer_prefill(params, cfg, xy_pos, mask)
+    h, ks, vs = t2s_model.transformer_prefill(
+        params, cfg, xy_pos, mask,
+        lens=(x_len.reshape(1), xy_len.reshape(1)),
+        impl=_prefill_impl(attn_impl))
     h_last = jnp.sum(h * last_mask[:, :, None].astype(h.dtype), axis=1)[0]
 
     k_cache = jax.lax.dynamic_update_slice(state.k_cache, ks, (0, slot, 0, 0, 0))
@@ -212,6 +226,61 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
     """
     dtype = jnp.dtype(dtype_name)
     B = state.kv_len.shape[0]
+    bidx = jnp.arange(B)
+
+    D = cfg.hidden_dim
+    fused_sample = (attn_impl in ("fused_step", "fused_step_interpret")
+                    and B == 1 and D % 128 == 0)
+    if fused_sample:
+        # the whole step — embed, layers, KV append, logits head, sampling —
+        # runs as ONE kernel launch (``ops/fused_step.py:_kernel_sample``);
+        # per-step XLA shrinks to the tok_buf append + counters
+        from ..ops.fused_step import (fused_decode_step_sample,
+                                      pack_layer_weights, _round_up_128)
+
+        V = cfg.vocab_size
+        Vp = _round_up_128(V)
+        params = dict(params)
+        # DELIBERATELY materialized per dispatch inside the jit: streaming
+        # weights from a fresh jit-local temp measured 2962 tok/s vs 2652
+        # from a precomputed long-lived input buffer (and in-jit beat even
+        # the unpacked 4-DMA input streams, 2780) — XLA gives temps a
+        # consumer-friendly placement that persistent params don't get
+        params.setdefault("predict_w_padded", jnp.pad(
+            params["predict_w"], ((0, 0), (0, Vp - V))))
+        params.setdefault("layers_packed",
+                          pack_layer_weights(params["layers"]))
+        # Gumbel noise for the whole dispatch, drawn through the SAME
+        # split-per-step key chain as the XLA path so the fused path samples
+        # identical tokens given identical filtered logits
+        def mk_key(rng, _):
+            rng, sub = jax.random.split(rng)
+            return rng, sub
+
+        rng_out, subs = jax.lax.scan(mk_key, state.rng, None, length=n_steps)
+        noise = jax.vmap(
+            lambda k: jax.random.gumbel(k, (1, V), dtype=F32))(subs)
+        noise = jnp.pad(noise, ((0, 0), (0, 0), (0, Vp - V)))
+        state = dataclasses.replace(state, rng=rng_out)
+
+        def step(st: DecodeState, g):
+            tok, _, kc, vc = fused_decode_step_sample(
+                params, st.k_cache, st.v_cache, st.tok_buf,
+                st.kv_len, st.x_len, st.last_tok, st.buf_len, st.step_idx,
+                g, sa=sa, suppress_until=suppress_until,
+                suppressed=cfg.suppressed_tokens + (cfg.eos,),
+                interpret=(attn_impl == "fused_step_interpret"))
+            new = DecodeState(
+                k_cache=kc, v_cache=vc,
+                kv_len=st.kv_len + 1, x_len=st.x_len,
+                tok_buf=st.tok_buf.at[bidx, st.buf_len].set(tok),
+                buf_len=st.buf_len + 1,
+                last_tok=tok, step_idx=st.step_idx + 1, rng=st.rng,
+            )
+            return new, tok
+
+        state, toks = jax.lax.scan(step, state, noise)
+        return state, toks.T
 
     def step(st: DecodeState, _):
         pe_idx = st.kv_len - st.x_len
@@ -227,7 +296,6 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
         tok = _sample_logits(sub, logits, st.tok_buf, sa, cfg.vocab_size, False,
                              suppress, cfg.suppressed_tokens + (cfg.eos,) if suppress_until else ())
 
-        bidx = jnp.arange(B)
         new = DecodeState(
             k_cache=kc, v_cache=vc,
             kv_len=st.kv_len + 1, x_len=st.x_len,
@@ -388,7 +456,8 @@ class T2SEngine:
         state, tok0 = prefill_batch(
             self.params, cfg, xp[None], yp[None], bp[None],
             jnp.asarray([len(x_ids)], I32), jnp.asarray([len(y_ids)], I32),
-            k_cache, v_cache, rng, sa, True, self._dtype_name())
+            k_cache, v_cache, rng, sa, True, self._dtype_name(),
+            self.attn_impl)
         # NOTE: embed_prompt_batch packs each row as [x | y | pad] — valid
         # tokens are contiguous, so every kv position < kv_len holds real
         # prompt state and padded positions never enter the attended region.
@@ -499,7 +568,8 @@ class T2SEngine:
         state, _ = prefill_batch(
             self.params, cfg, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(bs),
             jnp.asarray(x_lens), jnp.asarray(y_lens),
-            k_cache, v_cache, rng, sa, False, self._dtype_name())
+            k_cache, v_cache, rng, sa, False, self._dtype_name(),
+            self.attn_impl)
         del k_cache, v_cache
 
         pred: List[np.ndarray] = []
@@ -569,7 +639,7 @@ class T2SEngine:
                         self.params, cfg, state, j,
                         jnp.asarray(xp[None]), jnp.asarray(yp[None]), jnp.asarray(bp[None]),
                         jnp.asarray(len(x_list[i]), I32), jnp.asarray(len(y_list[i]), I32),
-                        sa, self._dtype_name())
+                        sa, self._dtype_name(), self.attn_impl)
                     slot_orig[j] = i
                     slot_start[j] = len(x_list[i]) + len(y_list[i])
                     slot_steps[j] = 0

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import asyncio
 import base64
+import functools
 import io
 import json
 import logging
@@ -75,15 +76,25 @@ def pack_wav(data: np.ndarray, rate: int) -> bytes:
     return wave_header_chunk(pack_raw(data), sample_rate=rate)
 
 
-def _supported_media_types() -> list:
+@functools.lru_cache(maxsize=1)
+def _supported_media_types() -> tuple:
+    """wav/raw always; ogg/aac only if the optional soundfile backend can
+    actually encode them (probed once — importability alone is not enough:
+    libsndfile builds differ in codec support)."""
     out = ["wav", "raw"]
     try:
-        import soundfile  # noqa: F401 — optional psychoacoustic encoders
+        import soundfile as sf
 
-        out += ["ogg", "aac"]
+        for fmt, name in (("OGG", "ogg"), ("AAC", "aac")):
+            try:
+                buf = io.BytesIO()
+                sf.write(buf, np.zeros(64, np.float32), 32000, format=fmt)
+                out.append(name)
+            except Exception:
+                pass
     except ImportError:
         pass
-    return out
+    return tuple(out)
 
 
 def pack_audio(data: np.ndarray, rate: int, media_type: str) -> bytes:

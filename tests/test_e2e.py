@@ -365,10 +365,14 @@ def test_packed_sovits_compile_growth_bounded(assets, engine):
              "delta", "long", "short", "mixed", "case"]
     texts = [" ".join(rng.choice(words, size=rng.randint(2, 14))) + "."
              for _ in range(20)]
+
+    def flow_programs():
+        return sum(fn._cache_size()
+                   for key, fn in engine._decode_jit_cache.items()
+                   if key[1] == "flow_dec")
+
+    before = flow_programs()  # the shared engine may have compiled already
     engine.infer_batched(assets["spk"], assets["prompt"], "hello there.",
                          texts)
-    flow_fns = [fn for key, fn in engine._decode_jit_cache.items()
-                if key[1] == "flow_dec"]
-    assert flow_fns
-    n_programs = sum(fn._cache_size() for fn in flow_fns)
-    assert n_programs <= 4, f"{n_programs} flow/vocoder specializations"
+    grown = flow_programs() - before
+    assert grown <= 4, f"{grown} new flow/vocoder specializations"

@@ -184,13 +184,10 @@ def test_api_v2_media_types(client_factory, assets, media_type, expect):  # noqa
     """Every api_v2 media_type answers deterministically: wav/raw always
     succeed; ogg/aac succeed with the optional soundfile encoder and
     return a documented 415 + supported list without it; unknown → 400."""
-    try:
-        import soundfile  # noqa: F401
-        has_sf = True
-    except ImportError:
-        has_sf = False
-    if expect is None:
-        expect = 200 if has_sf else 415
+    from gsv_tts_tpu.serving.server import _supported_media_types
+
+    if expect is None:  # encoder-dependent: match the server's own probe
+        expect = 200 if media_type in _supported_media_types() else 415
 
     async def go(client):
         r = await client.get("/tts", params={
