@@ -108,9 +108,11 @@ def bench_t2s_decode(n_tokens: int = 500, chunk: int = 25, bucket: int = 512,
 
 
 def bench_batched_decode(B: int = 4, chunk: int = 25, bucket: int = 512,
-                         n_chunks: int = 16):
+                         n_chunks: int = 16, impl: str = None):
     """Aggregate continuous-batching decode throughput (the serving
-    headline): B concurrent slots, flash decode-attention kernel."""
+    headline): B concurrent slots through the batched whole-step kernel
+    (``ops/fused_step.py:_kernel_sample_b`` — weight stream amortized over
+    B), with the flash-attention + XLA-sampling path as fallback."""
     import jax
     import jax.numpy as jnp
 
@@ -135,7 +137,8 @@ def bench_batched_decode(B: int = 4, chunk: int = 25, bucket: int = 512,
                              jnp.full((B,), 60, jnp.int32),
                              jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                              jax.random.PRNGKey(1), sa, True, dtype_name)
-    impl = "flash" if platform == "tpu" else "xla"
+    if impl is None:
+        impl = "fused_step" if platform == "tpu" else "xla"
     state, toks = decode_chunk(params, cfg, state, chunk, sa, 0, dtype_name, impl)
     np.asarray(toks)
     t0 = time.perf_counter()
@@ -144,7 +147,8 @@ def bench_batched_decode(B: int = 4, chunk: int = 25, bucket: int = 512,
     np.asarray(toks)
     dt = time.perf_counter() - t0
     agg = n_chunks * chunk * B / dt
-    return {"batch": B, "agg_tok_s": agg, "streams_realtime": agg / 25.0}
+    return {"batch": B, "impl": impl, "agg_tok_s": agg,
+            "streams_realtime": agg / 25.0}
 
 
 def bench_sharded_decode(bucket: int = 512, n_tokens: int = 250, chunk: int = 25):
@@ -268,7 +272,8 @@ def main():
             print(f"# sharded bench failed: {e}", file=sys.stderr)
     try:
         bt = bench_batched_decode()
-        print(f"# batched B={bt['batch']}: {bt['agg_tok_s']:.0f} aggregate tok/s "
+        print(f"# batched B={bt['batch']} [{bt['impl']}]: {bt['agg_tok_s']:.0f} "
+              f"aggregate tok/s "
               f"(~{bt['streams_realtime']:.0f} concurrent realtime GPT streams)",
               file=sys.stderr)
     except Exception as e:  # noqa: BLE001

@@ -629,6 +629,17 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
     vwin_write.wait()
 
 
+def pad_rows8(t: jnp.ndarray) -> jnp.ndarray:
+    """Pad a row-gather table to a multiple of 8 rows.  The kernels gather a
+    row by DMAing its aligned 8-row window; when the table's row count is not
+    8-aligned (audio_emb has vocab_size = 1025 rows) the last window would
+    run past the array and ``pl.ds`` clamps the start like dynamic_slice —
+    silently selecting the wrong row for tokens in the final partial window."""
+    r = t.shape[0]
+    pad = (-r) % 8
+    return t if pad == 0 else jnp.pad(t, ((0, pad), (0, 0)))
+
+
 def _pw_chunk(Vp: int) -> int:
     for c in (384, 256, 128):
         if Vp % c == 0:
@@ -668,6 +679,8 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
         jnp.pad(params["predict_w"], ((0, 0), (0, Vp - V)))
     w_packed = params["layers_packed"] if "layers_packed" in params else \
         pack_layer_weights(layers)
+    emb_pad = params["audio_emb_padded"] if "audio_emb_padded" in params \
+        else pad_rows8(params["audio_emb"])
 
     kc2 = k_cache.reshape(L, B, S, D)
     vc2 = v_cache.reshape(L, B, S, D)
@@ -745,7 +758,7 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
       params["audio_pos_alpha"].astype(F32).reshape(1, 1),
       pool, poolT, tok_buf[0][:, None].astype(jnp.int32),
       gumbel.astype(F32),
-      params["audio_emb"], params["pe"], pw_pad,
+      emb_pad, params["pe"], pw_pad,
       w_packed,
       as3(layers["qkv_b"]), as3(layers["out_b"]),
       as3(layers["ln1_g"], True), as3(layers["ln1_b"], True),
@@ -755,6 +768,515 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
       kc2, vc2)
 
     return (tok.reshape(1), row,
+            kc_out.reshape(L, B, S, H, Dh), vc_out.reshape(L, B, S, H, Dh))
+
+
+# ---------------------------------------------------------------------------
+# v3: batched whole-step kernel (B > 1) — the continuous-batching serving
+# path.  Same structure as ``_kernel_sample`` but every stage is vectorized
+# (or statically unrolled) over B cache slots, so the dominant cost — the
+# packed per-layer weight stream, ~2·params bytes per step — is amortized
+# over B tokens.  The XLA batched path (flash decode + jnp sampling) pays
+# the full weight read per step too but adds ~0.6 ms of out-of-kernel ops;
+# this kernel replaces all of it with one launch per token step.
+#
+# Differences from the B = 1 kernel, chosen for VMEM budget and DMA count:
+#   * the attention walk DMAs ``[B, block, D]`` strided windows (one
+#     descriptor per K/V per block, B contiguous chunks each) instead of
+#     per-row copies — B× bandwidth, same DMA-issue count;
+#   * new K/V rows are emitted as ``[L, 8, D]`` outputs (rows ≥ B zero) and
+#     scattered by XLA outside — per-slot append positions differ, so the
+#     in-kernel 8-row window RMW trick would need B window pairs (~3 MB of
+#     VMEM at B=4 that the weight double-buffer cannot spare);
+#   * sampling (suppression → penalty → top-p → temperature → top-k →
+#     Gumbel argmax) runs on the full ``[B, Vp]`` logits block with
+#     per-row peeling vectorized across rows.
+#
+# Reference being beaten: the continuous-batching decode loop
+# ``t2s_model.py:555-734`` + ``GPT/utils.py:5-59``.
+# ---------------------------------------------------------------------------
+
+
+def _first_argmax_rows(rows, lane, sentinel):
+    """Per-row first-argmax of ``rows`` [B, Vp] (ties → lowest lane),
+    returned as [B, 1] i32 — vectorized jnp.argmax(axis=1) semantics."""
+    m = jnp.max(rows, axis=1, keepdims=True)
+    return jnp.min(jnp.where(rows >= m, lane, sentinel), axis=1, keepdims=True)
+
+
+def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len | suppress
+                     alpha_ref,   # SMEM [1, 1] f32
+                     pool_ref, poolT_ref, tok_buf_ref,  # tok_buf [S, B] i32
+                     g_ref,       # [B, Vp] f32 per-row Gumbel noise
+                     audio_emb_ref, pe_ref, pw_ref,     # HBM
+                     w_packed_ref,                      # HBM [L, D, 3D+D+2M]
+                     qkv_b_ref, out_b_ref, ln1_g_ref, ln1_b_ref,
+                     mlp1_b_ref, mlp2_b_ref, ln2_g_ref, ln2_b_ref,
+                     k_in_ref, v_in_ref,                # [L, B, S, D] (aliased)
+                     # outputs
+                     tok_out_ref, row_out_ref, k_out_ref, v_out_ref,
+                     # scratch
+                     w_all, pw_buf, kv_vmem, emb_stage, pe_stage, k_win, v_win,
+                     w_sem, pw_sem, kv_sem, row_sem, win_rsem, win_wsem,
+                     *, B, L, S, H, D, M, V, Vp, CHV, block_s, sa, suppressed,
+                     eps=1e-5):
+    lengths = [scalar_ref[b] for b in range(B)]
+    pe_idxs = [scalar_ref[B + b] for b in range(B)]
+    last_toks = [scalar_ref[2 * B + b] for b in range(B)]
+    scale = 1.0 / math.sqrt(D // H)
+    pool = pool_ref[:]
+    poolT = poolT_ref[:]
+    cdtype = k_in_ref.dtype
+    n_pw_chunks = Vp // CHV
+    O_OUT, O_M1, O_M2 = 3 * D, 4 * D, 4 * D + M
+
+    max_len = lengths[0]
+    for b in range(1, B):
+        max_len = jnp.maximum(max_len, lengths[b])
+    n_blocks = pl.cdiv(max_len, block_s)
+
+    def start_layer_load(layer, slot):
+        pltpu.make_async_copy(w_packed_ref.at[layer], w_all.at[slot],
+                              w_sem.at[slot]).start(priority=1)
+
+    def wait_layer_load(slot):
+        pltpu.make_async_copy(w_packed_ref.at[0], w_all.at[slot],
+                              w_sem.at[slot]).wait()
+
+    def pw_dma(c, slot):
+        return pltpu.make_async_copy(
+            pw_ref.at[:, pl.ds(c * CHV, CHV)], pw_buf.at[slot],
+            pw_sem.at[slot])
+
+    # per-row embedding + PE gathers (aligned 8-row windows + mask-select)
+    emb_als = [(t // 8) * 8 for t in last_toks]
+    pe_als = [(p // 8) * 8 for p in pe_idxs]
+    for b in range(B):
+        pltpu.make_async_copy(audio_emb_ref.at[pl.ds(emb_als[b], 8)],
+                              emb_stage.at[b], row_sem.at[0, b]).start()
+        pltpu.make_async_copy(pe_ref.at[pl.ds(pe_als[b], 8)],
+                              pe_stage.at[b], row_sem.at[1, b]).start()
+    start_layer_load(0, 0)
+
+    # per-row K/V append windows (same trick as the B = 1 kernel, one
+    # [L, 8, D] window pair per slot): each new row lands inside its slot's
+    # aligned window; the kernel reads the windows once, patches row
+    # ``off_b`` per layer in VMEM, and writes everything back after the
+    # layer loop.  Keeping the append in-kernel (caches aliased in place)
+    # avoids the out-of-kernel XLA scatter, which forced a full cache copy
+    # per step (~0.5 ms at B=4: the pallas input and the scattered output
+    # had to coexist).
+    als = [(ln // 8) * 8 for ln in lengths]
+    offs = [lengths[b] - als[b] for b in range(B)]
+    for b in range(B):
+        pltpu.make_async_copy(k_in_ref.at[:, b, pl.ds(als[b], 8)],
+                              k_win.at[b], win_rsem.at[0, b]).start()
+        pltpu.make_async_copy(v_in_ref.at[:, b, pl.ds(als[b], 8)],
+                              v_win.at[b], win_rsem.at[1, b]).start()
+
+    row8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    alpha = alpha_ref[0, 0]
+    x_rows = []
+    for b in range(B):
+        pltpu.make_async_copy(audio_emb_ref.at[pl.ds(emb_als[b], 8)],
+                              emb_stage.at[b], row_sem.at[0, b]).wait()
+        pltpu.make_async_copy(pe_ref.at[pl.ds(pe_als[b], 8)],
+                              pe_stage.at[b], row_sem.at[1, b]).wait()
+        emb_row = jnp.sum(
+            emb_stage[b].astype(F32) * (row8 == last_toks[b] - emb_als[b]),
+            axis=0, keepdims=True)
+        pe_row = jnp.sum(pe_stage[b] * (row8 == pe_idxs[b] - pe_als[b]),
+                         axis=0, keepdims=True)
+        # same dtype chain as the XLA path (see _kernel_sample)
+        pe_q = (alpha * pe_row).astype(cdtype)
+        x_rows.append((emb_row.astype(cdtype) + pe_q).astype(F32))
+    x0 = jnp.concatenate(x_rows, axis=0)  # [B, D] f32
+    for b in range(B):
+        pltpu.make_async_copy(k_in_ref.at[:, b, pl.ds(als[b], 8)],
+                              k_win.at[b], win_rsem.at[0, b]).wait()
+        pltpu.make_async_copy(v_in_ref.at[:, b, pl.ds(als[b], 8)],
+                              v_win.at[b], win_rsem.at[1, b]).wait()
+
+    def layer_body(i, x):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        def walk_dma(bi, slot_b):
+            kd = pltpu.make_async_copy(
+                k_in_ref.at[i, :, pl.ds(bi * block_s, block_s)],
+                kv_vmem.at[slot_b, 0], kv_sem.at[slot_b, 0])
+            vd = pltpu.make_async_copy(
+                v_in_ref.at[i, :, pl.ds(bi * block_s, block_s)],
+                kv_vmem.at[slot_b, 1], kv_sem.at[slot_b, 1])
+            return kd, vd
+
+        @pl.when(max_len > 0)
+        def _():
+            kd0, vd0 = walk_dma(0, 0)
+            kd0.start()
+            vd0.start()
+
+        @pl.when(i + 1 < L)
+        def _():
+            start_layer_load(i + 1, nxt)
+
+        @pl.when(i + 1 == L)
+        def _():
+            pw_dma(0, 0).start(priority=1)
+            if n_pw_chunks > 1:
+                pw_dma(1, 1).start(priority=1)
+
+        wait_layer_load(slot)
+
+        xc = x.astype(cdtype)
+        qkv = jnp.dot(xc, w_all[slot][:, :O_OUT], preferred_element_type=F32)
+        qkv = qkv + qkv_b_ref[i][0:1].astype(F32)
+        q = qkv[:, :D]
+        k_new = qkv[:, D:2 * D]
+        v_new = qkv[:, 2 * D:]
+
+        # patch each slot's new K/V row into its append window
+        for b in range(B):
+            kb = jnp.broadcast_to(k_new[b:b + 1].astype(cdtype), (8, D))
+            vb = jnp.broadcast_to(v_new[b:b + 1].astype(cdtype), (8, D))
+            k_win[b, i] = jnp.where(row8 == offs[b], kb, k_win[b, i])
+            v_win[b, i] = jnp.where(row8 == offs[b], vb, v_win[b, i])
+
+        # blocked online-softmax walk, per-row state carried as values.
+        # MXU work is batched across rows — the score and PV matmuls run
+        # once per block on the stacked [B·block, ·] views (per-row tiny
+        # matmuls measured 3.3× slower: 576 latency-chained MXU issues per
+        # step at B=4/L=24); only the cheap VPU max/sum reductions are
+        # per-row (static slices of the stacked result).
+        sidx0 = jax.lax.broadcasted_iota(jnp.int32, (block_s, 1), 0)
+        # stacked views, hoisted per layer: q repeated per position (b-major,
+        # matching the [B, block, D] walk buffer layout) and per-row lengths
+        q_rep = jnp.concatenate(
+            [jnp.broadcast_to(q[b:b + 1], (block_s, D)) for b in range(B)],
+            axis=0)  # [B*block, D]
+
+        def blk(bi, carry):
+            m, l, acc = carry  # [B, H], [B, H], [B, D]
+            slot_b = jax.lax.rem(bi, 2)
+
+            @pl.when(bi + 1 < n_blocks)
+            def _():
+                kd, vd = walk_dma(bi + 1, jax.lax.rem(bi + 1, 2))
+                kd.start()
+                vd.start()
+
+            kd, vd = walk_dma(bi, slot_b)
+            kd.wait()
+            vd.wait()
+            start = bi * block_s
+            sidx = sidx0 + start
+            kb_all = kv_vmem[slot_b, 0].reshape(B * block_s, D).astype(F32)
+            vb_all = kv_vmem[slot_b, 1].reshape(B * block_s, D).astype(F32)
+            scores_all = jnp.dot(kb_all * q_rep, pool,
+                                 preferred_element_type=F32) * scale
+            m_rows, corr_rows, p_rows = [], [], []
+            for b in range(B):
+                sc = scores_all[b * block_s:(b + 1) * block_s]  # [block, H]
+                valid = sidx < lengths[b]
+                sc = jnp.where(valid, sc, NEG)
+                m_prev = m[b:b + 1]  # [1, H]
+                m_new = jnp.maximum(m_prev, jnp.max(sc, axis=0, keepdims=True))
+                p_rows.append(jnp.where(valid, jnp.exp(sc - m_new), 0.0))
+                corr_rows.append(jnp.exp(m_prev - m_new))
+                m_rows.append(m_new)
+            p_all = jnp.concatenate(p_rows, axis=0)        # [B*block, H]
+            corr = jnp.concatenate(corr_rows, axis=0)      # [B, H]
+            pv_all = jnp.dot(p_all, poolT,
+                             preferred_element_type=F32) * vb_all
+            corr_exp = jnp.dot(corr, poolT, preferred_element_type=F32)
+            l_rows, acc_rows = [], []
+            for b in range(B):
+                sl = slice(b * block_s, (b + 1) * block_s)
+                l_rows.append(l[b:b + 1] * corr[b:b + 1] +
+                              jnp.sum(p_rows[b], axis=0, keepdims=True))
+                acc_rows.append(acc[b:b + 1] * corr_exp[b:b + 1] + jnp.sum(
+                    pv_all[sl], axis=0, keepdims=True))
+            return (jnp.concatenate(m_rows, axis=0),
+                    jnp.concatenate(l_rows, axis=0),
+                    jnp.concatenate(acc_rows, axis=0))
+
+        m0 = jnp.full((B, H), NEG, F32)
+        l0 = jnp.zeros((B, H), F32)
+        acc0 = jnp.zeros((B, D), F32)
+        m, l, acc = jax.lax.fori_loop(0, n_blocks, blk, (m0, l0, acc0))
+
+        # fold the new token's own K/V (vectorized across rows: (q·k_new)
+        # per head via the pooling matmul)
+        s_self = jnp.dot(q * k_new, pool, preferred_element_type=F32) * scale
+        m_new = jnp.maximum(m, s_self)
+        corr = jnp.exp(m - m_new)
+        p_self = jnp.exp(s_self - m_new)
+        l = l * corr + p_self  # [B, H]
+        corr_exp = jnp.dot(corr, poolT, preferred_element_type=F32)
+        pself_exp = jnp.dot(p_self, poolT, preferred_element_type=F32)
+        acc = acc * corr_exp + pself_exp * v_new
+        l_exp = jnp.dot(l, poolT, preferred_element_type=F32)
+
+        h = jnp.dot((acc / l_exp).astype(cdtype), w_all[slot][:, O_OUT:O_M1],
+                    preferred_element_type=F32)
+        h = x + h + out_b_ref[i][0:1].astype(F32)
+        mean = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.mean((h - mean) ** 2, axis=-1, keepdims=True)
+        h = (h - mean) * jax.lax.rsqrt(var + eps) \
+            * ln1_g_ref[i][0:1].astype(F32) + ln1_b_ref[i][0:1].astype(F32)
+
+        m1 = jnp.dot(h.astype(cdtype), w_all[slot][:, O_M1:O_M2],
+                     preferred_element_type=F32)
+        m1 = jnp.maximum(m1 + mlp1_b_ref[i][0:1].astype(F32), 0.0)
+        m2 = jax.lax.dot_general(
+            m1.astype(cdtype), w_all[slot][:, O_M2:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=F32)
+        h2 = h + m2 + mlp2_b_ref[i][0:1].astype(F32)
+        mean = jnp.mean(h2, axis=-1, keepdims=True)
+        var = jnp.mean((h2 - mean) ** 2, axis=-1, keepdims=True)
+        return (h2 - mean) * jax.lax.rsqrt(var + eps) \
+            * ln2_g_ref[i][0:1].astype(F32) + ln2_b_ref[i][0:1].astype(F32)
+
+    x = jax.lax.fori_loop(0, L, layer_body, x0)
+
+    # write the patched append windows back (overlaps the logits stream)
+    for b in range(B):
+        pltpu.make_async_copy(k_win.at[b], k_out_ref.at[:, b, pl.ds(als[b], 8)],
+                              win_wsem.at[0, b]).start()
+        pltpu.make_async_copy(v_win.at[b], v_out_ref.at[:, b, pl.ds(als[b], 8)],
+                              win_wsem.at[1, b]).start()
+
+    # ---- logits head: chunked [B,D]@[D,CHV] over the streamed head ----
+    xc = x.astype(cdtype)
+    chunks = []
+    for c in range(n_pw_chunks):
+        slot = c % 2
+        pw_dma(c, slot).wait()
+        chunks.append(jnp.dot(xc, pw_buf[slot], preferred_element_type=F32))
+        if c + 2 < n_pw_chunks:
+            pw_dma(c + 2, slot).start()
+    row = jnp.concatenate(chunks, axis=1)  # [B, Vp] f32
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
+    row = jnp.where(lane < V, row, NEG)
+
+    # per-row suppression window (reference ``t2s_model.py:444-445``)
+    if suppressed:
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, Vp), 1)
+        sup1 = (lane1 == suppressed[0])
+        for sid in suppressed[1:]:
+            sup1 = sup1 | (lane1 == sid)
+        row = jnp.concatenate([
+            jnp.where((scalar_ref[4 * B + b] > 0) & sup1, NEG, row[b:b + 1])
+            for b in range(B)], axis=0)
+
+    # repetition penalty (``GPT/utils.py:20-27``), per-row membership
+    if sa.use_prev and sa.repetition_penalty != 1.0:
+        rp = sa.repetition_penalty
+        CHB = min(128, S)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHB, Vp), 0)
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, (CHB, Vp), 1)
+        mem_rows = []
+        for b in range(B):
+            buf_len_b = scalar_ref[3 * B + b]
+            mem = jnp.zeros((1, Vp), F32)
+            for cb in range(S // CHB):
+                ids = tok_buf_ref[pl.ds(cb * CHB, CHB), b:b + 1]  # [CHB, 1]
+                valid = (row_ids + cb * CHB) < buf_len_b
+                eq = (lane_b == ids) & valid
+                mem = mem + jnp.sum(eq.astype(F32), axis=0, keepdims=True)
+            mem_rows.append(mem)
+        member = jnp.concatenate(mem_rows, axis=0) > 0
+        row = jnp.where(member, jnp.where(row < 0, row * rp, row / rp), row)
+
+    # nucleus (top-p) on pre-temperature logits (``utils.py:29-39``),
+    # peeling vectorized across rows; rows freeze once their cum > top_p
+    if sa.top_p < 1.0:
+        m = jnp.max(row, axis=1, keepdims=True)
+        e = jnp.exp(row - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+
+        def cond(st):
+            _, _, cum, j = st
+            return jnp.any(cum <= sa.top_p) & (j < V)
+
+        def body(st):
+            pw, keep, cum, j = st
+            active = cum <= sa.top_p  # [B, 1]
+            idx = _first_argmax_rows(pw, lane, Vp)
+            mx = jnp.max(pw, axis=1, keepdims=True)
+            cum2 = jnp.where(active, cum + mx, cum)
+            keep_this = (j == 0) | (cum2 <= sa.top_p)
+            keep = keep | ((lane == idx) & keep_this & active)
+            pw = jnp.where((lane == idx) & active, -1.0, pw)
+            return pw, keep, cum2, j + 1
+
+        _, keep, _, _ = jax.lax.while_loop(
+            cond, body,
+            (p, jnp.zeros((B, Vp), bool), jnp.zeros((B, 1), F32),
+             jnp.int32(0)))
+        row = jnp.where(keep, row, NEG)
+
+    row = row * (1.0 / max(sa.temperature, 1e-5))
+
+    # top-k pivot filter (``utils.py:43-46``), peel vectorized across rows
+    k = min(sa.top_k, V)
+    if k < V:
+        work = row
+        for _ in range(k - 1):
+            idx = _first_argmax_rows(work, lane, Vp)
+            work = jnp.where(lane == idx, NEG, work)
+        pivot = jnp.max(work, axis=1, keepdims=True)
+        row = jnp.where(row < pivot, NEG, row)
+
+    row_out_ref[:] = row
+
+    # per-row Gumbel argmax (``utils.py:5-9``), noise precomputed outside
+    tot = row + g_ref[:]
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, Vp), 1)
+    for b in range(B):
+        r = tot[b:b + 1]
+        mx = jnp.max(r)
+        tok_out_ref[b, 0] = jnp.min(jnp.where(r >= mx, lane1, Vp))
+
+    # drain the window write-backs
+    for b in range(B):
+        pltpu.make_async_copy(k_win.at[b], k_out_ref.at[:, b, pl.ds(als[b], 8)],
+                              win_wsem.at[0, b]).wait()
+        pltpu.make_async_copy(v_win.at[b], v_out_ref.at[:, b, pl.ds(als[b], 8)],
+                              win_wsem.at[1, b]).wait()
+
+
+def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
+                                     kv_len, x_len, last_tok, buf_len,
+                                     step_idx, gumbel, *, sa,
+                                     suppress_until: int = 0,
+                                     suppressed=(), interpret: bool = False,
+                                     block_s: int = None):
+    """One FULL batched decode step in a single kernel launch: per-row
+    embedding, all layers (weights streamed once, amortized over B), the
+    logits head, and per-row sampling.
+
+    Inputs mirror ``fused_decode_step_sample`` but every scalar is a [B]
+    vector and ``gumbel`` is [B, Vp].  Returns ``(tok [B] i32, row [B, Vp]
+    f32, k_cache, v_cache)`` with each slot's new K/V row appended at that
+    slot's ``kv_len`` — caches are aliased and updated in place via per-row
+    8-row window RMW (an out-of-kernel XLA scatter instead forced a full
+    cache copy per step, ~0.5 ms at B=4 on v5e).
+    """
+    L, B, S, H, Dh = k_cache.shape
+    assert 1 <= B <= 8, "batched whole-step kernel supports at most 8 slots"
+    D = H * Dh
+    layers = params["layers"]
+    M = layers["mlp1_w"].shape[-1]
+    dtype = k_cache.dtype
+    V = params["predict_w"].shape[-1]
+    Vp = _round_up_128(V)
+    CHV = _pw_chunk(Vp)
+    # VMEM budget: the 2-slot packed weight buffer dominates; shrink the
+    # walk block as B grows so (weights + walk + stages) stays under ~16 MB
+    if block_s is None:
+        block_s = min(BLOCK_S if B <= 2 else 64, S)
+    block_s = min(block_s, S)
+
+    pw_pad = params["predict_w_padded"] if "predict_w_padded" in params else \
+        jnp.pad(params["predict_w"], ((0, 0), (0, Vp - V)))
+    w_packed = params["layers_packed"] if "layers_packed" in params else \
+        pack_layer_weights(layers)
+    emb_pad = params["audio_emb_padded"] if "audio_emb_padded" in params \
+        else pad_rows8(params["audio_emb"])
+
+    kc2 = k_cache.reshape(L, B, S, D)
+    vc2 = v_cache.reshape(L, B, S, D)
+    pool, poolT = _head_pool(D, H)
+
+    suppress = (step_idx < suppress_until).astype(jnp.int32) \
+        if suppress_until else jnp.zeros_like(step_idx)
+    scalars = jnp.concatenate([
+        kv_len.astype(jnp.int32),
+        # frozen slots (kv_len = 0 after harvest) can have kv_len < x_len;
+        # clamp so the PE window gather stays in bounds
+        jnp.maximum(kv_len - x_len, 0).astype(jnp.int32),
+        last_tok.astype(jnp.int32),
+        buf_len.astype(jnp.int32),
+        suppress.astype(jnp.int32),
+    ])
+
+    kernel = functools.partial(
+        _kernel_sample_b, B=B, L=L, S=S, H=H, D=D, M=M, V=V, Vp=Vp, CHV=CHV,
+        block_s=block_s, sa=sa,
+        suppressed=tuple(suppressed) if suppress_until else ())
+
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    any_ = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY) \
+        if not hasattr(pltpu, "HBM") else pl.BlockSpec(memory_space=pltpu.HBM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[smem, vmem, vmem, vmem, vmem,  # alpha, pool, poolT, tok_buf, gumbel
+                  hbm, hbm, any_,                # audio_emb, pe, predict_w_pad
+                  any_,                          # packed layer weights
+                  vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem,
+                  any_, any_],                   # caches (aliased in place)
+        out_specs=[smem, vmem, any_, any_],
+        scratch_shapes=[
+            pltpu.VMEM((2, D, 4 * D + 2 * M), dtype),   # packed weights
+            pltpu.VMEM((2, D, CHV), dtype),             # predict head chunks
+            pltpu.VMEM((2, 2, B, block_s, D), dtype),   # kv walk (strided)
+            pltpu.VMEM((B, 8, D), dtype),               # emb 8-row stages
+            pltpu.VMEM((B, 8, D), F32),                 # pe 8-row stages
+            pltpu.VMEM((B, L, 8, D), dtype),            # K append windows
+            pltpu.VMEM((B, L, 8, D), dtype),            # V append windows
+            pltpu.SemaphoreType.DMA((2,)),              # weight stream
+            pltpu.SemaphoreType.DMA((2,)),              # predict-head chunks
+            pltpu.SemaphoreType.DMA((2, 2)),            # attention kv walk
+            pltpu.SemaphoreType.DMA((2, B)),            # emb/pe gathers
+            pltpu.SemaphoreType.DMA((2, B)),            # window reads
+            pltpu.SemaphoreType.DMA((2, B)),            # window writes
+        ],
+    )
+
+    def as3(t, f32=False):
+        arr = jnp.broadcast_to(t.reshape(L, 1, t.shape[-1]),
+                               (L, 2, t.shape[-1]))
+        return arr.astype(F32) if f32 else arr
+
+    n_inputs = 20  # scalars + 19 tensor operands, in call order below
+    tok, row, kc_out, vc_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, Vp), F32),
+            jax.ShapeDtypeStruct((L, B, S, D), dtype),
+            jax.ShapeDtypeStruct((L, B, S, D), dtype),
+        ],
+        input_output_aliases={n_inputs - 2: 2, n_inputs - 1: 3},
+        # the default scoped-vmem limit is 16 MB, which B <= 4 fits; only
+        # raise it for larger slot counts (v5e has 128 MiB physical VMEM) —
+        # a blanket raise measured ~18% SLOWER at B=4 (the limit steers
+        # Mosaic's allocation strategy, not just the OOM check)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024)
+        if (B > 4 and not interpret) else None,
+        interpret=interpret,
+    )(scalars,
+      params["audio_pos_alpha"].astype(F32).reshape(1, 1),
+      pool, poolT, tok_buf.swapaxes(0, 1).astype(jnp.int32),
+      gumbel.astype(F32),
+      emb_pad, params["pe"], pw_pad,
+      w_packed,
+      as3(layers["qkv_b"]), as3(layers["out_b"]),
+      as3(layers["ln1_g"], True), as3(layers["ln1_b"], True),
+      as3(layers["mlp1_b"]),
+      as3(layers["mlp2_b"]),
+      as3(layers["ln2_g"], True), as3(layers["ln2_b"], True),
+      kc2, vc2)
+
+    return (tok.reshape(B), row,
             kc_out.reshape(L, B, S, H, Dh), vc_out.reshape(L, B, S, H, Dh))
 
 

@@ -82,6 +82,13 @@ def gumbel_argmax(rng: jax.Array, probs: jnp.ndarray) -> jnp.ndarray:
     computes argmax(probs / q), q ~ Exp(1); equivalently argmax(log p + G),
     G ~ Gumbel(0, 1)."""
     g = jax.random.gumbel(rng, probs.shape, dtype=jnp.float32)
+    return gumbel_argmax_with_noise(probs, g)
+
+
+def gumbel_argmax_with_noise(probs: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Same draw with the Gumbel noise supplied by the caller — lets decode
+    loops draw ONE [n_steps, B, V] tensor per dispatch instead of paying a
+    per-step threefry (measured ~0.2 ms/step at B=4 on v5e)."""
     logp = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-38)), -jnp.inf)
     return jnp.argmax(logp + g, axis=-1)
 

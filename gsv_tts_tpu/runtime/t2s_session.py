@@ -94,8 +94,12 @@ def _prefill_impl(attn_impl: str) -> str:
             "flash_interpret": "flash_interpret",
             "fused_interpret": "flash_interpret"}.get(attn_impl, "xla")
 
-def _sample_logits(rng, logits, tok_buf, sa: SampleArgs, vocab: int, mask_eos: bool, suppress: jnp.ndarray, suppressed: Tuple[int, ...]):
-    """Shared logit post-processing: suppression, EOS masking, sampling."""
+def _sample_logits(g, logits, tok_buf, sa: SampleArgs, vocab: int, mask_eos: bool, suppress: jnp.ndarray, suppressed: Tuple[int, ...]):
+    """Shared logit post-processing: suppression, EOS masking, sampling.
+
+    ``g`` is the precomputed [B, V] Gumbel noise for this draw — decode
+    loops generate one [n_steps, B, V] tensor per dispatch (a per-step
+    threefry inside the scan measured ~0.2 ms/step at B=4 on v5e)."""
     logits = logits.astype(F32)
     if suppressed:
         sup = jnp.asarray(suppressed, dtype=I32)
@@ -108,12 +112,22 @@ def _sample_logits(rng, logits, tok_buf, sa: SampleArgs, vocab: int, mask_eos: b
     if mask_eos:
         logits = logits.at[:, vocab - 1].set(-jnp.inf)
     prev = tok_buf if sa.use_prev else None
-    tok, _ = sampling.sample(
-        rng, logits, prev,
+    probs = sampling.logits_to_probs(
+        logits, prev,
         temperature=sa.temperature, top_k=sa.top_k, top_p=sa.top_p,
         repetition_penalty=sa.repetition_penalty,
     )
-    return tok.astype(I32)
+    return sampling.gumbel_argmax_with_noise(probs, g).astype(I32)
+
+
+def _append_tok(tok_buf, buf_len, tok):
+    """Write ``tok[b]`` at ``tok_buf[b, buf_len[b]]`` as a static loop of
+    in-place dynamic-update-slices (`.at[bidx, buf_len].set` lowers to a
+    gather/scatter that measured ~0.1 ms/step at B=4 on v5e)."""
+    for b in range(tok_buf.shape[0]):
+        tok_buf = jax.lax.dynamic_update_slice(
+            tok_buf, tok[b].reshape(1, 1), (jnp.int32(b), buf_len[b]))
+    return tok_buf
 
 
 @partial(jax.jit, static_argnames=("cfg", "sa", "first_suppress", "dtype_name",
@@ -148,8 +162,9 @@ def prefill_batch(params, cfg: T2SConfig, x_ids, y_ids, bert, x_lens, y_lens,
     tok_buf = jnp.where(pos < y_lens[:, None], y_gather, sentinel)
 
     rng, sub = jax.random.split(rng)
+    g = jax.random.gumbel(sub, (B, cfg.vocab_size), F32)
     suppress = jnp.ones((B,), bool) if first_suppress else jnp.zeros((B,), bool)
-    tok = _sample_logits(sub, logits, tok_buf, sa, cfg.vocab_size, True,
+    tok = _sample_logits(g, logits, tok_buf, sa, cfg.vocab_size, True,
                          suppress, cfg.suppressed_tokens if first_suppress else ())
 
     tok_buf = tok_buf.at[jnp.arange(B), y_lens].set(tok)
@@ -190,7 +205,8 @@ def prefill_slot(params, cfg: T2SConfig, state: DecodeState, slot,
 
     logits = (h_last @ params["predict_w"])[None, :]
     rng, sub = jax.random.split(state.rng)
-    tok = _sample_logits(sub, logits, None, dataclasses.replace(sa, use_prev=False),
+    g = jax.random.gumbel(sub, (1, cfg.vocab_size), F32)
+    tok = _sample_logits(g, logits, None, dataclasses.replace(sa, use_prev=False),
                          cfg.vocab_size, True, jnp.zeros((1,), bool), ())[0]
 
     S = state.k_cache.shape[2]
@@ -228,15 +244,72 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
     B = state.kv_len.shape[0]
     bidx = jnp.arange(B)
 
+    # ONE key split + ONE Gumbel tensor for the whole dispatch (all attn
+    # impls share this chain, so cross-impl token parity holds); a per-step
+    # split + draw inside the scan measured ~0.2 ms/step at B=4 on v5e
+    rng, sub = jax.random.split(state.rng)
+    noise = jax.random.gumbel(sub, (n_steps, B, cfg.vocab_size), F32)
+    state = dataclasses.replace(state, rng=rng)
+    buf_len0 = state.buf_len
+
+    def finish_tok_buf(state, toks):
+        # with the repetition penalty off, the scan skips per-step token
+        # writes; reconstruct the buffer in one batched write (harvest and
+        # slot refill read it)
+        if sa.use_prev:
+            return state
+        pos = buf_len0[:, None] + jnp.arange(n_steps)[None, :]
+        tb = state.tok_buf.at[bidx[:, None], pos].set(toks.T)
+        return dataclasses.replace(state, tok_buf=tb)
+
     D = cfg.hidden_dim
     fused_sample = (attn_impl in ("fused_step", "fused_step_interpret")
                     and B == 1 and D % 128 == 0)
+    fused_sample_b = (attn_impl in ("fused_step", "fused_step_interpret")
+                      and 1 < B <= 8 and D % 128 == 0)
+    if fused_sample_b:
+        # batched whole-step kernel (``ops/fused_step.py:_kernel_sample_b``):
+        # the packed weight stream is amortized over B slots; only the K/V
+        # row scatter and the counter updates stay in XLA per step
+        from ..ops.fused_step import (_round_up_128, fused_decode_step_sample_batched,
+                                      pack_layer_weights, pad_rows8)
+
+        V = cfg.vocab_size
+        Vp = _round_up_128(V)
+        L, _, S, H, Dh = state.k_cache.shape
+        params = dict(params)
+        params.setdefault("predict_w_padded", jnp.pad(
+            params["predict_w"], ((0, 0), (0, Vp - V))))
+        params.setdefault("layers_packed", pack_layer_weights(params["layers"]))
+        params.setdefault("audio_emb_padded", pad_rows8(params["audio_emb"]))
+        noise = jnp.pad(noise, ((0, 0), (0, 0), (0, Vp - V)))
+
+        def step(st: DecodeState, g):
+            tok, _, kc, vc = fused_decode_step_sample_batched(
+                params, st.k_cache, st.v_cache, st.tok_buf,
+                st.kv_len, st.x_len, st.last_tok, st.buf_len, st.step_idx,
+                g, sa=sa, suppress_until=suppress_until,
+                suppressed=cfg.suppressed_tokens + (cfg.eos,),
+                interpret=(attn_impl == "fused_step_interpret"))
+            new = DecodeState(
+                k_cache=kc, v_cache=vc,
+                kv_len=st.kv_len + 1, x_len=st.x_len,
+                tok_buf=_append_tok(st.tok_buf, st.buf_len, tok)
+                if sa.use_prev else st.tok_buf,
+                buf_len=st.buf_len + 1,
+                last_tok=tok, step_idx=st.step_idx + 1, rng=st.rng,
+            )
+            return new, tok
+
+        state, toks = jax.lax.scan(step, state, noise)
+        return finish_tok_buf(state, toks), toks.T
     if fused_sample:
         # the whole step — embed, layers, KV append, logits head, sampling —
         # runs as ONE kernel launch (``ops/fused_step.py:_kernel_sample``);
         # per-step XLA shrinks to the tok_buf append + counters
         from ..ops.fused_step import (fused_decode_step_sample,
-                                      pack_layer_weights, _round_up_128)
+                                      pack_layer_weights, pad_rows8,
+                                      _round_up_128)
 
         V = cfg.vocab_size
         Vp = _round_up_128(V)
@@ -250,18 +323,8 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
             params["predict_w"], ((0, 0), (0, Vp - V))))
         params.setdefault("layers_packed",
                           pack_layer_weights(params["layers"]))
-        # Gumbel noise for the whole dispatch, drawn through the SAME
-        # split-per-step key chain as the XLA path so the fused path samples
-        # identical tokens given identical filtered logits
-        def mk_key(rng, _):
-            rng, sub = jax.random.split(rng)
-            return rng, sub
-
-        rng_out, subs = jax.lax.scan(mk_key, state.rng, None, length=n_steps)
-        noise = jax.vmap(
-            lambda k: jax.random.gumbel(k, (1, V), dtype=F32))(subs)
+        params.setdefault("audio_emb_padded", pad_rows8(params["audio_emb"]))
         noise = jnp.pad(noise, ((0, 0), (0, 0), (0, Vp - V)))
-        state = dataclasses.replace(state, rng=rng_out)
 
         def step(st: DecodeState, g):
             tok, _, kc, vc = fused_decode_step_sample(
@@ -273,16 +336,17 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
             new = DecodeState(
                 k_cache=kc, v_cache=vc,
                 kv_len=st.kv_len + 1, x_len=st.x_len,
-                tok_buf=st.tok_buf.at[bidx, st.buf_len].set(tok),
+                tok_buf=_append_tok(st.tok_buf, st.buf_len, tok)
+                if sa.use_prev else st.tok_buf,
                 buf_len=st.buf_len + 1,
                 last_tok=tok, step_idx=st.step_idx + 1, rng=st.rng,
             )
             return new, tok
 
         state, toks = jax.lax.scan(step, state, noise)
-        return state, toks.T
+        return finish_tok_buf(state, toks), toks.T
 
-    def step(st: DecodeState, _):
+    def step(st: DecodeState, g):
         pe_idx = st.kv_len - st.x_len
         pe = (params["audio_pos_alpha"] * params["pe"][pe_idx]).astype(dtype)
         x = jnp.take(params["audio_emb"], st.last_tok, axis=0).astype(dtype) + pe
@@ -291,22 +355,22 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
             params, cfg, x, st.k_cache, st.v_cache, st.kv_len, attn_impl)
         logits = h @ params["predict_w"]
 
-        rng, sub = jax.random.split(st.rng)
         suppress = st.step_idx < suppress_until
-        tok = _sample_logits(sub, logits, st.tok_buf, sa, cfg.vocab_size, False,
+        tok = _sample_logits(g, logits, st.tok_buf, sa, cfg.vocab_size, False,
                              suppress, cfg.suppressed_tokens + (cfg.eos,) if suppress_until else ())
 
         new = DecodeState(
             k_cache=kc, v_cache=vc,
             kv_len=st.kv_len + 1, x_len=st.x_len,
-            tok_buf=st.tok_buf.at[bidx, st.buf_len].set(tok),
+            tok_buf=_append_tok(st.tok_buf, st.buf_len, tok)
+            if sa.use_prev else st.tok_buf,
             buf_len=st.buf_len + 1,
-            last_tok=tok, step_idx=st.step_idx + 1, rng=rng,
+            last_tok=tok, step_idx=st.step_idx + 1, rng=st.rng,
         )
         return new, tok
 
-    state, toks = jax.lax.scan(step, state, None, length=n_steps)
-    return state, toks.T  # [B, n_steps]
+    state, toks = jax.lax.scan(step, state, noise)
+    return finish_tok_buf(state, toks), toks.T  # [B, n_steps]
 
 
 # ---------------------------------------------------------------------------

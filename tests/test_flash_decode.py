@@ -186,6 +186,160 @@ def test_decode_chunk_fused_step_matches_xla():
     np.testing.assert_array_equal(outs["xla"], outs["fused_step_interpret"])
 
 
+def test_decode_chunk_fused_step_batched_matches_xla():
+    """B>1 whole-step kernel (interpret) vs the XLA batched step: the full
+    decode_chunk path with ragged per-slot lengths must be token-exact."""
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs, decode_chunk, prefill_batch
+
+    cfg = T2SConfig(hidden_dim=128, embedding_dim=128, num_heads=4, num_layers=2,
+                    vocab_size=101, phoneme_vocab_size=50, eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    B = 3
+    x = jnp.asarray(rng.randint(1, 50, (B, 12)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 100, (B, 7)), jnp.int32)
+    bert = jnp.zeros((B, 12, cfg.bert_dim), jnp.float32)
+    x_lens = jnp.asarray([12, 9, 5], jnp.int32)
+    y_lens = jnp.asarray([7, 3, 6], jnp.int32)
+    sa = SampleArgs(top_k=1, repetition_penalty=1.0, use_prev=False)
+    outs = {}
+    for impl in ("xla", "fused_step_interpret"):
+        shape = (cfg.num_layers, B, 128, cfg.num_heads, cfg.head_dim)
+        st, _ = prefill_batch(params, cfg, x, y, bert, x_lens, y_lens,
+                              jnp.zeros(shape, jnp.float32),
+                              jnp.zeros(shape, jnp.float32),
+                              jax.random.PRNGKey(1), sa, False, "float32")
+        st, toks = decode_chunk(params, cfg, st, 10, sa, 0, "float32", impl)
+        outs[impl] = np.asarray(toks)
+    np.testing.assert_array_equal(outs["xla"], outs["fused_step_interpret"])
+
+
+def test_fused_batched_sample_rows_match_sampling_ops():
+    """Per-row filtered logits of the batched kernel vs ops/sampling, with
+    ragged per-row kv lengths, histories, and suppression flags (incl. a
+    frozen slot with kv_len = 0 < x_len)."""
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig, transformer_decode_step
+    from gsv_tts_tpu.ops import sampling
+    from gsv_tts_tpu.ops.fused_step import fused_decode_step_sample_batched
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs
+
+    cfg = T2SConfig(hidden_dim=128, embedding_dim=128, num_heads=4, num_layers=2,
+                    vocab_size=101, phoneme_vocab_size=50, eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(7)
+    L, B, S, H, Dh = 2, 3, 128, 4, 32
+    kc = jnp.asarray(rng.randn(L, B, S, H, Dh).astype(np.float32) * 0.3)
+    vc = jnp.asarray(rng.randn(L, B, S, H, Dh).astype(np.float32) * 0.3)
+    kv_len = jnp.asarray([40, 7, 0], jnp.int32)
+    x_len = jnp.asarray([12, 3, 5], jnp.int32)
+    last_tok = jnp.asarray([17, 99, 0], jnp.int32)
+    tok_buf = np.full((B, S), cfg.vocab_size, np.int32)
+    tok_buf[0, :30] = rng.randint(0, 100, size=(30,))
+    tok_buf[1, :5] = rng.randint(0, 100, size=(5,))
+    buf_len = jnp.asarray([30, 5, 0], jnp.int32)
+    step_idx = jnp.asarray([5, 20, 3], jnp.int32)
+    g = jnp.zeros((B, 128), jnp.float32)
+
+    for sa in (SampleArgs(top_k=15, top_p=1.0, temperature=1.0,
+                          repetition_penalty=1.35, use_prev=True),
+               SampleArgs(top_k=8, top_p=0.7, temperature=0.8,
+                          repetition_penalty=1.2, use_prev=True),
+               SampleArgs(top_k=3, top_p=0.95, temperature=1.3,
+                          repetition_penalty=1.0, use_prev=False)):
+        for suppress_until in (0, 10):
+            tok, row, kc2, vc2 = fused_decode_step_sample_batched(
+                params, kc, vc, jnp.asarray(tok_buf),
+                kv_len, x_len, last_tok, buf_len, step_idx, g,
+                sa=sa, suppress_until=suppress_until,
+                suppressed=cfg.suppressed_tokens + (cfg.eos,),
+                interpret=True)
+
+            pe_idx = jnp.maximum(kv_len - x_len, 0)
+            pe = (params["audio_pos_alpha"] * params["pe"][pe_idx])
+            xin = jnp.take(params["audio_emb"], last_tok, axis=0) + pe
+            h, kc_ref, vc_ref = transformer_decode_step(
+                params, cfg, xin, kc, vc, kv_len, "xla")
+            logits = (h @ params["predict_w"]).astype(jnp.float32)
+            if suppress_until:
+                sup = jnp.asarray(cfg.suppressed_tokens + (cfg.eos,))
+                neg = jnp.full((len(sup),), -jnp.inf)
+                logits = jnp.where(
+                    (step_idx < suppress_until)[:, None],
+                    jax.vmap(lambda l: l.at[sup].set(neg))(logits), logits)
+            probs_ref = sampling.logits_to_probs(
+                logits,
+                jnp.asarray(tok_buf) if sa.use_prev else None,
+                temperature=sa.temperature, top_k=sa.top_k, top_p=sa.top_p,
+                repetition_penalty=sa.repetition_penalty)
+
+            probs_kernel = jax.nn.softmax(row[:, :cfg.vocab_size], axis=-1)
+            np.testing.assert_allclose(
+                np.asarray(probs_kernel), np.asarray(probs_ref),
+                rtol=2e-4, atol=2e-5,
+                err_msg=f"sa={sa} suppress_until={suppress_until}")
+            np.testing.assert_array_equal(
+                np.asarray(tok), np.argmax(np.asarray(probs_ref), axis=-1))
+
+            # the in-place window RMW must produce the same caches as the
+            # XLA step's per-slot scatter (history rows bit-identical, new
+            # row within f32 rounding)
+            np.testing.assert_allclose(np.asarray(kc2), np.asarray(kc_ref),
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(vc2), np.asarray(vc_ref),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_generate_batched_fused_matches_xla(monkeypatch):
+    """Continuous batching through the batched whole-step kernel (interpret)
+    vs the XLA path: same key chain ⇒ identical harvested sequences,
+    including slot refills.  Both sides are pinned to the XLA prefill —
+    the Pallas prefill's ~1e-6 summation-order noise can flip a greedy
+    near-tie deep into a chain (see test_prefill_flash_token_parity)."""
+    import gsv_tts_tpu.runtime.t2s_session as sess
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import T2SEngine
+
+    sess.prefill_batch.clear_cache()
+    sess.prefill_slot.clear_cache()
+    monkeypatch.setattr(sess, "_prefill_impl", lambda impl: "xla")
+
+    cfg = T2SConfig(hidden_dim=128, embedding_dim=128, num_heads=4, num_layers=2,
+                    vocab_size=101, phoneme_vocab_size=50, eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(11)
+    N = 4
+    xs = [rng.randint(1, 50, size=(rng.randint(4, 12),)).astype(np.int64)
+          for _ in range(N)]
+    ys = [rng.randint(0, 100, size=(rng.randint(3, 8),)).astype(np.int64)
+          for _ in range(N)]
+    berts = [(rng.randn(len(x), cfg.bert_dim) * 0.1).astype(np.float32)
+             for x in xs]
+
+    outs = {}
+    try:
+        for impl in ("xla", "fused_step_interpret"):
+            eng = T2SEngine(params, cfg, gpt_cache=[(2, 96), (2, 128)],
+                            dtype=jnp.float32, attn_impl=impl)
+            pred, idx = eng.generate_batched(xs, ys, berts, top_k=1,
+                                             repetition_penalty=1.0,
+                                             rng=jax.random.PRNGKey(3))
+            outs[impl] = {int(i): p for p, i in zip(pred, idx)}
+    finally:
+        # drop programs compiled with the patched prefill — later tests
+        # expect the Pallas prefill under the same static attn_impl key
+        sess.prefill_batch.clear_cache()
+        sess.prefill_slot.clear_cache()
+    assert outs["xla"].keys() == outs["fused_step_interpret"].keys()
+    for i in outs["xla"]:
+        a, b = outs["xla"][i], outs["fused_step_interpret"][i]
+        n = min(len(a), len(b), 30)
+        np.testing.assert_array_equal(a[:n], b[:n], err_msg=f"request {i}")
+
+
 def test_fused_sample_row_matches_sampling_ops():
     """The kernel's filtered logits row (penalty → top-p → temperature →
     top-k) must match ops/sampling.logits_to_probs after softmax."""
@@ -250,6 +404,43 @@ def test_fused_sample_row_matches_sampling_ops():
                 err_msg=f"sa={sa} suppress_until={suppress_until} step={step_idx}")
             # zero noise ⇒ the kernel's draw must be the max-prob token
             assert int(np.asarray(tok)[0]) == int(np.argmax(np.asarray(probs_ref)))
+
+
+def test_fused_step_last_window_token_embedding():
+    """Regression: a token in the vocab's final partial 8-row window (here
+    last_tok=99 with V=101; flagship: tokens >= 1018 with V=1025) must gather
+    the correct embedding row.  The unpadded table made ``pl.ds`` clamp the
+    window start off its 8-alignment, mask-selecting the wrong row."""
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig, transformer_decode_step
+    from gsv_tts_tpu.ops.fused_step import fused_decode_step_sample
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs
+
+    cfg = T2SConfig(hidden_dim=128, embedding_dim=128, num_heads=4, num_layers=2,
+                    vocab_size=101, phoneme_vocab_size=50, eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(2), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(21)
+    L, B, S, H, Dh = 2, 1, 128, 4, 32
+    kc = jnp.asarray(rng.randn(L, B, S, H, Dh).astype(np.float32) * 0.3)
+    vc = jnp.asarray(rng.randn(L, B, S, H, Dh).astype(np.float32) * 0.3)
+    kv_len = jnp.asarray([20], jnp.int32)
+    x_len = jnp.asarray([8], jnp.int32)
+    tok_buf = jnp.full((1, S), cfg.vocab_size, jnp.int32)
+    sa = SampleArgs(top_k=101, top_p=1.0, temperature=1.0,
+                    repetition_penalty=1.0, use_prev=False)
+    for t in (96, 99, 100):
+        last_tok = jnp.asarray([t], jnp.int32)
+        _, row, _, _ = fused_decode_step_sample(
+            params, kc, vc, tok_buf, kv_len, x_len, last_tok,
+            jnp.asarray([0], jnp.int32), jnp.asarray([50], jnp.int32),
+            jnp.zeros((1, 128), jnp.float32), sa=sa, suppress_until=0,
+            suppressed=(), interpret=True)
+        pe = params["audio_pos_alpha"] * params["pe"][kv_len - x_len]
+        x = jnp.take(params["audio_emb"], last_tok, axis=0) + pe
+        h, _, _ = transformer_decode_step(params, cfg, x, kc, vc, kv_len, "xla")
+        ref = (h @ params["predict_w"]).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(row[:, :101]), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5, err_msg=f"tok {t}")
 
 
 def test_generate_fused_sampling_matches_xla_full_pipeline():
