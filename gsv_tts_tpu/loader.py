@@ -207,10 +207,11 @@ def get_gpt_weights(gpt_path, tts_config: Config) -> Gpt:
     cfg = T2SConfig.from_checkpoint_config(config)
     params = t2s_model.params_from_torch_state_dict(weights, cfg, dtype=tts_config.dtype)
     gpt_cache = tts_config.gpt_cache or [(1, 512), (1, 1024)]
-    # Kernel policy (v5e, flagship config): the whole-step fused kernel
-    # (ops/fused_step.py, B=1) wins at every bucket size — S=512: 2048 vs
-    # flash 1632 vs XLA 1477 tok/s; S=1024: 1755 vs 1539 vs 1098.  B>1
-    # decode falls back to the flash decode-attention kernel automatically.
+    # Kernel policy (v5e, flagship config): the whole-step fused kernels
+    # (ops/fused_step.py) win at every bucket size — B=1 S=512: 2990 vs
+    # flash 1632 vs XLA 1477 tok/s; S=1024: 1755 vs 1539 vs 1098.  B in
+    # 2..8 routes to the batched whole-step kernel (B=4: 7500 aggregate
+    # tok/s vs flash 4000); larger batches fall back to flash attention.
     attn_impl = "xla"
     if getattr(tts_config, "use_flash_attn", False) and tts_config.platform == "tpu":
         attn_impl = "fused_step"
