@@ -257,6 +257,23 @@ def save_trained_gpt(params, cfg, output_dir: str, config: dict = None):
         json.dump(config, f, indent=4, ensure_ascii=False)
 
 
+def save_trained_sovits(params, hps: "HParams", output_dir: str):
+    """Save (possibly fine-tuned) SoVITS params as a safetensors checkpoint
+    dir loadable by :func:`get_sovits_weights`.  Our params are already
+    weight-norm-folded and keyed by reference state-dict names; the loader's
+    folding pass leaves plain ``weight`` keys untouched, so the roundtrip is
+    exact.  Training-only keys (``enc_q.*``) are kept — inference ignores
+    them and a later fine-tune resumes them."""
+    import numpy as _np
+    from safetensors.numpy import save_file
+
+    os.makedirs(output_dir, exist_ok=True)
+    save_file({k: _np.asarray(v) for k, v in params.items()},
+              os.path.join(output_dir, "model.safetensors"))
+    with open(os.path.join(output_dir, "hps.json"), "w") as f:
+        json.dump(hps.to_dict(), f, indent=4, ensure_ascii=False)
+
+
 def sovits_to_safetensors(sovits_path: str, output_dir: str, tts_config: Config):
     dict_s2, version = load_sovits_raw(str(sovits_path))
     hps = HParams(dict_s2["config"])

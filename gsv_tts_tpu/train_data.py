@@ -112,6 +112,63 @@ def featurize(tts, items: Iterable[Tuple[str, str, str]],
     return samples
 
 
+def featurize_sovits(tts, items: Iterable[Tuple[str, str, str]],
+                     sovits_model: Optional[str] = None):
+    """Stage-2 fine-tune featurization: (wav, text, lang) → tuples
+    ``(ssl [768, T], spec [spec_ch, T], wav [T·hop], text_ids)`` for
+    ``models/sovits_train.pad_sovits_batch``.
+
+    ssl (50 Hz CNHubert on the 16 kHz mono mix) and the linear spectrogram
+    (model-rate STFT, 50 Hz at the v2 hop of 640 @ 32 kHz) are trimmed to a
+    common frame count; the waveform is trimmed to ``T·hop`` samples so
+    random slice windows always have audio under them.
+    """
+    import jax.numpy as jnp
+
+    from .frontend.text_processor import get_phones_and_bert
+    from .ops import stft as stft_ops
+
+    if not tts.sovits_models:
+        raise ValueError("load a SoVITS model first")
+    if sovits_model is None:
+        sovits_model = next(iter(tts.sovits_models))
+    sovits = tts.sovits_models[sovits_model]
+    hps = sovits.hps
+    sr1 = int(hps.data.sampling_rate)
+    hop = int(hps.data.hop_length)
+    if tts.cnhubert_model is None:
+        from .models.hubert import CNHubert
+
+        tts.cnhubert_model = CNHubert(str(tts.cnhubert_path), tts.tts_config)
+
+    out = []
+    for wav_path, text, lang in items:
+        audio, sr0 = tts._load_audio(wav_path)
+        audio = np.asarray(audio, np.float32)
+        audio = audio.mean(axis=0) if audio.ndim == 2 else audio
+        if sr0 != sr1:
+            audio = stft_ops.resample(audio[None], sr0, sr1)[0]
+        maxx = np.abs(audio).max()
+        if maxx > 1:
+            audio = audio / min(2.0, maxx)
+        spec = np.asarray(stft_ops.spectrogram(
+            jnp.asarray(audio[None], jnp.float32), int(hps.data.filter_length),
+            hop, int(hps.data.win_length))[0], np.float32)
+        wav16k = stft_ops.resample(audio[None], sr1, 16000)[0]
+        ssl = np.asarray(tts.cnhubert_model(wav16k[None])[0], np.float32).T  # [768, T]
+
+        T = min(spec.shape[-1], ssl.shape[-1])
+        tag = _LANG_TAGS.get(lang, None)
+        tagged = f"<{tag}>{text}</{tag}>" if tag else text
+        phones, _w2p, _bert, _norm = get_phones_and_bert(tagged, tts.tts_config)
+        out.append((ssl[:, :T], spec[:, :T],
+                    audio[: T * hop].astype(np.float32),
+                    np.asarray(phones, np.int32)))
+    if not tts.always_load_cnhubert:
+        tts.cnhubert_model = None
+    return out
+
+
 def save_samples(path, samples: Sequence[Sample]) -> None:
     """Offset-indexed flat ``.npz`` (no object arrays / pickle): BERT rows
     are stored only for samples that have them (``bert_has`` marks which)."""

@@ -424,3 +424,60 @@ def test_featurize_and_train_step(assets, engine, tmp_path):
             losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_sovits_finetune_roundtrip(assets, engine, tmp_path):
+    """Stage-2 fine-tune end-to-end on the tiny facade: featurize, one GAN
+    train step (fresh enc_q + discriminators), export with
+    save_trained_sovits, reload through the facade, synthesize."""
+    import jax
+    import optax
+
+    from gsv_tts_tpu import train_data
+    from gsv_tts_tpu.loader import save_trained_sovits
+    from gsv_tts_tpu.models import sovits_train as svt
+
+    items = [(assets["spk"], "hello there, friend.", "en"),
+             (assets["prompt"], "a second sample.", "en")]
+    samples = train_data.featurize_sovits(engine, items)
+    sovits = engine.sovits_models[assets["sovits"]]
+    cfg, hps = sovits.cfg, sovits.hps
+    for ssl, spec, wav, text in samples:
+        assert ssl.shape[0] == 768 and ssl.shape[1] == spec.shape[1]
+        assert len(wav) == spec.shape[1] * int(hps.data.hop_length)
+        assert len(text) > 0
+
+    # the tiny test HPS has hop (320) != vocoder samples-per-frame (640) —
+    # fine for inference (spec only feeds ref_enc) but training alignment
+    # needs frame == spf; decimate to the vocoder frame rate
+    spf = int(np.prod(cfg.upsample_rates))
+    r = spf // int(hps.data.hop_length)
+    samples = [(s[:, ::r], sp[:, ::r], w, t) for s, sp, w, t in samples]
+
+    params = dict(sovits.params)
+    assert "enc_q.pre.weight" not in params  # Lite checkpoints strip enc_q
+    params.update(svt.init_enc_q_params(jax.random.PRNGKey(0), cfg))
+    d_params = svt.init_discriminator_params(jax.random.PRNGKey(1))
+
+    g_opt = optax.adam(1e-4)
+    d_opt = optax.adam(1e-4)
+    step_fn = jax.jit(svt.make_sovits_train_step(
+        cfg, g_opt, d_opt, n_fft=256, hop_length=spf, win_length=256,
+        sr=int(hps.data.sampling_rate), segment_frames=4, n_mels=32))
+    batch = svt.pad_sovits_batch(cfg, samples, spf, pad_multiple=8)
+    params, d_params, gs, ds, metrics = step_fn(
+        params, d_params, g_opt.init(params), d_opt.init(d_params),
+        batch, jax.random.PRNGKey(2))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+
+    out = tmp_path / "s2_ft"
+    save_trained_sovits(jax.device_get(params), hps, str(out))
+    engine.load_sovits_model(str(out))
+    try:
+        clip = engine.infer(assets["spk"], assets["prompt"], "hello there.",
+                            "fine tuned model check.",
+                            sovits_model=str(out))
+        assert len(clip.audio_data) > 1000
+    finally:
+        engine.unload_sovits_model(str(out))
