@@ -629,6 +629,24 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
     vwin_write.wait()
 
 
+def pack_layer_weights_biased(layers) -> jnp.ndarray:
+    """``[L, D+8, 4D+2M]``: :func:`pack_layer_weights` plus one extra 8-row
+    page whose row 0 carries the four (compute-dtype) bias vectors in their
+    matrices' lane ranges — ``qkv_b(3D) | out_b(D) | mlp1_b(M) |
+    mlp2_b(D)``.  The batched kernel streams weights AND biases in the one
+    per-layer DMA and drops ~1.8 MB of per-tensor [L, 2, N] VMEM bias
+    staging (each such input pads to 8 sublanes per layer page), which is
+    what pushed the B > 4 configs over the 16 MB scoped-vmem default."""
+    w = pack_layer_weights(layers)  # [L, D, 4D+2M]
+    L, D, W = w.shape
+    M = layers["mlp1_w"].shape[-1]
+    bias = jnp.concatenate([
+        layers["qkv_b"], layers["out_b"], layers["mlp1_b"],
+        layers["mlp2_b"], jnp.zeros((L, M - D), w.dtype)], axis=-1)
+    page = jnp.zeros((L, 8, W), w.dtype).at[:, 0].set(bias.astype(w.dtype))
+    return jnp.concatenate([w, page], axis=1)
+
+
 def pad_rows8(t: jnp.ndarray) -> jnp.ndarray:
     """Pad a row-gather table to a multiple of 8 rows.  The kernels gather a
     row by DMAing its aligned 8-row window; when the table's row count is not
@@ -809,9 +827,8 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
                      pool_ref, poolT_ref, tok_buf_ref,  # tok_buf [S, B] i32
                      g_ref,       # [B, Vp] f32 per-row Gumbel noise
                      audio_emb_ref, pe_ref, pw_ref,     # HBM
-                     w_packed_ref,                      # HBM [L, D, 3D+D+2M]
-                     qkv_b_ref, out_b_ref, ln1_g_ref, ln1_b_ref,
-                     mlp1_b_ref, mlp2_b_ref, ln2_g_ref, ln2_b_ref,
+                     w_packed_ref,                      # HBM [L, D+8, 3D+D+2M] (biases in row D)
+                     ln1_g_ref, ln1_b_ref, ln2_g_ref, ln2_b_ref,
                      k_in_ref, v_in_ref,                # [L, B, S, D] (aliased)
                      # outputs
                      tok_out_ref, row_out_ref, k_out_ref, v_out_ref,
@@ -929,8 +946,9 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
         wait_layer_load(slot)
 
         xc = x.astype(cdtype)
-        qkv = jnp.dot(xc, w_all[slot][:, :O_OUT], preferred_element_type=F32)
-        qkv = qkv + qkv_b_ref[i][0:1].astype(F32)
+        wmat = w_all[slot]
+        qkv = jnp.dot(xc, wmat[:D, :O_OUT], preferred_element_type=F32)
+        qkv = qkv + wmat[D:D + 1, :O_OUT].astype(F32)
         q = qkv[:, :D]
         k_new = qkv[:, D:2 * D]
         v_new = qkv[:, 2 * D:]
@@ -1017,22 +1035,22 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
         acc = acc * corr_exp + pself_exp * v_new
         l_exp = jnp.dot(l, poolT, preferred_element_type=F32)
 
-        h = jnp.dot((acc / l_exp).astype(cdtype), w_all[slot][:, O_OUT:O_M1],
+        h = jnp.dot((acc / l_exp).astype(cdtype), wmat[:D, O_OUT:O_M1],
                     preferred_element_type=F32)
-        h = x + h + out_b_ref[i][0:1].astype(F32)
+        h = x + h + wmat[D:D + 1, O_OUT:O_M1].astype(F32)
         mean = jnp.mean(h, axis=-1, keepdims=True)
         var = jnp.mean((h - mean) ** 2, axis=-1, keepdims=True)
         h = (h - mean) * jax.lax.rsqrt(var + eps) \
             * ln1_g_ref[i][0:1].astype(F32) + ln1_b_ref[i][0:1].astype(F32)
 
-        m1 = jnp.dot(h.astype(cdtype), w_all[slot][:, O_M1:O_M2],
+        m1 = jnp.dot(h.astype(cdtype), wmat[:D, O_M1:O_M2],
                      preferred_element_type=F32)
-        m1 = jnp.maximum(m1 + mlp1_b_ref[i][0:1].astype(F32), 0.0)
+        m1 = jnp.maximum(m1 + wmat[D:D + 1, O_M1:O_M2].astype(F32), 0.0)
         m2 = jax.lax.dot_general(
-            m1.astype(cdtype), w_all[slot][:, O_M2:],
+            m1.astype(cdtype), wmat[:D, O_M2:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=F32)
-        h2 = h + m2 + mlp2_b_ref[i][0:1].astype(F32)
+        h2 = h + m2 + wmat[D:D + 1, O_M2:O_M2 + D].astype(F32)
         mean = jnp.mean(h2, axis=-1, keepdims=True)
         var = jnp.mean((h2 - mean) ** 2, axis=-1, keepdims=True)
         return (h2 - mean) * jax.lax.rsqrt(var + eps) \
@@ -1182,8 +1200,8 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
 
     pw_pad = params["predict_w_padded"] if "predict_w_padded" in params else \
         jnp.pad(params["predict_w"], ((0, 0), (0, Vp - V)))
-    w_packed = params["layers_packed"] if "layers_packed" in params else \
-        pack_layer_weights(layers)
+    w_packed = params["layers_packed_b"] if "layers_packed_b" in params else \
+        pack_layer_weights_biased(layers)
     emb_pad = params["audio_emb_padded"] if "audio_emb_padded" in params \
         else pad_rows8(params["audio_emb"])
 
@@ -1218,12 +1236,12 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
         grid=(1,),
         in_specs=[smem, vmem, vmem, vmem, vmem,  # alpha, pool, poolT, tok_buf, gumbel
                   hbm, hbm, any_,                # audio_emb, pe, predict_w_pad
-                  any_,                          # packed layer weights
-                  vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem,
+                  any_,                          # packed layer weights+biases
+                  vmem, vmem, vmem, vmem,        # LN gains/biases (f32)
                   any_, any_],                   # caches (aliased in place)
         out_specs=[smem, vmem, any_, any_],
         scratch_shapes=[
-            pltpu.VMEM((2, D, 4 * D + 2 * M), dtype),   # packed weights
+            pltpu.VMEM((2, D + 8, 4 * D + 2 * M), dtype),  # packed weights+biases
             pltpu.VMEM((2, D, CHV), dtype),             # predict head chunks
             pltpu.VMEM((2, 2, B, block_s, D), dtype),   # kv walk (strided)
             pltpu.VMEM((B, 8, D), dtype),               # emb 8-row stages
@@ -1244,7 +1262,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
                                (L, 2, t.shape[-1]))
         return arr.astype(F32) if f32 else arr
 
-    n_inputs = 20  # scalars + 19 tensor operands, in call order below
+    n_inputs = 16  # scalars + 15 tensor operands, in call order below
     tok, row, kc_out, vc_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1255,13 +1273,10 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
             jax.ShapeDtypeStruct((L, B, S, D), dtype),
         ],
         input_output_aliases={n_inputs - 2: 2, n_inputs - 1: 3},
-        # the default scoped-vmem limit is 16 MB, which B <= 4 fits; only
-        # raise it for larger slot counts (v5e has 128 MiB physical VMEM) —
-        # a blanket raise measured ~18% SLOWER at B=4 (the limit steers
-        # Mosaic's allocation strategy, not just the OOM check)
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024)
-        if (B > 4 and not interpret) else None,
+        # with biases riding the weight stream every B <= 8 config fits the
+        # default 16 MB scoped-vmem budget — raising the limit also switches
+        # Mosaic to a slower allocation strategy (measured ~18% at B=4)
+        compiler_params=None,
         interpret=interpret,
     )(scalars,
       params["audio_pos_alpha"].astype(F32).reshape(1, 1),
@@ -1269,10 +1284,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
       gumbel.astype(F32),
       emb_pad, params["pe"], pw_pad,
       w_packed,
-      as3(layers["qkv_b"]), as3(layers["out_b"]),
       as3(layers["ln1_g"], True), as3(layers["ln1_b"], True),
-      as3(layers["mlp1_b"]),
-      as3(layers["mlp2_b"]),
       as3(layers["ln2_g"], True), as3(layers["ln2_b"], True),
       kc2, vc2)
 

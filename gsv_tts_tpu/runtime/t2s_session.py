@@ -272,7 +272,7 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
         # the packed weight stream is amortized over B slots; only the K/V
         # row scatter and the counter updates stay in XLA per step
         from ..ops.fused_step import (_round_up_128, fused_decode_step_sample_batched,
-                                      pack_layer_weights, pad_rows8)
+                                      pack_layer_weights_biased, pad_rows8)
 
         V = cfg.vocab_size
         Vp = _round_up_128(V)
@@ -280,7 +280,8 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
         params = dict(params)
         params.setdefault("predict_w_padded", jnp.pad(
             params["predict_w"], ((0, 0), (0, Vp - V))))
-        params.setdefault("layers_packed", pack_layer_weights(params["layers"]))
+        params.setdefault("layers_packed_b",
+                          pack_layer_weights_biased(params["layers"]))
         params.setdefault("audio_emb_padded", pad_rows8(params["audio_emb"]))
         noise = jnp.pad(noise, ((0, 0), (0, 0), (0, Vp - V)))
 
