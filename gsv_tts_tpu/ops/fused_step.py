@@ -629,22 +629,27 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
     vwin_write.wait()
 
 
-def pack_layer_weights_biased(layers) -> jnp.ndarray:
-    """``[L, D+8, 4D+2M]``: :func:`pack_layer_weights` plus one extra 8-row
-    page whose row 0 carries the four (compute-dtype) bias vectors in their
-    matrices' lane ranges — ``qkv_b(3D) | out_b(D) | mlp1_b(M) |
-    mlp2_b(D)``.  The batched kernel streams weights AND biases in the one
-    per-layer DMA and drops ~1.8 MB of per-tensor [L, 2, N] VMEM bias
-    staging (each such input pads to 8 sublanes per layer page), which is
-    what pushed the B > 4 configs over the 16 MB scoped-vmem default."""
-    w = pack_layer_weights(layers)  # [L, D, 4D+2M]
-    L, D, W = w.shape
+def pack_bias_page(layers, dtype=None) -> jnp.ndarray:
+    """``[L, 8, 4D+2M]`` bias page: row 0 carries the four per-layer bias
+    vectors laid out in their matrices' lane ranges — ``qkv_b(3D) |
+    out_b(D) | mlp1_b(M) | mlp2_b(D)`` (tail zero).  The batched kernel
+    streams this page with each layer's weight DMA into a tiny (2, 8, W)
+    scratch, replacing ~1.8 MB of per-tensor [L, 2, N] VMEM bias staging
+    (each such input pads to 8 sublanes per layer page) that pushed the
+    B > 4 configs over the 16 MB scoped-vmem default.  Kept SEPARATE from
+    the [L, D, W] weight tensor: a fused [L, D+8, W] page forced Mosaic to
+    materialize the row-sliced matmul operands on the stack (~9 MB over
+    the scoped-vmem limit even at B = 4)."""
+    w = layers["qkv_w"]
+    L = w.shape[0]
+    D = layers["out_w"].shape[-1]
     M = layers["mlp1_w"].shape[-1]
+    dtype = dtype or w.dtype
     bias = jnp.concatenate([
         layers["qkv_b"], layers["out_b"], layers["mlp1_b"],
-        layers["mlp2_b"], jnp.zeros((L, M - D), w.dtype)], axis=-1)
-    page = jnp.zeros((L, 8, W), w.dtype).at[:, 0].set(bias.astype(w.dtype))
-    return jnp.concatenate([w, page], axis=1)
+        layers["mlp2_b"], jnp.zeros((L, M - D), dtype)], axis=-1)
+    return jnp.zeros((L, 8, 4 * D + 2 * M), dtype).at[:, 0].set(
+        bias.astype(dtype))
 
 
 def pad_rows8(t: jnp.ndarray) -> jnp.ndarray:
@@ -827,14 +832,16 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
                      pool_ref, poolT_ref, tok_buf_ref,  # tok_buf [S, B] i32
                      g_ref,       # [B, Vp] f32 per-row Gumbel noise
                      audio_emb_ref, pe_ref, pw_ref,     # HBM
-                     w_packed_ref,                      # HBM [L, D+8, 3D+D+2M] (biases in row D)
+                     w_packed_ref,                      # HBM [L, D, 3D+D+2M]
+                     bias_ref,                          # HBM [L, 8, 3D+D+2M]
                      ln1_g_ref, ln1_b_ref, ln2_g_ref, ln2_b_ref,
                      k_in_ref, v_in_ref,                # [L, B, S, D] (aliased)
                      # outputs
                      tok_out_ref, row_out_ref, k_out_ref, v_out_ref,
                      # scratch
-                     w_all, pw_buf, kv_vmem, emb_stage, pe_stage, k_win, v_win,
-                     w_sem, pw_sem, kv_sem, row_sem, win_rsem, win_wsem,
+                     w_all, b_all, pw_buf, kv_vmem, emb_stage, pe_stage,
+                     k_win, v_win,
+                     w_sem, b_sem, pw_sem, kv_sem, row_sem, win_rsem, win_wsem,
                      *, B, L, S, H, D, M, V, Vp, CHV, block_s, sa, suppressed,
                      eps=1e-5):
     lengths = [scalar_ref[b] for b in range(B)]
@@ -855,10 +862,14 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
     def start_layer_load(layer, slot):
         pltpu.make_async_copy(w_packed_ref.at[layer], w_all.at[slot],
                               w_sem.at[slot]).start(priority=1)
+        pltpu.make_async_copy(bias_ref.at[layer], b_all.at[slot],
+                              b_sem.at[slot]).start(priority=1)
 
     def wait_layer_load(slot):
         pltpu.make_async_copy(w_packed_ref.at[0], w_all.at[slot],
                               w_sem.at[slot]).wait()
+        pltpu.make_async_copy(bias_ref.at[0], b_all.at[slot],
+                              b_sem.at[slot]).wait()
 
     def pw_dma(c, slot):
         return pltpu.make_async_copy(
@@ -946,9 +957,8 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
         wait_layer_load(slot)
 
         xc = x.astype(cdtype)
-        wmat = w_all[slot]
-        qkv = jnp.dot(xc, wmat[:D, :O_OUT], preferred_element_type=F32)
-        qkv = qkv + wmat[D:D + 1, :O_OUT].astype(F32)
+        qkv = jnp.dot(xc, w_all[slot][:, :O_OUT], preferred_element_type=F32)
+        qkv = qkv + b_all[slot][0:1, :O_OUT].astype(F32)
         q = qkv[:, :D]
         k_new = qkv[:, D:2 * D]
         v_new = qkv[:, 2 * D:]
@@ -1035,22 +1045,22 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
         acc = acc * corr_exp + pself_exp * v_new
         l_exp = jnp.dot(l, poolT, preferred_element_type=F32)
 
-        h = jnp.dot((acc / l_exp).astype(cdtype), wmat[:D, O_OUT:O_M1],
+        h = jnp.dot((acc / l_exp).astype(cdtype), w_all[slot][:, O_OUT:O_M1],
                     preferred_element_type=F32)
-        h = x + h + wmat[D:D + 1, O_OUT:O_M1].astype(F32)
+        h = x + h + b_all[slot][0:1, O_OUT:O_M1].astype(F32)
         mean = jnp.mean(h, axis=-1, keepdims=True)
         var = jnp.mean((h - mean) ** 2, axis=-1, keepdims=True)
         h = (h - mean) * jax.lax.rsqrt(var + eps) \
             * ln1_g_ref[i][0:1].astype(F32) + ln1_b_ref[i][0:1].astype(F32)
 
-        m1 = jnp.dot(h.astype(cdtype), wmat[:D, O_M1:O_M2],
+        m1 = jnp.dot(h.astype(cdtype), w_all[slot][:, O_M1:O_M2],
                      preferred_element_type=F32)
-        m1 = jnp.maximum(m1 + wmat[D:D + 1, O_M1:O_M2].astype(F32), 0.0)
+        m1 = jnp.maximum(m1 + b_all[slot][0:1, O_M1:O_M2].astype(F32), 0.0)
         m2 = jax.lax.dot_general(
-            m1.astype(cdtype), wmat[:D, O_M2:],
+            m1.astype(cdtype), w_all[slot][:, O_M2:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=F32)
-        h2 = h + m2 + wmat[D:D + 1, O_M2:O_M2 + D].astype(F32)
+        h2 = h + m2 + b_all[slot][0:1, O_M2:O_M2 + D].astype(F32)
         mean = jnp.mean(h2, axis=-1, keepdims=True)
         var = jnp.mean((h2 - mean) ** 2, axis=-1, keepdims=True)
         return (h2 - mean) * jax.lax.rsqrt(var + eps) \
@@ -1184,24 +1194,33 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
     cache copy per step, ~0.5 ms at B=4 on v5e).
     """
     L, B, S, H, Dh = k_cache.shape
-    assert 1 <= B <= 8, "batched whole-step kernel supports at most 8 slots"
+    # B = 7/8 exceeds the 16 MiB scoped-vmem budget at flagship dims (the
+    # 2-slot weight scratch alone is 12 MiB) — decode_chunk falls back to
+    # flash+XLA above B = 6, which measured scaling favors anyway
+    assert 1 <= B <= 6, "batched whole-step kernel supports at most 6 slots"
     D = H * Dh
     layers = params["layers"]
     M = layers["mlp1_w"].shape[-1]
     dtype = k_cache.dtype
     V = params["predict_w"].shape[-1]
     Vp = _round_up_128(V)
-    CHV = _pw_chunk(Vp)
-    # VMEM budget: the 2-slot packed weight buffer dominates; shrink the
-    # walk block as B grows so (weights + walk + stages) stays under ~16 MB
+    # VMEM budget: the 2-slot packed weight buffer (12 MiB at flagship dims)
+    # dominates; shrink the walk block and the predict-head chunk as B grows
+    # so (weights + walk + windows + stages) stays under the 16 MiB default
+    # scoped-vmem limit (raising the limit switches Mosaic to a slower
+    # allocation strategy — measured ~18% at B=4)
+    CHV = _pw_chunk(Vp) if B <= 4 else 128
     if block_s is None:
-        block_s = min(BLOCK_S if B <= 2 else 64, S)
+        block_s = min(BLOCK_S if B <= 2 else (64 if B <= 4 else
+                                              (32 if B <= 6 else 16)), S)
     block_s = min(block_s, S)
 
     pw_pad = params["predict_w_padded"] if "predict_w_padded" in params else \
         jnp.pad(params["predict_w"], ((0, 0), (0, Vp - V)))
-    w_packed = params["layers_packed_b"] if "layers_packed_b" in params else \
-        pack_layer_weights_biased(layers)
+    w_packed = params["layers_packed"] if "layers_packed" in params else \
+        pack_layer_weights(layers)
+    bias_page = params["bias_page"] if "bias_page" in params else \
+        pack_bias_page(layers, dtype)
     emb_pad = params["audio_emb_padded"] if "audio_emb_padded" in params \
         else pad_rows8(params["audio_emb"])
 
@@ -1236,12 +1255,13 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
         grid=(1,),
         in_specs=[smem, vmem, vmem, vmem, vmem,  # alpha, pool, poolT, tok_buf, gumbel
                   hbm, hbm, any_,                # audio_emb, pe, predict_w_pad
-                  any_,                          # packed layer weights+biases
+                  any_, any_,                    # packed layer weights, bias page
                   vmem, vmem, vmem, vmem,        # LN gains/biases (f32)
                   any_, any_],                   # caches (aliased in place)
         out_specs=[smem, vmem, any_, any_],
         scratch_shapes=[
-            pltpu.VMEM((2, D + 8, 4 * D + 2 * M), dtype),  # packed weights+biases
+            pltpu.VMEM((2, D, 4 * D + 2 * M), dtype),   # packed weights
+            pltpu.VMEM((2, 8, 4 * D + 2 * M), dtype),   # bias pages
             pltpu.VMEM((2, D, CHV), dtype),             # predict head chunks
             pltpu.VMEM((2, 2, B, block_s, D), dtype),   # kv walk (strided)
             pltpu.VMEM((B, 8, D), dtype),               # emb 8-row stages
@@ -1249,6 +1269,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
             pltpu.VMEM((B, L, 8, D), dtype),            # K append windows
             pltpu.VMEM((B, L, 8, D), dtype),            # V append windows
             pltpu.SemaphoreType.DMA((2,)),              # weight stream
+            pltpu.SemaphoreType.DMA((2,)),              # bias pages
             pltpu.SemaphoreType.DMA((2,)),              # predict-head chunks
             pltpu.SemaphoreType.DMA((2, 2)),            # attention kv walk
             pltpu.SemaphoreType.DMA((2, B)),            # emb/pe gathers
@@ -1262,7 +1283,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
                                (L, 2, t.shape[-1]))
         return arr.astype(F32) if f32 else arr
 
-    n_inputs = 16  # scalars + 15 tensor operands, in call order below
+    n_inputs = 17  # scalars + 16 tensor operands, in call order below
     tok, row, kc_out, vc_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1273,9 +1294,10 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
             jax.ShapeDtypeStruct((L, B, S, D), dtype),
         ],
         input_output_aliases={n_inputs - 2: 2, n_inputs - 1: 3},
-        # with biases riding the weight stream every B <= 8 config fits the
-        # default 16 MB scoped-vmem budget — raising the limit also switches
-        # Mosaic to a slower allocation strategy (measured ~18% at B=4)
+        # with biases streamed as their own [L, 8, W] page every B <= 6
+        # config fits the default 16 MB scoped-vmem budget — raising the
+        # limit also switches Mosaic to a slower allocation strategy
+        # (measured ~18% at B=4)
         compiler_params=None,
         interpret=interpret,
     )(scalars,
@@ -1283,7 +1305,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
       pool, poolT, tok_buf.swapaxes(0, 1).astype(jnp.int32),
       gumbel.astype(F32),
       emb_pad, params["pe"], pw_pad,
-      w_packed,
+      w_packed, bias_page,
       as3(layers["ln1_g"], True), as3(layers["ln1_b"], True),
       as3(layers["ln2_g"], True), as3(layers["ln2_b"], True),
       kc2, vc2)

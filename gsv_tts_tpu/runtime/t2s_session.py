@@ -265,14 +265,20 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
     D = cfg.hidden_dim
     fused_sample = (attn_impl in ("fused_step", "fused_step_interpret")
                     and B == 1 and D % 128 == 0)
+    # B > 6 falls back to flash+XLA: the 2-slot weight scratch no longer fits
+    # the 16 MiB scoped-vmem budget, and measured scaling says it wouldn't
+    # pay anyway (B=4: 0.54 ms/step; B=6: 1.07 — the per-row VPU loops and
+    # [B, Vp] sampling peels pad 6 rows to 8 sublanes, so two B=4 waves beat
+    # any B > 4 config per chip)
     fused_sample_b = (attn_impl in ("fused_step", "fused_step_interpret")
-                      and 1 < B <= 8 and D % 128 == 0)
+                      and 1 < B <= 6 and D % 128 == 0)
     if fused_sample_b:
         # batched whole-step kernel (``ops/fused_step.py:_kernel_sample_b``):
         # the packed weight stream is amortized over B slots; only the K/V
         # row scatter and the counter updates stay in XLA per step
         from ..ops.fused_step import (_round_up_128, fused_decode_step_sample_batched,
-                                      pack_layer_weights_biased, pad_rows8)
+                                      pack_bias_page, pack_layer_weights,
+                                      pad_rows8)
 
         V = cfg.vocab_size
         Vp = _round_up_128(V)
@@ -280,8 +286,8 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
         params = dict(params)
         params.setdefault("predict_w_padded", jnp.pad(
             params["predict_w"], ((0, 0), (0, Vp - V))))
-        params.setdefault("layers_packed_b",
-                          pack_layer_weights_biased(params["layers"]))
+        params.setdefault("layers_packed", pack_layer_weights(params["layers"]))
+        params.setdefault("bias_page", pack_bias_page(params["layers"]))
         params.setdefault("audio_emb_padded", pad_rows8(params["audio_emb"]))
         noise = jnp.pad(noise, ((0, 0), (0, 0), (0, Vp - V)))
 
