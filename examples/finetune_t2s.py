@@ -37,16 +37,21 @@ def main():
                     help="rematerialize the forward in backward (HBM-tight chips)")
     ap.add_argument("--cache", default=None,
                     help="featurized-sample .npz cache (skips re-extraction)")
+    ap.add_argument("--ckpt-every", type=int, default=500,
+                    help="checkpoint cadence; interrupted runs resume from "
+                         "{out-dir}/t2s_state.npz automatically")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="ignore an existing checkpoint and start fresh")
+    ap.add_argument("--max-steps-this-run", type=int, default=None,
+                    help="stop after N steps this invocation (time-boxed "
+                         "jobs); --steps still parameterizes the schedule")
     args = ap.parse_args()
 
     import jax
-    import numpy as np
 
     from gsv_tts_tpu import TTS
     from gsv_tts_tpu import train_data
-    from gsv_tts_tpu.loader import save_trained_gpt
-    from gsv_tts_tpu.parallel import train as ptrain
-    from gsv_tts_tpu.parallel.mesh import make_mesh, shard_t2s_params
+    from gsv_tts_tpu.parallel.mesh import make_mesh
 
     tts = TTS(models_dir=args.models_dir) if args.models_dir else TTS()
     tts.load_gpt_model(args.gpt)
@@ -64,41 +69,23 @@ def main():
         if args.cache:
             train_data.save_samples(args.cache, samples)
 
-    optimizer, schedule = ptrain.make_optimizer(
-        peak_lr=args.lr, warmup_steps=args.warmup, decay_steps=args.steps)
-    step_fn = jax.jit(ptrain.make_train_step(
-        gpt.cfg, optimizer, dtype=tts.tts_config.dtype, remat=args.remat))
-
-    params = gpt.params
     n_dev = len(jax.devices())
-    if n_dev > 1:
-        mesh = make_mesh(n_dev)
-        params = shard_t2s_params(params, mesh)
-        print(f"sharded over {n_dev} chips: mesh {dict(mesh.shape)}")
-    import optax  # noqa: F401  (baked-in; used by make_optimizer internally)
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if mesh is not None:
+        print(f"sharding over {n_dev} chips: mesh {dict(mesh.shape)}")
 
-    opt_state = optimizer.init(params)
+    from gsv_tts_tpu.train_loop import finetune_t2s
 
-    step = 0
-    t0 = time.time()
-    while step < args.steps:
-        for batch in train_data.batches(gpt.cfg, samples, args.batch_size,
-                                        seed=step):
-            params, opt_state, loss = step_fn(params, opt_state, batch)
-            step += 1
-            if step % 50 == 0 or step == 1:
-                dt = (time.time() - t0) / max(step, 1)
-                print(f"step {step:6d}  loss {float(loss):.4f}  "
-                      f"lr {float(schedule(step)):.2e}  {dt * 1000:.0f} ms/step")
-            if step >= args.steps:
-                break
-
-    out = Path(args.out_dir)
-    out.mkdir(parents=True, exist_ok=True)
-    save_trained_gpt(jax.device_get(params), gpt.cfg, str(out),
-                     config=gpt.config)
-    print(f"saved fine-tuned checkpoint to {out} — load with "
-          f"TTS().load_gpt_model({str(out)!r})")
+    finetune_t2s(
+        samples, gpt.cfg, args.out_dir,
+        total_steps=args.steps, batch_size=args.batch_size,
+        init_params=gpt.params, dtype=tts.tts_config.dtype,
+        peak_lr=args.lr, warmup_steps=args.warmup, remat=args.remat,
+        mesh=mesh, ckpt_every=args.ckpt_every, resume=not args.no_resume,
+        max_steps_this_run=args.max_steps_this_run,
+        export_config=gpt.config)
+    print(f"saved fine-tuned checkpoint to {args.out_dir} — load with "
+          f"TTS().load_gpt_model({args.out_dir!r})")
 
 
 if __name__ == "__main__":
