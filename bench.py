@@ -41,7 +41,10 @@ def bench_t2s_decode(n_tokens: int = 500, chunk: int = 25, bucket: int = 512,
 
     cfg = T2SConfig()  # flagship dims: 512 hidden / 24 layers / 16 heads
     params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
-    # keep logits sane for sampling
+    # scale the random head so sampled logits have trained-checkpoint-like
+    # spread (raw init saturates top-p to ~1 token).  Throughput-neutral:
+    # the per-step compute/DMA is identical for any predict_w values; only
+    # which token wins changes, and decode cost is token-independent.
     params["predict_w"] = params["predict_w"] * 0.05
     sa = SampleArgs()
     rng = np.random.RandomState(0)

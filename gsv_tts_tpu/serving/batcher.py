@@ -1,0 +1,156 @@
+"""Cross-request dynamic micro-batching for non-streaming synthesis.
+
+The reference server serializes every request behind the facade lock
+(``personal_api.py`` → ``TTS.infer_async`` → ``_infer_lock``), so burst
+load pays the single-stream decode rate per request.  On TPU the batched
+whole-step kernel more than doubles aggregate throughput (B=4: ~7500 agg
+tok/s vs ~3000 at B=1 on v5e), so this scheduler coalesces requests that
+arrive within a short window into ONE ``infer_batched`` call — a serving
+capability the reference does not have.
+
+Mechanics: each request is keyed by its *batch signature* (sampling
+params + model names + cut settings — everything ``infer_batched``
+applies call-wide rather than per-text).  Requests with the same
+signature queue together; a per-signature flusher task drains up to
+``max_batch`` of them every ``max_wait_ms`` (immediately once the batch
+fills) and fans the per-text ``AudioClip`` results back to the waiting
+futures.  While a batch is in flight new arrivals accumulate for the
+next wave, so a saturated server continuously runs full batches.
+Failures reject exactly the requests that were in the failed call.
+"""
+from __future__ import annotations
+
+import asyncio
+from typing import Any, Dict, Hashable, List, Optional, Tuple
+
+__all__ = ["MicroBatcher"]
+
+
+class _Pending:
+    __slots__ = ("spk", "prompt", "prompt_text", "text", "future")
+
+    def __init__(self, spk, prompt, prompt_text, text,
+                 future: asyncio.Future):
+        self.spk = spk
+        self.prompt = prompt
+        self.prompt_text = prompt_text
+        self.text = text
+        self.future = future
+
+
+class MicroBatcher:
+    """Coalesces concurrent ``infer``-shaped requests into
+    ``tts.infer_batched_async`` calls.  Create one per server process and
+    share it across handlers; ``close()`` cancels the flusher tasks."""
+
+    def __init__(self, tts, max_batch: int = 4, max_wait_ms: float = 30.0,
+                 executor=None):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.tts = tts
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.executor = executor
+        self._pending: Dict[Hashable, List[_Pending]] = {}
+        self._events: Dict[Hashable, asyncio.Event] = {}
+        self._flushers: Dict[Hashable, asyncio.Task] = {}
+        self._closed = False
+        # introspection (tested; exported at /health by the server)
+        self.n_calls = 0
+        self.n_requests = 0
+        self.batch_sizes: List[int] = []
+
+    @staticmethod
+    def signature(params: Dict[str, Any]) -> Tuple:
+        """Canonical hashable key of the call-wide kwargs."""
+        return tuple(sorted(params.items()))
+
+    async def infer(self, spk_audio, prompt_audio, prompt_text, text,
+                    **params):
+        """Queue one request; resolves to its ``AudioClip``.  ``params``
+        are the call-wide ``infer_batched`` kwargs (top_k, top_p,
+        temperature, repetition_penalty, noise_scale, speed, cut
+        settings, gpt_model/sovits_model, ...)."""
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        sig = self.signature(params)
+        self._pending.setdefault(sig, []).append(
+            _Pending(spk_audio, prompt_audio, prompt_text, text, fut))
+        ev = self._events.setdefault(sig, asyncio.Event())
+        if len(self._pending[sig]) >= self.max_batch:
+            ev.set()
+        task = self._flushers.get(sig)
+        if task is None or task.done():
+            self._flushers[sig] = loop.create_task(
+                self._flush_loop(sig, dict(params)))
+        return await fut
+
+    async def _flush_loop(self, sig: Hashable, params: Dict[str, Any]):
+        while True:
+            ev = self._events[sig]
+            if len(self._pending.get(sig, ())) < self.max_batch:
+                try:
+                    await asyncio.wait_for(ev.wait(), timeout=self.max_wait)
+                except asyncio.TimeoutError:
+                    pass
+            ev.clear()
+            batch = self._pending.get(sig, [])[: self.max_batch]
+            if not batch:
+                # nothing left: retire this flusher (a racing enqueue that
+                # saw this task as not-done also set the event, so a fresh
+                # task will be spawned by the next infer() if needed)
+                self._flushers.pop(sig, None)
+                return
+            del self._pending[sig][: len(batch)]
+            self.n_calls += 1
+            self.n_requests += len(batch)
+            self.batch_sizes.append(len(batch))
+            try:
+                clips = await self.tts.infer_batched_async(
+                    spk_audio_paths=[p.spk for p in batch],
+                    prompt_audio_paths=[p.prompt for p in batch],
+                    prompt_audio_texts=[p.prompt_text for p in batch],
+                    texts=[p.text for p in batch],
+                    executor=self.executor, **params)
+            except asyncio.CancelledError:  # close(): don't strand the wave
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(RuntimeError("batcher closed"))
+                raise
+            except Exception as exc:  # reject exactly this wave
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(exc)
+                continue
+            for p, clip in zip(batch, clips):
+                if not p.future.done():
+                    p.future.set_result(clip)
+
+    async def close(self):
+        """Cancel flushers and reject queued requests."""
+        self._closed = True
+        for task in list(self._flushers.values()):
+            task.cancel()
+        for task in list(self._flushers.values()):
+            try:
+                await task
+            except (asyncio.CancelledError, Exception):
+                pass
+        self._flushers.clear()
+        for sig, plist in self._pending.items():
+            for p in plist:
+                if not p.future.done():
+                    p.future.set_exception(RuntimeError("batcher closed"))
+        self._pending.clear()
+
+    @property
+    def stats(self) -> Dict[str, Any]:
+        sizes = self.batch_sizes[-100:]
+        return {
+            "calls": self.n_calls,
+            "requests": self.n_requests,
+            "mean_batch": (sum(sizes) / len(sizes)) if sizes else 0.0,
+            "queued": sum(len(v) for v in self._pending.values()),
+        }

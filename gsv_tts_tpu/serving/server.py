@@ -134,13 +134,23 @@ def pack_audio(data: np.ndarray, rate: int, media_type: str) -> bytes:
 
 
 class TTSServer:
-    def __init__(self, tts, asr_fn=None):
+    def __init__(self, tts, asr_fn=None, batch_window_ms: float = 0.0,
+                 batch_max: int = 4):
         """``tts``: a gsv_tts_tpu.TTS engine.  ``asr_fn``: optional callable
         (audio_path → transcript) used when prompt_text is omitted (the
-        reference calls Qwen3-ASR, ``personal_api.py:92-108``)."""
+        reference calls Qwen3-ASR, ``personal_api.py:92-108``).
+        ``batch_window_ms`` > 0 coalesces concurrent non-streaming api_v2
+        requests arriving within the window into one continuous-batched
+        synthesis call (``serving/batcher.py`` — beyond the reference,
+        which serializes every request)."""
         self.tts = tts
         self.asr_fn = asr_fn
         self.timings = Timings()
+        self.batcher = None
+        if batch_window_ms > 0:
+            from .batcher import MicroBatcher
+            self.batcher = MicroBatcher(tts, max_batch=batch_max,
+                                        max_wait_ms=batch_window_ms)
         AUDIO_DIR.mkdir(exist_ok=True)
 
     # -- helpers -----------------------------------------------------------
@@ -182,12 +192,15 @@ class TTSServer:
     async def health(self, request: web.Request) -> web.Response:
         engine_timings = (self.tts.get_timings()
                           if hasattr(self.tts, "get_timings") else {})
-        return web.json_response({
+        payload = {
             "status": "ok",
             "gpt_models": [str(p) for p in self.tts.get_gpt_list()],
             "sovits_models": [str(p) for p in self.tts.get_sovits_list()],
             "timings": {**self.timings.summary(), **engine_timings},
-        })
+        }
+        if self.batcher is not None:
+            payload["batcher"] = self.batcher.stats
+        return web.json_response(payload)
 
     async def tts_stream(self, request: web.Request) -> web.StreamResponse:
         """SSE streaming: audio / subtitle / done / error events."""
@@ -367,9 +380,17 @@ class TTSServer:
                     int(req.get("min_chunk_length", 25)),
                     int(req.get("overlap_length", 5)))
 
-        clip = await self.tts.infer_async(
-            spk_audio_path=speaker_audio, prompt_audio_path=ref_audio_path,
-            prompt_audio_text=prompt_text, text=text_input, **kw)
+        if self.batcher is not None:
+            # coalesce with other in-window requests into one batched call
+            clip = await self.batcher.infer(
+                speaker_audio, ref_audio_path, prompt_text, text_input,
+                is_cut_text=cut_method not in {"", "cut0", "none"},
+                cut_minlen=CUT_METHOD2MINLEN.get(cut_method, 10),
+                cut_mute=float(req.get("fragment_interval", 0.3)), **kw)
+        else:
+            clip = await self.tts.infer_async(
+                spk_audio_path=speaker_audio, prompt_audio_path=ref_audio_path,
+                prompt_audio_text=prompt_text, text=text_input, **kw)
         return web.Response(body=pack_audio(clip.audio_data, clip.samplerate, media_type),
                             content_type=f"audio/{media_type}")
 
@@ -425,10 +446,16 @@ class TTSServer:
         return web.json_response({"message": "success"})
 
 
-def create_app(tts, asr_fn=None) -> "web.Application":
-    server = TTSServer(tts, asr_fn=asr_fn)
+def create_app(tts, asr_fn=None, batch_window_ms: float = 0.0,
+               batch_max: int = 4) -> "web.Application":
+    server = TTSServer(tts, asr_fn=asr_fn, batch_window_ms=batch_window_ms,
+                       batch_max=batch_max)
     app = web.Application()
     app["server"] = server
+    if server.batcher is not None:
+        async def _close_batcher(app):
+            await server.batcher.close()
+        app.on_cleanup.append(_close_batcher)
     app.router.add_get("/", server.root)
     app.router.add_get("/health", server.health)
     app.router.add_post("/tts/stream", server.tts_stream)
@@ -453,6 +480,13 @@ def main():
     ap.add_argument("--gpt", default=None, help="GPT checkpoint path")
     ap.add_argument("--sovits", default=None, help="SoVITS checkpoint path")
     ap.add_argument("--dtype", default=None)
+    ap.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="coalesce concurrent non-streaming api_v2 requests "
+                         "arriving within this window into one batched "
+                         "synthesis call (0 = off)")
+    ap.add_argument("--batch-max", type=int, default=4,
+                    help="max requests per coalesced batch (the fused "
+                         "batched decode kernel peaks at 4 slots/wave)")
     args = ap.parse_args()
 
     tts = TTS(models_dir=args.models_dir, dtype=args.dtype)
@@ -462,8 +496,10 @@ def main():
         tts.load_sovits_model(args.sovits)
     from .asr import make_asr_fn
 
-    web.run_app(create_app(tts, asr_fn=make_asr_fn()), host=args.host,
-                port=args.port)
+    web.run_app(create_app(tts, asr_fn=make_asr_fn(),
+                           batch_window_ms=args.batch_window_ms,
+                           batch_max=args.batch_max),
+                host=args.host, port=args.port)
 
 
 if __name__ == "__main__":
