@@ -49,9 +49,11 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *, T, Dh, B, H, bq):
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (bq, T), 0) + qi * bq
     cols = jax.lax.broadcasted_iota(jnp.int32, (bq, T), 1)
-    in_x_col = cols < xl
-    valid = jnp.where(rows < xl, in_x_col, in_x_col | (cols <= rows))
-    valid = valid & (cols < xyl)
+    # pure and/or of comparisons — a `jnp.where` with BOOLEAN branches
+    # lowers to an i8→i1 trunci Mosaic cannot compile (real-TPU only;
+    # interpret mode accepts it).  Equivalent form: phoneme rows
+    # (r < xl) hit only the first clause; audio/pad rows add causal cols.
+    valid = ((cols < xl) | ((rows >= xl) & (cols <= rows))) & (cols < xyl)
     scores = jnp.where(valid, scores, NEG)
 
     m = jnp.max(scores, axis=-1, keepdims=True)

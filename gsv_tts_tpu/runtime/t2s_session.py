@@ -87,9 +87,16 @@ class SampleArgs:
 # ---------------------------------------------------------------------------
 
 def _prefill_impl(attn_impl: str) -> str:
-    """Decode attn_impl → prefill attention implementation: the Pallas
-    hybrid-mask prefill kernel rides along with the Pallas decode paths."""
-    return {"fused_step": "flash", "flash": "flash", "fused": "flash",
+    """Decode attn_impl → prefill attention implementation.
+
+    The Pallas decode paths pair with the XLA SDPA prefill: measured on
+    v5e, the hybrid-mask Pallas prefill kernel (``ops/flash_prefill.py``)
+    ties XLA at T=512 (11.5 ms wall incl. dispatch; ~4 ms on-chip) and is
+    ~10x SLOWER at T=160 (101 ms) — at B=1/T<=1024 the [B, H, T, T] score
+    materialization XLA pays is small and its fused softmax pipeline wins.
+    The kernel stays available via the explicit "flash" impls (and as the
+    scores-in-VMEM option for long-prompt/batched prefill experiments)."""
+    return {"flash": "flash",
             "fused_step_interpret": "flash_interpret",
             "flash_interpret": "flash_interpret",
             "fused_interpret": "flash_interpret"}.get(attn_impl, "xla")
