@@ -76,7 +76,7 @@ def bench_t2s_decode(n_tokens: int = 500, chunk: int = 25, bucket: int = 512,
 
     attn_impl = "fused_step" if platform == "tpu" else "xla"
     for _ in range(max(1, warmup_tokens // chunk)):
-        state, toks = decode_chunk(params, cfg, state, chunk, sa, 0, dtype_name,
+        state, toks = decode_chunk(params, cfg, state, chunk, sa, 10, dtype_name,
                                    attn_impl)
     np.asarray(toks)
 
@@ -99,7 +99,7 @@ def bench_t2s_decode(n_tokens: int = 500, chunk: int = 25, bucket: int = 512,
     n_chunks = n_tokens // chunk
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        state, toks = decode_chunk(params, cfg, state, chunk, sa, 0, dtype_name,
+        state, toks = decode_chunk(params, cfg, state, chunk, sa, 10, dtype_name,
                                    attn_impl)
     np.asarray(toks)
     decode_s = time.perf_counter() - t0
@@ -152,11 +152,11 @@ def bench_batched_decode(B: int = 4, chunk: int = 25, bucket: int = 512,
                              jax.random.PRNGKey(1), sa, True, dtype_name)
     if impl is None:
         impl = "fused_step" if platform == "tpu" else "xla"
-    state, toks = decode_chunk(params, cfg, state, chunk, sa, 0, dtype_name, impl)
+    state, toks = decode_chunk(params, cfg, state, chunk, sa, 10, dtype_name, impl)
     np.asarray(toks)
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        state, toks = decode_chunk(params, cfg, state, chunk, sa, 0, dtype_name, impl)
+        state, toks = decode_chunk(params, cfg, state, chunk, sa, 10, dtype_name, impl)
     np.asarray(toks)
     dt = time.perf_counter() - t0
     agg = n_chunks * chunk * B / dt

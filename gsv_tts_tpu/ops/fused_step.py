@@ -1209,7 +1209,11 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
     # so (weights + walk + windows + stages) stays under the 16 MiB default
     # scoped-vmem limit (raising the limit switches Mosaic to a slower
     # allocation strategy — measured ~18% at B=4)
-    CHV = _pw_chunk(Vp) if B <= 4 else 128
+    # NB: budget for the LARGEST kernel variant — the engine's first-10-step
+    # suppression branch adds ~170 KB of stack over the plain variant, and
+    # only a real-TPU compile notices (bench without suppress_until fit at
+    # CHV=384 while the engine's suppressed B=4 variant OOMed by 172 KB)
+    CHV = _pw_chunk(Vp) if B <= 2 else 128  # lane slices need CHV % 128 == 0
     if block_s is None:
         block_s = min(BLOCK_S if B <= 2 else (64 if B <= 4 else
                                               (32 if B <= 6 else 16)), S)
