@@ -376,6 +376,12 @@ def make_sovits_train_step(cfg: sv.SovitsConfig, g_optimizer, d_optimizer, *,
                        if k.startswith(FROZEN_PREFIXES) else v)
                    for k, v in g_grads.items()}
         g_updates, g_opt_state = g_optimizer.update(g_grads, g_opt_state, g_params)
+        # zero the UPDATES too, not just the grads: adamw's decoupled weight
+        # decay adds -lr*wd*param regardless of gradient, which would let
+        # the "frozen" codebook drift over a long fine-tune
+        g_updates = {k: (jnp.zeros_like(v)
+                         if k.startswith(FROZEN_PREFIXES) else v)
+                     for k, v in g_updates.items()}
         g_params = optax.apply_updates(g_params, g_updates)
         metrics = dict(parts, g_total=g_loss, d_total=d_loss)
         return g_params, d_params, g_opt_state, d_opt_state, metrics

@@ -688,6 +688,10 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
     noise (the filtered row is tested against ``ops/sampling``).
     """
     L, B, S, H, Dh = k_cache.shape
+    # the walk's pl.ds windows and the 128-row tok_buf sweep both
+    # require a 128-multiple bucket (pl.ds CLAMPS out-of-range starts,
+    # silently double-counting rows instead of erroring)
+    assert S % 128 == 0, f"cache bucket length {S} must be a multiple of 128"
     assert B == 1
     D = H * Dh
     layers = params["layers"]
@@ -1194,6 +1198,10 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
     cache copy per step, ~0.5 ms at B=4 on v5e).
     """
     L, B, S, H, Dh = k_cache.shape
+    # the walk's pl.ds windows and the 128-row tok_buf sweep both
+    # require a 128-multiple bucket (pl.ds CLAMPS out-of-range starts,
+    # silently double-counting rows instead of erroring)
+    assert S % 128 == 0, f"cache bucket length {S} must be a multiple of 128"
     # B = 7/8 exceeds the 16 MiB scoped-vmem budget at flagship dims (the
     # 2-slot weight scratch alone is 12 MiB) — decode_chunk falls back to
     # flash+XLA above B = 6, which measured scaling favors anyway

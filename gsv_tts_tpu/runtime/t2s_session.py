@@ -270,15 +270,25 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
         return dataclasses.replace(state, tok_buf=tb)
 
     D = cfg.hidden_dim
+    S = state.k_cache.shape[2]
+    # the fused kernels' attention walk (pl.ds over block_s windows) and
+    # repetition-penalty tok_buf sweep (128-row chunks) require the cache
+    # bucket length to be a 128-multiple; gpt_cache is user config, so gate
+    # rather than corrupt attention on an odd bucket
+    fused_ok = D % 128 == 0 and S % 128 == 0
     fused_sample = (attn_impl in ("fused_step", "fused_step_interpret")
-                    and B == 1 and D % 128 == 0)
+                    and B == 1 and fused_ok)
     # B > 6 falls back to flash+XLA: the 2-slot weight scratch no longer fits
     # the 16 MiB scoped-vmem budget, and measured scaling says it wouldn't
     # pay anyway (B=4: 0.54 ms/step; B=6: 1.07 — the per-row VPU loops and
     # [B, Vp] sampling peels pad 6 rows to 8 sublanes, so two B=4 waves beat
     # any B > 4 config per chip)
     fused_sample_b = (attn_impl in ("fused_step", "fused_step_interpret")
-                      and 1 < B <= 6 and D % 128 == 0)
+                      and 1 < B <= 6 and fused_ok)
+    if attn_impl == "fused_step_interpret" and not (fused_sample or fused_sample_b):
+        # the generic path would otherwise hand "fused_step_interpret" to the
+        # REAL flash-decode kernel (no interpret lowering on CPU)
+        attn_impl = "xla"
     if fused_sample_b:
         # batched whole-step kernel (``ops/fused_step.py:_kernel_sample_b``):
         # the packed weight stream is amortized over B slots; only the K/V

@@ -21,7 +21,8 @@ Failures reject exactly the requests that were in the failed call.
 from __future__ import annotations
 
 import asyncio
-from typing import Any, Dict, Hashable, List, Optional, Tuple
+from collections import deque
+from typing import Any, Dict, Hashable, List, Tuple
 
 __all__ = ["MicroBatcher"]
 
@@ -58,7 +59,7 @@ class MicroBatcher:
         # introspection (tested; exported at /health by the server)
         self.n_calls = 0
         self.n_requests = 0
-        self.batch_sizes: List[int] = []
+        self.batch_sizes = deque(maxlen=100)
 
     @staticmethod
     def signature(params: Dict[str, Any]) -> Tuple:
@@ -98,10 +99,14 @@ class MicroBatcher:
             ev.clear()
             batch = self._pending.get(sig, [])[: self.max_batch]
             if not batch:
-                # nothing left: retire this flusher (a racing enqueue that
-                # saw this task as not-done also set the event, so a fresh
-                # task will be spawned by the next infer() if needed)
+                # nothing left: retire this flusher and drop the signature's
+                # bookkeeping (float-valued params make sig cardinality
+                # unbounded — leaving entries behind leaks per unique combo).
+                # Safe single-threadedly: no awaits since the emptiness
+                # check, and the next infer() recreates entries fresh.
                 self._flushers.pop(sig, None)
+                self._pending.pop(sig, None)
+                self._events.pop(sig, None)
                 return
             del self._pending[sig][: len(batch)]
             self.n_calls += 1
@@ -147,7 +152,7 @@ class MicroBatcher:
 
     @property
     def stats(self) -> Dict[str, Any]:
-        sizes = self.batch_sizes[-100:]
+        sizes = list(self.batch_sizes)  # deque(maxlen=100) bounds it
         return {
             "calls": self.n_calls,
             "requests": self.n_requests,

@@ -160,8 +160,16 @@ class Router:
                             resp.headers[k] = v
                     resp.headers["X-GSV-Backend"] = b.url
                     await resp.prepare(request)
-                    async for chunk in upstream.content.iter_any():
-                        await resp.write(chunk)
+                    while True:
+                        chunk = await upstream.content.readany()
+                        if not chunk:
+                            break
+                        try:
+                            await resp.write(chunk)
+                        except (ConnectionResetError, OSError):
+                            # the CLIENT went away mid-stream — the backend
+                            # is fine: no health mark, no failover
+                            return resp
                     await resp.write_eof()
                     return resp
             except (aiohttp.ClientConnectionError, aiohttp.ClientPayloadError,
@@ -169,12 +177,13 @@ class Router:
                 b.healthy = False  # re-probed by the health loop
                 if resp is not None and resp.prepared:
                     # Bytes already went to the client: failing over would
-                    # prepare a second response on the same request. Abort
-                    # this one instead (truncated body, no retry).
-                    try:
-                        await resp.write_eof()
-                    except Exception:  # noqa: BLE001 — client may be gone too
-                        pass
+                    # prepare a second response on the same request.  Abort
+                    # the CONNECTION instead (no terminating chunk) so the
+                    # client sees a transfer error — a clean write_eof would
+                    # make the truncated body indistinguishable from a
+                    # complete one.
+                    if request.transport is not None:
+                        request.transport.close()
                     return resp
                 continue
             finally:

@@ -142,7 +142,12 @@ class TTSServer:
         ``batch_window_ms`` > 0 coalesces concurrent non-streaming api_v2
         requests arriving within the window into one continuous-batched
         synthesis call (``serving/batcher.py`` — beyond the reference,
-        which serializes every request)."""
+        which serializes every request).  NOTE: coalesced requests are
+        synthesized with the api's ``batch_infer=true`` semantics — text
+        split per ``text_split_method`` with ``fragment_interval`` silence
+        between segments — not the uncut single-``infer`` semantics the
+        non-batched path has (``infer_batched`` structurally inserts the
+        fragment pauses)."""
         self.tts = tts
         self.asr_fn = asr_fn
         self.timings = Timings()
@@ -483,7 +488,9 @@ def main():
     ap.add_argument("--batch-window-ms", type=float, default=0.0,
                     help="coalesce concurrent non-streaming api_v2 requests "
                          "arriving within this window into one batched "
-                         "synthesis call (0 = off)")
+                         "synthesis call (0 = off; coalesced requests get "
+                         "batch_infer=true semantics: text split + "
+                         "fragment_interval pauses)")
     ap.add_argument("--batch-max", type=int, default=4,
                     help="max requests per coalesced batch (the fused "
                          "batched decode kernel peaks at 4 slots/wave)")

@@ -132,6 +132,8 @@ def finetune_t2s(samples: Sequence, cfg, out_dir: str, *,
     from .models import t2s as t2s_model
     from .parallel import train as ptrain
 
+    if not samples:
+        raise ValueError("no training samples (empty/filtered manifest?)")
     os.makedirs(out_dir, exist_ok=True)
     ckpt_path = os.path.join(out_dir, "t2s_state.npz")
 
@@ -245,6 +247,8 @@ def finetune_sovits(samples: Sequence, cfg, hps, out_dir: str, *,
     from .loader import save_trained_sovits
     from .models import sovits_train as svt
 
+    if not samples:
+        raise ValueError("no training samples (empty/filtered manifest?)")
     os.makedirs(out_dir, exist_ok=True)
     ckpt_path = os.path.join(out_dir, "sovits_state.npz")
 

@@ -6,6 +6,8 @@ exactly the router logic in gsv_tts_tpu/serving/router.py.
 import asyncio
 import json
 
+import aiohttp
+
 import pytest
 
 pytest.importorskip("aiohttp")
@@ -219,9 +221,10 @@ def test_router_sheds_at_capacity():
 
 
 def test_router_mid_stream_upstream_loss_aborts_not_retries():
-    """If the upstream dies after bytes were relayed, the router must end
-    the (truncated) response cleanly — never prepare a second response on
-    the same request or replay onto another backend."""
+    """If the upstream dies after bytes were relayed, the router must abort
+    the connection so the client can DETECT the truncation (a clean
+    write_eof would make the short body look complete) — and never prepare
+    a second response on the same request or replay onto another backend."""
     async def go():
         b2 = make_backend("b2")
 
@@ -247,10 +250,18 @@ def test_router_mid_stream_upstream_loss_aborts_not_retries():
         await client.start_server()
         try:
             r = await client.post("/tts/stream", json={})
-            body = await r.text()
             assert r.status == 200
-            assert "dying-0" in body          # relayed bytes arrived
-            assert "b2" not in body           # and nothing was replayed
+            body = b""
+            saw_abort = False
+            try:
+                async for chunk in r.content.iter_any():
+                    body += chunk
+            except (aiohttp.ClientPayloadError,
+                    aiohttp.http_exceptions.TransferEncodingError):
+                saw_abort = True  # chunked stream ended without terminator
+            assert b"dying-0" in body         # relayed bytes arrived
+            assert b"b2" not in body          # and nothing was replayed
+            assert saw_abort, "truncation must be client-detectable"
         finally:
             await client.close()
             await s1.close()
