@@ -228,6 +228,7 @@ def finetune_sovits(samples: Sequence, cfg, hps, out_dir: str, *,
                     init_params=None, dtype=jnp.float32,
                     g_lr: float = 2e-4, d_lr: float = 2e-4,
                     segment_frames: Optional[int] = None,
+                    mesh=None,
                     ckpt_every: int = 500, log_every: int = 50,
                     resume: bool = True, seed: int = 0,
                     export: bool = True,
@@ -239,8 +240,10 @@ def finetune_sovits(samples: Sequence, cfg, hps, out_dir: str, *,
     encoder is added when the Lite checkpoint stripped ``enc_q.*``).  The
     checkpoint ``{out_dir}/sovits_state.npz`` bundles G/D params and both
     optimizer states; per-step rng is ``fold_in(PRNGKey(seed), step)`` so
-    a resumed run draws the identical noise and slice offsets.  Returns
-    the final (host) generator params.
+    a resumed run draws the identical noise and slice offsets.  With
+    ``mesh``, batches shard over ``dp`` (G/D params replicated) and GSPMD
+    inserts the gradient all-reduces; ``batch_size`` must divide by the
+    mesh's dp extent.  Returns the final (host) generator params.
     """
     import optax
 
@@ -287,6 +290,21 @@ def finetune_sovits(samples: Sequence, cfg, hps, out_dir: str, *,
         step = int(state["step"])
         log_fn(f"resumed from {ckpt_path} at step {step}")
 
+    if mesh is not None:
+        from .parallel.mesh import batch_sharding, replicated
+        dp = mesh.shape.get("dp", 1)
+        if batch_size % dp:
+            raise ValueError(f"batch_size {batch_size} must divide by the "
+                             f"mesh dp extent {dp}")
+        rep = replicated(mesh)
+        params = jax.device_put(params, rep)
+        d_params = jax.device_put(d_params, rep)
+        g_state = jax.device_put(g_state, rep)
+        d_state = jax.device_put(d_state, rep)
+        bsh = batch_sharding(mesh)
+    else:
+        bsh = None
+
     step_fn = jax.jit(svt.make_sovits_train_step(
         cfg, g_opt, d_opt,
         n_fft=int(hps.data.filter_length), hop_length=hop,
@@ -309,6 +327,8 @@ def finetune_sovits(samples: Sequence, cfg, hps, out_dir: str, *,
         it = sovits_batches(cfg, samples, batch_size, hop, seed=seed + epoch)
         it = itertools.islice(it, step % bpe, None)
         for batch in it:
+            if bsh is not None:
+                batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
             sub = jax.random.fold_in(base_key, step)
             params, d_params, g_state, d_state, m = step_fn(
                 params, d_params, g_state, d_state, batch, sub)

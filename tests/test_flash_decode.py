@@ -216,6 +216,49 @@ def test_decode_chunk_fused_step_batched_matches_xla():
     np.testing.assert_array_equal(outs["xla"], outs["fused_step_interpret"])
 
 
+def test_fused_gate_rejects_odd_bucket_and_falls_back():
+    """A cache bucket that is not a 128-multiple must NOT take the fused
+    kernels (pl.ds clamps out-of-range walk windows, silently corrupting
+    attention) — decode_chunk falls back and stays token-exact with xla,
+    and fused_step_interpret never leaks the real flash kernel onto CPU."""
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs, decode_chunk, prefill_batch
+
+    cfg = T2SConfig(hidden_dim=128, embedding_dim=128, num_heads=4, num_layers=2,
+                    vocab_size=101, phoneme_vocab_size=50, eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randint(1, 50, (1, 12)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 100, (1, 9)), jnp.int32)
+    bert = jnp.zeros((1, 12, cfg.bert_dim), jnp.float32)
+    sa = SampleArgs(top_k=1, repetition_penalty=1.0, use_prev=False)
+    outs = {}
+    for impl in ("xla", "fused_step_interpret"):
+        shape = (cfg.num_layers, 1, 192, cfg.num_heads, cfg.head_dim)  # 192 % 128 != 0
+        st, _ = prefill_batch(params, cfg, x, y, bert,
+                              jnp.asarray([12], jnp.int32),
+                              jnp.asarray([9], jnp.int32),
+                              jnp.zeros(shape, jnp.float32),
+                              jnp.zeros(shape, jnp.float32),
+                              jax.random.PRNGKey(1), sa, False, "float32")
+        st, toks = decode_chunk(params, cfg, st, 8, sa, 0, "float32", impl)
+        outs[impl] = np.asarray(toks)
+    np.testing.assert_array_equal(outs["xla"], outs["fused_step_interpret"])
+
+    from gsv_tts_tpu.ops.fused_step import fused_decode_step_sample
+    import pytest
+    with pytest.raises(AssertionError, match="multiple of 128"):
+        fused_decode_step_sample(
+            params, jnp.zeros((2, 1, 192, 4, 32), jnp.float32),
+            jnp.zeros((2, 1, 192, 4, 32), jnp.float32),
+            jnp.full((1, 192), cfg.vocab_size, jnp.int32),
+            jnp.asarray([21], jnp.int32), jnp.asarray([12], jnp.int32),
+            jnp.asarray([3], jnp.int32), jnp.asarray([10], jnp.int32),
+            jnp.asarray([1], jnp.int32), jnp.zeros((1, 128), jnp.float32),
+            sa=sa, interpret=True)
+
+
 def test_fused_batched_sample_rows_match_sampling_ops():
     """Per-row filtered logits of the batched kernel vs ops/sampling, with
     ragged per-row kv lengths, histories, and suppression flags (incl. a

@@ -155,3 +155,40 @@ def test_finetune_sovits_resume_matches_straight_run(tmp_path):
     resumed = train_loop.finetune_sovits(samples, cfg, hps, out_b, **common)
 
     assert_trees_equal(straight, resumed)
+
+
+def test_finetune_sovits_dp_sharded_matches_single(tmp_path):
+    """GAN fine-tune under a dp×tp GSPMD mesh: batches shard over dp,
+    params replicate, and two steps stay numerically equivalent to the
+    unsharded run (the gradient all-reduce is GSPMD-inserted)."""
+    from gsv_tts_tpu.parallel.mesh import make_mesh
+
+    cfg, params, hps = _tiny_sovits()
+    samples = make_sovits_samples(cfg)
+    common = dict(total_steps=2, batch_size=4, init_params=params,
+                  segment_frames=4, ckpt_every=100, log_every=100,
+                  export=False, log_fn=lambda *_: None)
+
+    single = train_loop.finetune_sovits(
+        samples, cfg, hps, str(tmp_path / "a"), **common)
+    sharded = train_loop.finetune_sovits(
+        samples, cfg, hps, str(tmp_path / "b"),
+        mesh=make_mesh(8, dp=2, tp=4), **common)
+
+    for k in single:
+        np.testing.assert_allclose(np.asarray(single[k]),
+                                   np.asarray(sharded[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
+
+
+def test_finetune_sovits_rejects_indivisible_batch(tmp_path):
+    from gsv_tts_tpu.parallel.mesh import make_mesh
+
+    cfg, params, hps = _tiny_sovits()
+    samples = make_sovits_samples(cfg, n=3)
+    with pytest.raises(ValueError, match="divide"):
+        train_loop.finetune_sovits(
+            samples, cfg, hps, str(tmp_path / "x"), total_steps=1,
+            batch_size=3, init_params=params, segment_frames=4,
+            export=False, mesh=make_mesh(8, dp=2, tp=4),
+            log_fn=lambda *_: None)
