@@ -618,6 +618,32 @@ class T2SEngine:
                          rng: Optional[jax.Array] = None):
         """Continuous batching with slot refill.  Returns
         (list of np token arrays, list of original indices)."""
+        acc: Dict[int, List[np.ndarray]] = {}
+        order: List[int] = []
+        for i, toks, done in self.generate_batched_stream(
+                x_list, y_list, bert_list, top_k=top_k, top_p=top_p,
+                temperature=temperature, repetition_penalty=repetition_penalty,
+                rng=rng):
+            acc.setdefault(i, []).append(toks)
+            if done:
+                order.append(i)
+        pred = [np.concatenate(acc[i]).astype(np.int64) if acc[i]
+                else np.zeros(0, np.int64) for i in order]
+        return pred, np.asarray(order, np.int64)
+
+    def generate_batched_stream(self, x_list, y_list, bert_list, top_k=15,
+                                top_p=1.0, temperature=1.0,
+                                repetition_penalty=1.35,
+                                rng: Optional[jax.Array] = None):
+        """Incremental continuous batching: yields ``(orig_idx, new_tokens,
+        done)`` after every decode chunk, where concatenating a request's
+        ``new_tokens`` arrays reproduces its :meth:`generate_batched`
+        harvest EXACTLY (same reference window semantics: the prefill
+        sample and the interval's last sample are withheld until the
+        harvest, and nothing past a sampled EOS is ever emitted).  This is
+        the engine surface for streaming continuous-batched serving — B
+        concurrent requests share the batched whole-step kernel while each
+        consumer vocodes its tokens as they arrive."""
         cfg = self.cfg
         rng = rng if rng is not None else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         N = len(x_list)
@@ -660,11 +686,15 @@ class T2SEngine:
             self.attn_impl)
         del k_cache, v_cache
 
-        pred: List[np.ndarray] = []
-        pred_idx: List[int] = []
         slot_orig = list(wave) + [-1] * (B - len(wave))
         slot_start = [int(x_lens[j] + y_lens[j]) for j in range(B)]  # kv pos where generation started
         slot_steps = [0] * B  # decode steps taken for current request
+        # incremental-emission state: every decode sample for the current
+        # request (host ints), how many the consumer has received, and
+        # whether an EOS was sampled (nothing past it is ever emitted)
+        slot_samples: List[List[int]] = [[] for _ in range(B)]
+        slot_emitted = [0] * B
+        slot_eos_seen = [False] * B
         ignore = [j >= len(wave) for j in range(B)]
         next_req = len(wave)
         max_S = self.buckets[B][-1]
@@ -690,11 +720,29 @@ class T2SEngine:
             toks = np.asarray(toks)  # [B, n_steps]
             for j in range(B):
                 slot_steps[j] += n_steps
+                if not ignore[j]:
+                    slot_samples[j].extend(int(t) for t in toks[j])
             kv = np.asarray(state.kv_len)
             buf = None
             for j in range(B):
                 if ignore[j]:
                     continue
+                # stream out newly-final tokens: the harvest window is every
+                # decode sample EXCEPT the interval's last one, trimmed at
+                # the first EOS — so those are safe to emit now
+                if not slot_eos_seen[j]:
+                    window = slot_samples[j][:-1]
+                    hi = len(window)
+                    for t in range(slot_emitted[j], len(window)):
+                        if window[t] == cfg.eos:
+                            hi = t
+                            slot_eos_seen[j] = True
+                            break
+                    if hi > slot_emitted[j]:
+                        yield (slot_orig[j],
+                               np.asarray(window[slot_emitted[j]: hi],
+                                          np.int64), False)
+                        slot_emitted[j] = hi
                 # the reference checks EOS only on the interval's LAST sample
                 # (``samples[:, 0] == EOS`` at the boundary, t2s_model.py:655)
                 eos_hit = int(toks[j][-1]) == cfg.eos
@@ -713,8 +761,8 @@ class T2SEngine:
                 if eos_pos.size:
                     gen = gen[: eos_pos[0]]
                 gen = gen[gen < cfg.eos]
-                pred.append(gen.astype(np.int64))
-                pred_idx.append(slot_orig[j])
+                gen = gen.astype(np.int64)
+                yield (slot_orig[j], gen[slot_emitted[j]:], True)
 
                 if next_req < N:
                     i = next_req
@@ -731,6 +779,9 @@ class T2SEngine:
                     slot_orig[j] = i
                     slot_start[j] = len(x_list[i]) + len(y_list[i])
                     slot_steps[j] = 0
+                    slot_samples[j] = []
+                    slot_emitted[j] = 0
+                    slot_eos_seen[j] = False
                     buf = None
                 else:
                     ignore[j] = True
@@ -739,5 +790,3 @@ class T2SEngine:
                         state, kv_len=state.kv_len.at[j].set(0),
                         step_idx=state.step_idx.at[j].set(0),
                         buf_len=state.buf_len.at[j].set(0))
-
-        return pred, np.asarray(pred_idx, np.int64)

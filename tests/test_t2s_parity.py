@@ -179,3 +179,50 @@ def test_batched_matches_single(models):
         # cache exactly (``t2s_model.py:425``): compare the common prefix
         assert len(singles[i]) - len(toks) <= eng.check_interval
         np.testing.assert_array_equal(toks, singles[i][: len(toks)])
+
+
+def test_generate_batched_stream_matches_batched():
+    """generate_batched_stream must emit tokens INCREMENTALLY (multiple
+    non-done yields per request) and its per-request concatenation must
+    equal generate_batched's harvest exactly, including with slot refill
+    (N > bucket B) — same rng => same jitted chain on both calls."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import T2SEngine
+
+    cfg = T2SConfig(hidden_dim=64, embedding_dim=64, num_heads=4,
+                    num_layers=2, vocab_size=101, phoneme_vocab_size=50,
+                    eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+    eng = T2SEngine(params, cfg, gpt_cache=[(3, 128)], dtype=jnp.float32)
+    rng = np.random.RandomState(11)
+    N = 6
+    xs = [rng.randint(1, 50, rng.randint(6, 12)).astype(np.int32)
+          for _ in range(N)]
+    ys = [rng.randint(0, 100, rng.randint(4, 9)).astype(np.int32)
+          for _ in range(N)]
+    bs = [np.zeros((len(x), cfg.bert_dim), np.float32) for x in xs]
+
+    key = jax.random.PRNGKey(5)
+    preds, idx = eng.generate_batched(xs, ys, bs, top_k=5, rng=key)
+
+    acc = {}
+    order = []
+    n_partial = 0
+    for i, toks, done in eng.generate_batched_stream(xs, ys, bs, top_k=5,
+                                                     rng=key):
+        assert toks.dtype == np.int64 and cfg.eos not in toks.tolist()
+        acc.setdefault(i, []).append(toks)
+        n_partial += 0 if done else 1
+        if done:
+            order.append(i)
+
+    assert order == idx.tolist()
+    for k, (i, p) in enumerate(zip(idx.tolist(), preds)):
+        got = np.concatenate(acc[i]) if acc[i] else np.zeros(0, np.int64)
+        np.testing.assert_array_equal(got, p, err_msg=f"request {i}")
+    assert n_partial >= 1, "no incremental emission happened"
