@@ -473,17 +473,13 @@ class TTS:
         if debug:
             logging.info(f"Stream inference complete. Generated {audio_len_s:.2f}s of audio.")
 
-    def infer_batched(self, spk_audio_paths, prompt_audio_paths, prompt_audio_texts,
-                      texts, return_subtitles: bool = False, is_cut_text: bool = True,
-                      cut_minlen: int = 10, cut_mute: float = 0.4,
-                      cut_mute_scale_map: dict = DEFAULT_MUTE_SCALE,
-                      top_k: int = 15, top_p: float = 1.0, temperature: float = 1.0,
-                      repetition_penalty: float = 1.35, noise_scale: float = 0.5,
-                      speed: float = 1.0, bert_batch_size: int = 20,
-                      sovits_batch_size: int = 10, gpt_model=None,
-                      sovits_model=None):
-        """Batched synthesis (reference ``TTS.py:506-868``): continuous-batched
-        t2s + packed SoVITS decode with block-diagonal MRTE masks."""
+    def _prepare_batched_inputs(self, spk_audio_paths, prompt_audio_paths,
+                                prompt_audio_texts, texts, is_cut_text,
+                                cut_minlen, bert_batch_size, gpt_model,
+                                sovits_model):
+        """Shared front half of the batched modes: expand per-request
+        inputs, cut texts into engine-request segments, featurize, and
+        gather prompt/speaker resources per segment."""
         if isinstance(texts, str):
             texts = [texts]
         if any(self._contains_chinese(t) for t in texts):
@@ -491,7 +487,6 @@ class TTS:
         texts = [t if self._check_pause(t) else t + "." for t in texts]
         if not is_cut_text:
             cut_minlen = 10000
-        cut_mute = cut_mute / speed
         n = len(texts)
         if isinstance(spk_audio_paths, (str, dict, Path)):
             spk_audio_paths = [spk_audio_paths] * n
@@ -513,7 +508,6 @@ class TTS:
             for cutted in cut_text(t, cut_minlen):
                 all_segments.append(cutted)
                 segment_to_original.append(idx)
-        n_orig = len(texts)
         n_segs = len(all_segments)
 
         def expand(inp):
@@ -522,13 +516,11 @@ class TTS:
         spk_audio_paths = expand(spk_audio_paths)
         prompt_audio_paths = expand(prompt_audio_paths)
         prompt_audio_texts = expand(prompt_audio_texts)
-        orig_texts = texts
-        texts = all_segments
 
         all_phones2, all_word2ph, all_bert2, all_norm_text = [], [], [], []
-        for i in range(0, len(texts), bert_batch_size):
-            p2, w2, b2, nt = get_phones_and_bert(texts[i: i + bert_batch_size],
-                                                 self.tts_config)
+        for i in range(0, len(all_segments), bert_batch_size):
+            p2, w2, b2, nt = get_phones_and_bert(
+                all_segments[i: i + bert_batch_size], self.tts_config)
             all_phones2 += p2
             all_word2ph += w2
             all_bert2 += b2
@@ -547,6 +539,29 @@ class TTS:
             berts.append(np.concatenate([np.asarray(cache["bert1"], np.float32),
                                          np.asarray(bert2, np.float32)], axis=0))
             all_ge.append(np.asarray(ge))
+        return (gpt, sovits, texts, all_segments, segment_to_original,
+                all_phones2, all_word2ph, all_norm_text, xs, ys, berts, all_ge)
+
+    def infer_batched(self, spk_audio_paths, prompt_audio_paths, prompt_audio_texts,
+                      texts, return_subtitles: bool = False, is_cut_text: bool = True,
+                      cut_minlen: int = 10, cut_mute: float = 0.4,
+                      cut_mute_scale_map: dict = DEFAULT_MUTE_SCALE,
+                      top_k: int = 15, top_p: float = 1.0, temperature: float = 1.0,
+                      repetition_penalty: float = 1.35, noise_scale: float = 0.5,
+                      speed: float = 1.0, bert_batch_size: int = 20,
+                      sovits_batch_size: int = 10, gpt_model=None,
+                      sovits_model=None):
+        """Batched synthesis (reference ``TTS.py:506-868``): continuous-batched
+        t2s + packed SoVITS decode with block-diagonal MRTE masks."""
+        cut_mute = cut_mute / speed
+        (gpt, sovits, orig_texts, all_segments, segment_to_original,
+         all_phones2, all_word2ph, all_norm_text, xs, ys, berts, all_ge) = \
+            self._prepare_batched_inputs(
+                spk_audio_paths, prompt_audio_paths, prompt_audio_texts, texts,
+                is_cut_text, cut_minlen, bert_batch_size, gpt_model,
+                sovits_model)
+        n_orig = len(orig_texts)
+        texts = all_segments
 
         pred_semantic, semantic_orig_idx = gpt.engine.generate_batched(
             xs, ys, berts, top_k=top_k, top_p=top_p, temperature=temperature,
@@ -672,6 +687,123 @@ class TTS:
             result.append(AudioClip(self.audio_queue, audio.astype(np.float32),
                                     self.samplerate, audio_len_s, subs, orig_text))
         return tuple(result)
+
+    def infer_batched_stream(self, spk_audio_paths, prompt_audio_paths,
+                             prompt_audio_texts, texts,
+                             is_cut_text: bool = True, cut_minlen: int = 10,
+                             cut_mute: float = 0.4,
+                             cut_mute_scale_map: dict = DEFAULT_MUTE_SCALE,
+                             stream_chunk: int = 25, overlap_len: int = 5,
+                             top_k: int = 15, top_p: float = 1.0,
+                             temperature: float = 1.0,
+                             repetition_penalty: float = 1.35,
+                             noise_scale: float = 0.5, speed: float = 1.0,
+                             bert_batch_size: int = 20, gpt_model=None,
+                             sovits_model=None):
+        """Streaming continuous batching (beyond the reference): synthesize
+        N requests CONCURRENTLY through the batched decode engine
+        (``generate_batched_stream`` — one whole-step kernel wave shared by
+        up to B slots) and yield ``(request_idx, AudioClip, request_done)``
+        as each request's audio becomes ready, interleaved across requests.
+
+        Per request, segments stream in text order: the current segment
+        vocodes incrementally (same chunked SoVITS + latent cross-fade +
+        SOLA machinery as ``infer_stream``) while later segments decoded
+        early by other slots are buffered as tokens and vocoded when their
+        turn comes.  Sampling uses the batched-mode semantics
+        (``infer_batched``'s: no repetition penalty over generated tokens).
+        Subtitles are not produced in this mode."""
+        cut_mute = cut_mute / speed
+        (gpt, sovits, orig_texts, all_segments, segment_to_original,
+         all_phones2, _all_word2ph, _all_norm_text, xs, ys, berts, all_ge) = \
+            self._prepare_batched_inputs(
+                spk_audio_paths, prompt_audio_paths, prompt_audio_texts, texts,
+                is_cut_text, cut_minlen, bert_batch_size, gpt_model,
+                sovits_model)
+        n_segs = len(all_segments)
+        overlap_samples = overlap_len * sovits.cfg.samples_per_frame
+
+        orig_segments: Dict[int, List[int]] = {}
+        for s, oi in enumerate(segment_to_original):
+            orig_segments.setdefault(oi, []).append(s)
+        cur_pos = {oi: 0 for oi in orig_segments}
+        audio_len_s = {oi: 0.0 for oi in orig_segments}
+        seg = [{"tokens": [], "done": False, "vocoded": 0, "y_overlap": None,
+                "vsi": 0, "last_overlap": None, "chunk_idx": 0}
+               for _ in range(n_segs)]
+
+        def vocode(s: int, final: bool) -> np.ndarray:
+            """One incremental vocode pass over segment ``s``'s cumulative
+            tokens (mirrors the per-chunk body of ``infer_stream``)."""
+            st = seg[s]
+            semantic = np.asarray(st["tokens"], np.int64)
+            if semantic.size:
+                audio, attn, st["y_overlap"] = self._sovits_decode_stream(
+                    sovits, semantic[None, None, :],
+                    np.asarray(all_phones2[s], np.int32)[None], all_ge[s],
+                    noise_scale=noise_scale, speed=speed,
+                    y_overlap=st["y_overlap"], valid_start_idx=st["vsi"],
+                    overlap_len=overlap_len)
+                audio = np.asarray(audio).reshape(-1)
+                attn = np.asarray(attn)
+                if st["last_overlap"] is not None:
+                    audio, _ = dsp.sola_align(st["last_overlap"], audio,
+                                              overlap_samples)
+                st["last_overlap"] = audio[-overlap_samples:].copy()
+                if not final:
+                    audio = audio[:-overlap_samples]
+                    st["vsi"] = attn[:, :-overlap_len, :].shape[1]
+                if st["chunk_idx"] == 0:
+                    audio = audio[dsp.find_head_threshold_offset(audio):]
+                st["chunk_idx"] += 1
+            else:
+                audio = np.zeros(0, np.float32)
+            if final:
+                scale = self._mute_scale(all_segments[s], cut_mute_scale_map)
+                audio = np.concatenate([
+                    audio,
+                    np.zeros(int(cut_mute * scale * self.samplerate),
+                             np.float32)])
+            st["vocoded"] = len(st["tokens"])
+            return audio.astype(np.float32)
+
+        def clip(oi: int, audio: np.ndarray) -> AudioClip:
+            audio_len_s[oi] += len(audio) / self.samplerate
+            return AudioClip(self.audio_queue, audio, self.samplerate,
+                             audio_len_s[oi], [], orig_texts[oi])
+
+        for s, new_toks, sdone in gpt.engine.generate_batched_stream(
+                xs, ys, berts, top_k=top_k, top_p=top_p,
+                temperature=temperature,
+                repetition_penalty=repetition_penalty, rng=self._next_rng()):
+            st = seg[s]
+            st["tokens"].extend(int(t) for t in new_toks)
+            if sdone:
+                st["done"] = True
+            oi = segment_to_original[s]
+            if orig_segments[oi][cur_pos[oi]] != s:
+                continue  # out-of-order segment: buffer until its turn
+
+            if not st["done"]:
+                if len(st["tokens"]) - st["vocoded"] >= stream_chunk:
+                    audio = vocode(s, final=False)
+                    if audio.size:
+                        yield oi, clip(oi, audio), False
+                continue
+
+            # current segment finished: finalize it, then drain any later
+            # segments of this request that other slots already completed
+            pending = [vocode(s, final=True)]
+            cur_pos[oi] += 1
+            while cur_pos[oi] < len(orig_segments[oi]):
+                nxt = orig_segments[oi][cur_pos[oi]]
+                if not seg[nxt]["done"]:
+                    break
+                pending.append(vocode(nxt, final=True))
+                cur_pos[oi] += 1
+            req_done = cur_pos[oi] == len(orig_segments[oi])
+            for k, audio in enumerate(pending):
+                yield oi, clip(oi, audio), req_done and k == len(pending) - 1
 
     def infer_vc(self, spk_audio_path, prompt_audio_path, prompt_audio_text,
                  noise_scale: float = 0.5, speed: float = 1.0, sovits_model=None):

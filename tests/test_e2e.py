@@ -202,6 +202,35 @@ def test_infer_batched(assets, engine):
         assert clip.audio_data.dtype == np.float32
 
 
+def test_infer_batched_stream(assets, engine):
+    """Streaming continuous batching: every request yields >=1 clip and
+    exactly one done marker, clips interleave while preserving each
+    request's segment order (cumulative duration strictly increases), and
+    audio is finite float32."""
+    texts = ["first sentence to speak. then a second segment here.",
+             "the second request is one uncut line."]
+    events = list(engine.infer_batched_stream(
+        assets["spk"], assets["prompt"], "hello there.", texts,
+        cut_minlen=5, stream_chunk=10))
+    assert events, "no stream events"
+    seen_done = {}
+    last_len = {}
+    for oi, clip, done in events:
+        assert oi in (0, 1)
+        assert not seen_done.get(oi), "clip after request done"
+        a = np.asarray(clip.audio_data)
+        assert a.dtype == np.float32 and np.isfinite(a).all()
+        assert clip.audio_len_s >= last_len.get(oi, 0.0)
+        last_len[oi] = clip.audio_len_s
+        if done:
+            seen_done[oi] = True
+    assert seen_done == {0: True, 1: True}
+    assert all(last_len[oi] > 0 for oi in (0, 1))
+    # the multi-segment request must emit at least two clips (per-segment
+    # finalization at minimum)
+    assert sum(1 for oi, _, _ in events if oi == 0) >= 2
+
+
 def test_infer_vc(assets, engine):
     clip = engine.infer_vc(assets["spk"], assets["prompt"], "hello there.")
     assert len(clip.audio_data) > 0
