@@ -189,8 +189,8 @@ class TTSServer:
     async def root(self, request: web.Request) -> web.Response:
         return web.json_response({
             "service": "gsv-tts-lite-tpu",
-            "endpoints": ["/tts/stream", "/tts/batched", "/tts",
-                          "/set_gpt_weights", "/set_sovits_weights",
+            "endpoints": ["/tts/stream", "/tts/stream/batched", "/tts/batched",
+                          "/tts", "/set_gpt_weights", "/set_sovits_weights",
                           "/audio/{filename}", "/health"],
         })
 
@@ -266,6 +266,66 @@ class TTSServer:
             await resp.write(f"event: done\ndata: {json.dumps(done)}\n\n".encode())
         except Exception as e:  # noqa: BLE001
             logging.exception("stream inference error")
+            err = {"error": str(e)}
+            await resp.write(f"event: error\ndata: {json.dumps(err, ensure_ascii=False)}\n\n".encode())
+        await resp.write_eof()
+        return resp
+
+    async def tts_stream_batched(self, request: web.Request) -> web.StreamResponse:
+        """SSE streaming continuous batching: N texts synthesize
+        concurrently through the batched engine; each ``audio`` event is
+        tagged with its request ``index`` and a per-request ``done`` flag
+        (beyond the reference, which has no streaming batch mode)."""
+        req = await request.json()
+        speaker_audio = await self._resolve_audio(req["speaker_audio"])
+        prompt_audio = await self._resolve_audio(req["prompt_audio"])
+        prompt_text = await self._resolve_prompt(prompt_audio, req.get("prompt_text"))
+
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+            "X-Accel-Buffering": "no",
+        })
+        await resp.prepare(request)
+        t0 = time.perf_counter()
+        first = True
+        try:
+            agen = self.tts.infer_batched_stream_async(
+                spk_audio_paths=speaker_audio,
+                prompt_audio_paths=prompt_audio,
+                prompt_audio_texts=prompt_text,
+                texts=req["texts"],
+                is_cut_text=bool(req.get("is_cut_text", True)),
+                cut_minlen=int(req.get("cut_minlen", 10)),
+                cut_mute=float(req.get("cut_mute", 0.3)),
+                stream_chunk=int(req.get("stream_chunk", 25)),
+                overlap_len=int(req.get("overlap_len", 5)),
+                top_k=int(req.get("top_k", 15)),
+                top_p=float(req.get("top_p", 1.0)),
+                temperature=float(req.get("temperature", 1.0)),
+                repetition_penalty=float(req.get("repetition_penalty", 1.35)),
+                noise_scale=float(req.get("noise_scale", 0.5)),
+                speed=float(req.get("speed", 1.0)),
+            )
+            async for idx, clip, req_done in agen:
+                if first:
+                    self.timings.record("ttfa_s", time.perf_counter() - t0)
+                    first = False
+                chunk = {
+                    "index": int(idx),
+                    "done": bool(req_done),
+                    "audio": base64.b64encode(
+                        np.asarray(clip.audio_data, np.float32).tobytes()).decode(),
+                    "sample_rate": clip.samplerate,
+                    "duration": clip.audio_len_s,
+                    "text": clip.orig_text,
+                }
+                await resp.write(
+                    f"event: audio\ndata: {json.dumps(chunk, ensure_ascii=False)}\n\n".encode())
+            await resp.write(f"event: done\ndata: {{}}\n\n".encode())
+        except Exception as e:  # noqa: BLE001
+            logging.exception("batched stream inference error")
             err = {"error": str(e)}
             await resp.write(f"event: error\ndata: {json.dumps(err, ensure_ascii=False)}\n\n".encode())
         await resp.write_eof()
@@ -464,6 +524,7 @@ def create_app(tts, asr_fn=None, batch_window_ms: float = 0.0,
     app.router.add_get("/", server.root)
     app.router.add_get("/health", server.health)
     app.router.add_post("/tts/stream", server.tts_stream)
+    app.router.add_post("/tts/stream/batched", server.tts_stream_batched)
     app.router.add_post("/tts/batched", server.tts_batched)
     app.router.add_get("/audio/{filename}", server.get_audio)
     app.router.add_get("/tts", server.tts_v2)

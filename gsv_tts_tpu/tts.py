@@ -908,6 +908,34 @@ class TTS:
                 raise chunk
             yield chunk
 
+    async def infer_batched_stream_async(self, *args,
+                                         executor: Optional[ThreadPoolExecutor] = None,
+                                         **kwargs):
+        """Async bridge over :meth:`infer_batched_stream` (same queue-based
+        relay as ``infer_stream_async`` — exceptions travel through the
+        queue so consumers see them instead of a clean empty stream)."""
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+
+        def run():
+            try:
+                with self._infer_lock:
+                    for ev in self.infer_batched_stream(*args, **kwargs):
+                        loop.call_soon_threadsafe(queue.put_nowait, ev)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                loop.call_soon_threadsafe(queue.put_nowait, exc)
+            finally:
+                loop.call_soon_threadsafe(queue.put_nowait, None)
+
+        loop.run_in_executor(executor, run)
+        while True:
+            ev = await queue.get()
+            if ev is None:
+                break
+            if isinstance(ev, BaseException):
+                raise ev
+            yield ev
+
     async def infer_batched_async(self, *args,
                                   executor: Optional[ThreadPoolExecutor] = None,
                                   **kwargs):

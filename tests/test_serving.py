@@ -35,6 +35,38 @@ def client_factory(engine):  # noqa: F811
     return run
 
 
+def test_sse_stream_batched(client_factory, assets):  # noqa: F811
+    """/tts/stream/batched: every request index streams >=1 tagged audio
+    event and exactly one done-marked event; the stream ends with done."""
+    async def go(client):
+        r = await client.post("/tts/stream/batched", json={
+            "texts": ["hello streaming batch one.",
+                      "and a second concurrent line."],
+            "speaker_audio": assets["spk"],
+            "prompt_audio": assets["prompt"],
+            "prompt_text": "hello there.",
+            "stream_chunk": 10,
+        })
+        body = await r.text()
+        return r.status, body
+
+    status, body = client_factory(go)
+    assert status == 200
+    events = [b for b in body.split("\n\n") if b.strip()]
+    audio_evs = [json.loads(e.split("data: ", 1)[1])
+                 for e in events if e.startswith("event: audio")]
+    assert events[-1].startswith("event: done")
+    assert "event: error" not in body
+    by_idx = {}
+    for ev in audio_evs:
+        by_idx.setdefault(ev["index"], []).append(ev)
+        assert len(base64.b64decode(ev["audio"])) % 4 == 0
+    assert set(by_idx) == {0, 1}
+    for idx, evs in by_idx.items():
+        assert sum(1 for e in evs if e["done"]) == 1
+        assert evs[-1]["done"] is True
+
+
 def test_root_and_health(client_factory):
     async def go(client):
         r = await client.get("/")
