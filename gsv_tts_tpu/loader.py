@@ -210,8 +210,8 @@ def get_gpt_weights(gpt_path, tts_config: Config) -> Gpt:
     # Kernel policy (v5e, flagship config): the whole-step fused kernels
     # (ops/fused_step.py) win at every bucket size — B=1 S=512: 2990 vs
     # flash 1632 vs XLA 1477 tok/s; S=1024: 1755 vs 1539 vs 1098.  B in
-    # 2..8 routes to the batched whole-step kernel (B=4: 7500 aggregate
-    # tok/s vs flash 4000); larger batches fall back to flash attention.
+    # 2..6 routes to the batched whole-step kernel (B=4: 7500 aggregate
+    # tok/s vs flash 4000); B>6 falls back to flash attention.
     attn_impl = "xla"
     if getattr(tts_config, "use_flash_attn", False) and tts_config.platform == "tpu":
         attn_impl = "fused_step"

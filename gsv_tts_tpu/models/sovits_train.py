@@ -300,9 +300,11 @@ def train_forward(params, cfg: sv.SovitsConfig, batch, rng):
 
     ge = sv.get_ge(params, cfg, spec, refer_mask=y_mask)
 
-    # frozen semantic tokens: ssl → codes → codebook rows (50 Hz)
+    # frozen semantic tokens: ssl → codes → codebook rows (50 Hz).
+    # extract_latent returns [B, n_q, T]; quantizer_decode expects [n_q, B, T].
     codes = sv.extract_latent(params, jax.lax.stop_gradient(batch["ssl"]))
-    quantized = sv.quantizer_decode(params, codes, cfg.quantizer_n_q)
+    quantized = sv.quantizer_decode(params, codes.transpose(1, 0, 2),
+                                    cfg.quantizer_n_q)
     quantized = sv.interpolate_nearest_2x(quantized)[:, :, :T]
     pad_t = T - quantized.shape[-1]
     if pad_t > 0:

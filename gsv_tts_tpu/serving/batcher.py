@@ -45,13 +45,19 @@ class MicroBatcher:
     share it across handlers; ``close()`` cancels the flusher tasks."""
 
     def __init__(self, tts, max_batch: int = 4, max_wait_ms: float = 30.0,
-                 executor=None):
+                 executor=None, single_call=None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self.tts = tts
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.executor = executor
+        # Optional awaitable (spk, prompt, prompt_text, text, **params) →
+        # AudioClip used when a flush wave holds exactly ONE request, so a
+        # lone request keeps the documented single-``infer`` semantics
+        # (no per-text cut / fragment-silence insertion) instead of being
+        # synthesized through ``infer_batched``.
+        self.single_call = single_call
         self._pending: Dict[Hashable, List[_Pending]] = {}
         self._events: Dict[Hashable, asyncio.Event] = {}
         self._flushers: Dict[Hashable, asyncio.Task] = {}
@@ -113,12 +119,17 @@ class MicroBatcher:
             self.n_requests += len(batch)
             self.batch_sizes.append(len(batch))
             try:
-                clips = await self.tts.infer_batched_async(
-                    spk_audio_paths=[p.spk for p in batch],
-                    prompt_audio_paths=[p.prompt for p in batch],
-                    prompt_audio_texts=[p.prompt_text for p in batch],
-                    texts=[p.text for p in batch],
-                    executor=self.executor, **params)
+                if len(batch) == 1 and self.single_call is not None:
+                    p = batch[0]
+                    clips = [await self.single_call(
+                        p.spk, p.prompt, p.prompt_text, p.text, **params)]
+                else:
+                    clips = await self.tts.infer_batched_async(
+                        spk_audio_paths=[p.spk for p in batch],
+                        prompt_audio_paths=[p.prompt for p in batch],
+                        prompt_audio_texts=[p.prompt_text for p in batch],
+                        texts=[p.text for p in batch],
+                        executor=self.executor, **params)
             except asyncio.CancelledError:  # close(): don't strand the wave
                 for p in batch:
                     if not p.future.done():

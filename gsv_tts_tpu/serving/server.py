@@ -142,20 +142,33 @@ class TTSServer:
         ``batch_window_ms`` > 0 coalesces concurrent non-streaming api_v2
         requests arriving within the window into one continuous-batched
         synthesis call (``serving/batcher.py`` — beyond the reference,
-        which serializes every request).  NOTE: coalesced requests are
-        synthesized with the api's ``batch_infer=true`` semantics — text
-        split per ``text_split_method`` with ``fragment_interval`` silence
-        between segments — not the uncut single-``infer`` semantics the
-        non-batched path has (``infer_batched`` structurally inserts the
-        fragment pauses)."""
+        which serializes every request).  NOTE: when >=2 requests coalesce,
+        each is synthesized with the api's ``batch_infer=true`` semantics —
+        text split per ``text_split_method`` with ``fragment_interval``
+        silence between segments (``infer_batched`` structurally inserts
+        the fragment pauses).  A flush wave holding exactly ONE request
+        bypasses that and keeps the documented single-``infer`` semantics
+        (only the window's latency is added)."""
         self.tts = tts
         self.asr_fn = asr_fn
         self.timings = Timings()
         self.batcher = None
         if batch_window_ms > 0:
             from .batcher import MicroBatcher
+
+            async def _single(spk, prompt, prompt_text, text, **params):
+                # drop the batched-only cut kwargs: the lone-request path
+                # mirrors the non-batched handler (server.py tts_v2),
+                # which passes only the sampling kwargs to infer_async.
+                kw = {k: v for k, v in params.items()
+                      if k not in ("is_cut_text", "cut_minlen", "cut_mute")}
+                return await tts.infer_async(
+                    spk_audio_path=spk, prompt_audio_path=prompt,
+                    prompt_audio_text=prompt_text, text=text, **kw)
+
             self.batcher = MicroBatcher(tts, max_batch=batch_max,
-                                        max_wait_ms=batch_window_ms)
+                                        max_wait_ms=batch_window_ms,
+                                        single_call=_single)
         AUDIO_DIR.mkdir(exist_ok=True)
 
     # -- helpers -----------------------------------------------------------

@@ -90,6 +90,35 @@ def test_overflow_rolls_into_next_wave():
     assert sorted(outs) == sorted(f"clip:t{i}:5" for i in range(5))
 
 
+def test_lone_request_uses_single_call_semantics():
+    """A flush wave with exactly one request must route through the
+    single_call hook (documented single-``infer`` semantics), not
+    infer_batched — and a full wave must still take the batched path."""
+    async def go():
+        tts = FakeTTS()
+        singles = []
+
+        async def single(spk, prompt, prompt_text, text, **params):
+            singles.append({"text": text, "params": dict(params)})
+            return f"single:{text}"
+
+        b = MicroBatcher(tts, max_batch=4, max_wait_ms=10, single_call=single)
+        lone = await b.infer("s", "p", "pt", "alone", top_k=15,
+                             is_cut_text=True)
+        group = await asyncio.gather(*[
+            b.infer("s", "p", "pt", f"g{i}", top_k=7) for i in range(4)])
+        return tts, singles, lone, group
+
+    tts, singles, lone, group = run(go())
+    assert lone == "single:alone"
+    assert len(singles) == 1 and singles[0]["text"] == "alone"
+    # the batched engine call never saw the lone request …
+    assert all("alone" not in c["texts"] for c in tts.calls)
+    # … while the full wave still coalesced through infer_batched
+    assert sorted(group) == [f"clip:g{i}:7" for i in range(4)]
+    assert sum(len(c["texts"]) for c in tts.calls) == 4
+
+
 def test_failure_rejects_only_that_wave():
     async def go():
         tts = FakeTTS(fail=True)

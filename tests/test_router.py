@@ -6,12 +6,11 @@ exactly the router logic in gsv_tts_tpu/serving/router.py.
 import asyncio
 import json
 
-import aiohttp
-
 import pytest
 
 pytest.importorskip("aiohttp")
 
+import aiohttp
 from aiohttp import web
 from aiohttp.test_utils import TestClient, TestServer
 

@@ -99,6 +99,42 @@ def test_discriminators_and_losses(setup):
     assert np.isfinite(float(g_adv))
 
 
+def test_train_forward_prior_is_per_sample(setup):
+    """Regression for the r2 codes-layout bug: extract_latent returns
+    [B, n_q, T] but quantizer_decode expects [n_q, B, T]; passing codes
+    through untransposed silently broadcast sample 0's semantic codes
+    across the whole batch.  Each row's prior (m_p/logs_p) must match a
+    per-sample B=1 forward."""
+    cfg, params = setup
+    rng = np.random.RandomState(7)
+    hop = int(np.prod(cfg.upsample_rates))
+    T = 32
+    samples = [
+        (rng.randn(768, T).astype(np.float32) * 0.1,
+         np.abs(rng.randn(cfg.spec_channels, T)).astype(np.float32),
+         rng.randn(T * hop).astype(np.float32) * 0.1,
+         rng.randint(1, 100, size=(9,)).astype(np.int32)),
+        (rng.randn(768, T).astype(np.float32) * 0.1,
+         np.abs(rng.randn(cfg.spec_channels, T)).astype(np.float32),
+         rng.randn(T * hop).astype(np.float32) * 0.1,
+         rng.randint(1, 100, size=(9,)).astype(np.int32)),
+    ]
+    batched = svt.pad_sovits_batch(cfg, samples, hop)
+    out_b = svt.train_forward(params, cfg, batched, jax.random.PRNGKey(8))
+    for i, s in enumerate(samples):
+        single = svt.pad_sovits_batch(cfg, [s], hop)
+        out_1 = svt.train_forward(params, cfg, single, jax.random.PRNGKey(8))
+        for key in ("m_p", "logs_p"):
+            np.testing.assert_allclose(
+                np.asarray(out_b[key][i]), np.asarray(out_1[key][0]),
+                rtol=1e-4, atol=1e-5,
+                err_msg=f"{key} row {i} diverges from per-sample forward")
+    # the two rows carry different ssl content, so identical priors would
+    # mean the broadcast bug is back
+    assert not np.allclose(np.asarray(out_b["m_p"][0]),
+                           np.asarray(out_b["m_p"][1]))
+
+
 def test_train_step_updates_and_freezes(setup):
     """One full G/D step on a tiny batch: finite metrics, generator params
     move, frozen RVQ/ssl_proj params bit-identical."""
