@@ -1,0 +1,519 @@
+"""Open-ended streaming continuous batching: the wave scheduler.
+
+The engine's ``generate_batched_stream`` (t2s_session.py) requires every
+request up front — one caller owns the whole wave.  Real serving is N
+INDEPENDENT streaming clients arriving at different times (the reference
+serializes them behind ``_infer_lock``, ``TTS.py:145``; its continuous
+batching, ``t2s_model.py:555-734``, is likewise single-caller).  This
+module turns the same slot machinery (``prefill_batch`` / ``prefill_slot``
+/ ``decode_chunk``) into an attach/detach service:
+
+* :meth:`WaveScheduler.attach` can be called from any thread at any time;
+  it returns a :class:`StreamHandle` that yields the request's semantic
+  tokens incrementally (same emission semantics as
+  ``generate_batched_stream``: the prefill sample and the current
+  interval's last sample are withheld, nothing past a sampled EOS is ever
+  emitted).
+* A dedicated driver thread owns the device state and runs decode chunks
+  whenever any slot is live.  New requests are prefilled into free slots
+  mid-wave (``prefill_slot`` — the reference's slot-refill trick,
+  ``t2s_model.py:696-722``, applied across *independent* clients).
+* The wave grows and shrinks between batch buckets: when requests queue
+  and no slot is free it resizes to the next larger ``gpt_cache`` batch
+  bucket, and when live slots drop to <= B/2 it compacts the survivors
+  into the smallest bucket that fits (``_gather_slots`` — one on-device
+  gather copy, no re-prefill), so a lone tail request decodes at the B=1
+  kernel rate instead of burning a B=4 wave.
+
+Requests are grouped into waves by sampling signature (top_k/top_p/
+temperature/repetition_penalty are jit-static and apply wave-wide, as in
+the reference's batched mode); waves with distinct signatures time-share
+the chip round-robin.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+from collections import deque
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .t2s_session import (DecodeState, SampleArgs, T2SEngine, decode_chunk,
+                          prefill_batch, prefill_slot, PAD_MULTIPLE, _round_up)
+
+__all__ = ["WaveScheduler", "StreamHandle"]
+
+I32 = jnp.int32
+
+
+@partial(jax.jit, static_argnames=("new_S", "vocab"))
+def _gather_slots(state: DecodeState, slot_map, new_S: int, vocab: int):
+    # (no donation: the output batch or sequence shape always differs from
+    # the input's, so XLA could never reuse the buffers anyway)
+    """Re-pack live slots into a (possibly differently sized) wave.
+
+    ``slot_map[j]`` is the OLD slot index whose state new slot ``j``
+    inherits, or -1 for a dead slot.  One device gather per buffer — this
+    is both wave growth (identity map into a larger B) and compaction
+    (surviving slots into a smaller B).  The sequence dimension pads or
+    truncates to ``new_S`` (truncation is guarded by the caller: every
+    live slot's kv_len must fit)."""
+    old_B = state.kv_len.shape[0]
+    src = jnp.clip(slot_map, 0, old_B - 1)
+    live = slot_map >= 0
+    S = state.k_cache.shape[2]
+
+    def fix_s(c):
+        if new_S > S:
+            return jnp.pad(c, [(0, 0), (0, 0), (0, new_S - S), (0, 0), (0, 0)])
+        if new_S < S:
+            return c[:, :, :new_S]
+        return c
+
+    tok_buf = jnp.take(state.tok_buf, src, axis=0)
+    if new_S > S:
+        tok_buf = jnp.pad(tok_buf, [(0, 0), (0, new_S - S)],
+                          constant_values=vocab)
+    elif new_S < S:
+        tok_buf = tok_buf[:, :new_S]
+
+    def scal(a):
+        return jnp.where(live, jnp.take(a, src, axis=0), 0)
+
+    return DecodeState(
+        k_cache=fix_s(jnp.take(state.k_cache, src, axis=1)),
+        v_cache=fix_s(jnp.take(state.v_cache, src, axis=1)),
+        kv_len=scal(state.kv_len), x_len=scal(state.x_len),
+        tok_buf=tok_buf, buf_len=scal(state.buf_len),
+        last_tok=scal(state.last_tok), step_idx=scal(state.step_idx),
+        rng=state.rng)
+
+
+class StreamHandle:
+    """Consumer side of one attached request.
+
+    Iterate to receive ``np.int64`` token arrays; iteration ends when the
+    request finishes.  Thread-safe; ``cancel()`` detaches the request
+    (its slot is freed at the scheduler's next round)."""
+
+    def __init__(self):
+        self._q: "queue.Queue" = queue.Queue()
+        self._cancelled = threading.Event()
+        self.done = False
+
+    # -- producer (scheduler) side --------------------------------------
+    def _emit(self, tokens: np.ndarray, done: bool):
+        self._q.put(("tok", tokens, done))
+
+    def _fail(self, exc: BaseException):
+        self._q.put(("err", exc, True))
+
+    # -- consumer side ---------------------------------------------------
+    @property
+    def cancelled(self) -> bool:
+        return self._cancelled.is_set()
+
+    def cancel(self):
+        """Detach: the slot is freed at the next scheduling round and no
+        further tokens are emitted (mirrors a client disconnect)."""
+        self._cancelled.set()
+        self._q.put(("tok", np.zeros(0, np.int64), True))
+
+    def get(self, timeout: Optional[float] = None) -> Tuple[np.ndarray, bool]:
+        """Blocking fetch of the next ``(tokens, done)`` event."""
+        kind, payload, done = self._q.get(timeout=timeout)
+        if kind == "err":
+            raise payload
+        return payload, done
+
+    def __iter__(self):
+        while True:
+            tokens, done = self.get()
+            yield tokens, done
+            if done:
+                self.done = True
+                return
+
+
+class _Slot:
+    __slots__ = ("handle", "samples", "emitted", "eos_seen", "live")
+
+    def __init__(self, handle: Optional[StreamHandle] = None):
+        self.handle = handle
+        self.samples: List[int] = []
+        self.emitted = 0
+        self.eos_seen = False
+        self.live = handle is not None
+
+
+class _Request:
+    __slots__ = ("x", "y", "bert", "handle")
+
+    def __init__(self, x, y, bert, handle):
+        self.x = x
+        self.y = y
+        self.bert = bert
+        self.handle = handle
+
+
+class _Wave:
+    def __init__(self, sa: SampleArgs, rng: jax.Array):
+        self.sa = sa
+        self.rng = rng  # only used to seed the state at creation
+        self.state: Optional[DecodeState] = None
+        self.slots: List[_Slot] = []
+        self.pending: "deque[_Request]" = deque()
+        self.first_chunk = True
+        # counters (exported via WaveScheduler.stats)
+        self.n_attached = 0
+        self.n_finished = 0
+        self.n_refills = 0
+        self.n_resizes = 0
+
+
+class WaveScheduler:
+    """Serving-side continuous batching over one :class:`T2SEngine`.
+
+    One instance per loaded GPT model; clients on any thread call
+    :meth:`attach` and consume the returned handle.  ``max_batch`` caps
+    the wave at the batch bucket where the fused kernel still wins
+    (B<=4 on v5e — two B=4 waves beat any B>4 config, see PLAN.md)."""
+
+    def __init__(self, engine: T2SEngine, max_batch: int = 4,
+                 seed: int = 0):
+        self.engine = engine
+        bucket_sizes = sorted(engine.buckets.keys())
+        self.max_batch = min(max_batch, bucket_sizes[-1])
+        self._waves: Dict[Tuple, _Wave] = {}
+        self._lock = threading.Lock()
+        self._work = threading.Event()
+        self._closed = False
+        self._seed_rng = np.random.RandomState(seed)
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="gsv-wave-scheduler")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    # client surface
+    # ------------------------------------------------------------------
+
+    def attach(self, x_ids, y_ids, bert, top_k: int = 15, top_p: float = 1.0,
+               temperature: float = 1.0,
+               repetition_penalty: float = 1.35) -> StreamHandle:
+        """Register one request; returns its :class:`StreamHandle`.
+
+        Raises ``ValueError`` immediately if the prompt cannot fit the
+        largest configured cache bucket."""
+        if self._closed:
+            raise RuntimeError("WaveScheduler is closed")
+        x = np.asarray(x_ids, np.int32).reshape(-1)
+        y = np.asarray(y_ids, np.int32).reshape(-1)
+        b = np.asarray(bert, np.float32).reshape(len(x), -1)
+        max_S = max(s for lens in self.engine.buckets.values() for s in lens)
+        if len(x) + len(y) + 1 >= max_S:
+            raise ValueError(
+                f"prompt length {len(x) + len(y)} exceeds largest gpt_cache "
+                f"bucket {max_S}")
+        # batched-mode sampling semantics: wave-wide args, no repetition
+        # penalty over generated tokens (reference ``t2s_model.py:651``)
+        sa = SampleArgs(top_k=int(top_k), top_p=float(top_p),
+                        temperature=float(temperature),
+                        repetition_penalty=float(repetition_penalty),
+                        use_prev=False)
+        handle = StreamHandle()
+        sig = (sa.top_k, sa.top_p, sa.temperature, sa.repetition_penalty)
+        with self._lock:
+            wave = self._waves.get(sig)
+            if wave is None:
+                wave = _Wave(sa, jax.random.PRNGKey(
+                    int(self._seed_rng.randint(0, 2**31 - 1))))
+                self._waves[sig] = wave
+            wave.pending.append(_Request(x, y, b, handle))
+            wave.n_attached += 1
+        self._work.set()
+        return handle
+
+    def close(self):
+        self._closed = True
+        self._work.set()
+        self._thread.join(timeout=30.0)
+        with self._lock:
+            for wave in self._waves.values():
+                for req in wave.pending:
+                    req.handle._fail(RuntimeError("WaveScheduler closed"))
+                for slot in wave.slots:
+                    if slot.live and slot.handle is not None:
+                        slot.handle._fail(RuntimeError("WaveScheduler closed"))
+            self._waves.clear()
+
+    @property
+    def stats(self) -> Dict:
+        with self._lock:
+            waves = []
+            for sig, w in self._waves.items():
+                waves.append({
+                    "signature": list(sig),
+                    "batch": len(w.slots),
+                    "live": sum(1 for s in w.slots if s.live),
+                    "pending": len(w.pending),
+                    "attached": w.n_attached,
+                    "finished": w.n_finished,
+                    "refills": w.n_refills,
+                    "resizes": w.n_resizes,
+                })
+        return {"waves": waves, "max_batch": self.max_batch}
+
+    # ------------------------------------------------------------------
+    # driver thread
+    # ------------------------------------------------------------------
+
+    def _run(self):
+        while not self._closed:
+            progressed = False
+            with self._lock:
+                waves = list(self._waves.values())
+            for wave in waves:
+                try:
+                    progressed |= self._pump(wave)
+                except Exception as exc:  # noqa: BLE001 — fail the wave's clients
+                    logging.exception("wave scheduler failure")
+                    with self._lock:
+                        for req in wave.pending:
+                            req.handle._fail(exc)
+                        wave.pending.clear()
+                    for slot in wave.slots:
+                        if slot.live and slot.handle is not None:
+                            slot.handle._fail(exc)
+                            slot.live = False
+                    wave.state = None
+                    wave.slots = []
+            # drop idle waves (frees their HBM caches)
+            with self._lock:
+                for sig in [s for s, w in self._waves.items()
+                            if w.state is None and not w.pending]:
+                    del self._waves[sig]
+                idle = not any(w.pending or any(s.live for s in w.slots)
+                               for w in self._waves.values())
+            if not progressed and idle:
+                self._work.clear()
+                self._work.wait(timeout=0.2)
+
+    # -- wave mechanics --------------------------------------------------
+
+    def _bucket_sizes(self) -> List[int]:
+        return sorted(b for b in self.engine.buckets if b <= self.max_batch) \
+            or [sorted(self.engine.buckets)[0]]
+
+    def _pick_B(self, n: int) -> int:
+        sizes = self._bucket_sizes()
+        return next((b for b in sizes if b >= n), sizes[-1])
+
+    def _pick_S(self, B: int, needed: int) -> Optional[int]:
+        lens = self.engine.buckets[B]
+        return next((s for s in lens if s > needed), None)
+
+    def _take_pending(self, wave: _Wave, k: int) -> List[_Request]:
+        out = []
+        with self._lock:
+            while wave.pending and len(out) < k:
+                req = wave.pending.popleft()
+                if req.handle.cancelled:
+                    continue
+                out.append(req)
+        return out
+
+    def _create_wave_state(self, wave: _Wave):
+        """First prefill: same construction as ``generate_batched_stream``
+        (common-shape padded prompts, dummy 1/1 prompts in dead slots)."""
+        eng = self.engine
+        cfg = eng.cfg
+        with self._lock:
+            n_wait = len(wave.pending)
+        B = self._pick_B(max(1, n_wait))
+        reqs = self._take_pending(wave, B)
+        if not reqs:
+            return False
+        Lx = _round_up(max(len(r.x) for r in reqs), PAD_MULTIPLE)
+        Ly = _round_up(max(max(len(r.y) for r in reqs), 1), PAD_MULTIPLE)
+        xs = np.zeros((B, Lx), np.int32)
+        ys = np.zeros((B, Ly), np.int32)
+        bs = np.zeros((B, Lx, cfg.bert_dim), np.float32)
+        x_lens = np.ones((B,), np.int32)
+        y_lens = np.ones((B,), np.int32)
+        for j, r in enumerate(reqs):
+            xs[j, :len(r.x)] = r.x
+            ys[j, :len(r.y)] = r.y
+            bs[j, :len(r.x)] = r.bert
+            x_lens[j] = len(r.x)
+            y_lens[j] = len(r.y)
+        prompt_max = int((x_lens + y_lens).max())
+        S = self._pick_S(B, max(prompt_max, Lx + Ly - 1))
+        if S is None:
+            S = self.engine.buckets[B][-1]
+        k_cache, v_cache = eng._alloc_cache(B, S)
+        state, _ = prefill_batch(
+            eng.params, cfg, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(bs),
+            jnp.asarray(x_lens), jnp.asarray(y_lens), k_cache, v_cache,
+            wave.rng, wave.sa, False, eng._dtype_name(), eng.attn_impl)
+        wave.state = state
+        wave.slots = [_Slot(r.handle) for r in reqs] + \
+            [_Slot() for _ in range(B - len(reqs))]
+        # freeze the dummy slots
+        for j in range(len(reqs), B):
+            wave.state = self._freeze(wave.state, j)
+        wave.first_chunk = True
+        return True
+
+    @staticmethod
+    def _freeze(state: DecodeState, j: int) -> DecodeState:
+        return dataclasses.replace(
+            state, kv_len=state.kv_len.at[j].set(0),
+            step_idx=state.step_idx.at[j].set(0),
+            buf_len=state.buf_len.at[j].set(0))
+
+    def _refill(self, wave: _Wave, j: int, req: _Request):
+        eng = self.engine
+        xp, yp, bp = eng._pad_prompt(req.x, req.y, req.bert)
+        state, _ = prefill_slot(
+            eng.params, eng.cfg, wave.state, j,
+            jnp.asarray(xp[None]), jnp.asarray(yp[None]), jnp.asarray(bp[None]),
+            jnp.asarray(len(req.x), I32), jnp.asarray(len(req.y), I32),
+            wave.sa, eng._dtype_name(), eng.attn_impl)
+        wave.state = state
+        wave.slots[j] = _Slot(req.handle)
+        wave.n_refills += 1
+
+    def _resize(self, wave: _Wave, new_B: int) -> bool:
+        """Gather live slots into a ``new_B``-slot wave (growth or
+        compaction).  Returns False when no compatible S bucket exists."""
+        eng = self.engine
+        state = wave.state
+        kv = np.asarray(state.kv_len)
+        live_idx = [j for j, s in enumerate(wave.slots) if s.live]
+        need = int(kv[live_idx].max()) if live_idx else 0
+        new_S = self._pick_S(new_B, max(need, 0))
+        if new_S is None:
+            return False
+        slot_map = np.full((new_B,), -1, np.int32)
+        new_slots: List[_Slot] = []
+        for j, old in enumerate(live_idx[:new_B]):
+            slot_map[j] = old
+            new_slots.append(wave.slots[old])
+        new_slots += [_Slot() for _ in range(new_B - len(new_slots))]
+        wave.state = _gather_slots(state, jnp.asarray(slot_map), new_S,
+                                   eng.cfg.vocab_size)
+        wave.slots = new_slots
+        wave.n_resizes += 1
+        return True
+
+    def _pump(self, wave: _Wave) -> bool:
+        eng = self.engine
+        cfg = eng.cfg
+
+        # 0. honor cancels before spending device time
+        for j, slot in enumerate(wave.slots):
+            if slot.live and slot.handle.cancelled:
+                slot.live = False
+                wave.state = self._freeze(wave.state, j)
+                wave.n_finished += 1
+
+        live = [j for j, s in enumerate(wave.slots) if s.live]
+        with self._lock:
+            n_wait = len(wave.pending)
+
+        # 1. admission
+        if wave.state is None:
+            if not n_wait:
+                return False
+            if not self._create_wave_state(wave):
+                return False
+        else:
+            free = [j for j, s in enumerate(wave.slots) if not s.live]
+            if n_wait and not free:
+                # grow to the next batch bucket that fits live + waiting
+                target = self._pick_B(min(len(live) + n_wait,
+                                          self.max_batch))
+                if target > len(wave.slots):
+                    self._resize(wave, target)
+                    free = [j for j, s in enumerate(wave.slots) if not s.live]
+            for j in free:
+                got = self._take_pending(wave, 1)
+                if not got:
+                    break
+                self._refill(wave, j, got[0])
+
+        live = [j for j, s in enumerate(wave.slots) if s.live]
+        if not live:
+            wave.state = None
+            wave.slots = []
+            return True
+
+        # 2. compaction: a mostly-dead wave re-packs into the smallest
+        #    bucket that fits the survivors (tail requests then decode at
+        #    the small-batch kernel rate instead of burning dead slots)
+        B = len(wave.slots)
+        if len(live) <= B // 2:
+            target = self._pick_B(len(live))
+            if target < B:
+                self._resize(wave, target)
+                live = [j for j, s in enumerate(wave.slots) if s.live]
+                B = len(wave.slots)
+
+        # 3. sequence-bucket escalation (``t2s_model.py:425-428``)
+        n_steps = 1 if wave.first_chunk else eng.check_interval
+        wave.first_chunk = False
+        S_cur = wave.state.k_cache.shape[2]
+        kv = np.asarray(wave.state.kv_len)
+        if int(kv.max()) + n_steps >= S_cur:
+            bigger = [s for s in eng.buckets[B] if s > S_cur]
+            if bigger:
+                wave.state = eng._escalate(wave.state, bigger[0])
+                S_cur = bigger[0]
+
+        # 4. one decode chunk for the whole wave
+        wave.state, toks = decode_chunk(
+            eng.params, cfg, wave.state, n_steps, wave.sa, 0,
+            eng._dtype_name(), eng.attn_impl)
+        toks = np.asarray(toks)  # [B, n_steps]
+        kv = np.asarray(wave.state.kv_len)
+
+        # 5. harvest / emit (same window semantics as
+        #    ``generate_batched_stream``: samples[:-1], trimmed at EOS)
+        for j in live:
+            slot = wave.slots[j]
+            slot.samples.extend(int(t) for t in toks[j])
+            if slot.handle.cancelled:
+                continue  # picked up at the next round's freeze pass
+            if not slot.eos_seen:
+                window = slot.samples[:-1]
+                hi = len(window)
+                for t in range(slot.emitted, len(window)):
+                    if window[t] == cfg.eos:
+                        hi = t
+                        slot.eos_seen = True
+                        break
+                if hi > slot.emitted:
+                    slot.handle._emit(
+                        np.asarray(window[slot.emitted:hi], np.int64), False)
+                    slot.emitted = hi
+            eos_hit = int(toks[j][-1]) == cfg.eos
+            reached = (int(kv[j]) + eng.check_interval >= S_cur
+                       and not [s for s in eng.buckets[B] if s > S_cur])
+            if not (eos_hit or reached):
+                continue
+            gen = np.asarray(slot.samples[:-1], np.int64)
+            eos_pos = np.nonzero(gen == cfg.eos)[0]
+            if eos_pos.size:
+                gen = gen[:eos_pos[0]]
+            gen = gen[gen < cfg.eos]
+            slot.handle._emit(gen[slot.emitted:], True)
+            slot.live = False
+            wave.n_finished += 1
+            wave.state = self._freeze(wave.state, j)
+        return True

@@ -1,0 +1,199 @@
+"""Open-ended wave scheduler (runtime/wave.py): independent clients
+attaching at arbitrary times must share one continuous-batching wave with
+exact token semantics (vs the single-caller ``generate_batched_stream``),
+including slot refill, wave growth, cancellation, and compaction."""
+import queue
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gsv_tts_tpu.models import t2s as t2s_model
+from gsv_tts_tpu.models.t2s import T2SConfig
+from gsv_tts_tpu.runtime.t2s_session import T2SEngine
+from gsv_tts_tpu.runtime.wave import WaveScheduler
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = T2SConfig(hidden_dim=64, embedding_dim=64, num_heads=4,
+                    num_layers=2, vocab_size=101, phoneme_vocab_size=50,
+                    eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+    return T2SEngine(params, cfg, gpt_cache=[(1, 128), (2, 128), (4, 128)],
+                     dtype=jnp.float32)
+
+
+def _inputs(seed, cfg):
+    rng = np.random.RandomState(seed)
+    x = rng.randint(1, 50, rng.randint(6, 12)).astype(np.int32)
+    y = rng.randint(0, 100, rng.randint(4, 9)).astype(np.int32)
+    bert = np.zeros((len(x), cfg.bert_dim), np.float32)
+    return x, y, bert
+
+
+def _drain(handle, timeout=120.0):
+    toks = []
+    deadline = time.time() + timeout
+    while True:
+        t, done = handle.get(timeout=max(0.1, deadline - time.time()))
+        toks.append(t)
+        if done:
+            return np.concatenate(toks) if toks else np.zeros(0, np.int64)
+
+
+def _solo_tokens(engine, x, y, bert):
+    """Deterministic (top_k=1) single-request reference: the engine's own
+    batched-stream harvest."""
+    out = []
+    for _, t, done in engine.generate_batched_stream(
+            [x], [y], [bert], top_k=1, rng=jax.random.PRNGKey(0)):
+        out.append(t)
+    return np.concatenate(out) if out else np.zeros(0, np.int64)
+
+
+def _assert_tokens_match(got, want, check_interval, msg=""):
+    """Exact when EOS-ended; cap-ended rows may differ by the chunk phase
+    (same tolerance as test_batched_matches_single)."""
+    n = min(len(got), len(want))
+    np.testing.assert_array_equal(got[:n], want[:n], err_msg=msg)
+    assert abs(len(got) - len(want)) <= check_interval, \
+        f"{msg}: lengths {len(got)} vs {len(want)}"
+
+
+def test_single_client_matches_batched_stream(engine):
+    x, y, bert = _inputs(21, engine.cfg)
+    want = _solo_tokens(engine, x, y, bert)
+
+    sched = WaveScheduler(engine, max_batch=4)
+    try:
+        h = sched.attach(x, y, bert, top_k=1)
+        got = _drain(h)
+    finally:
+        sched.close()
+    # a fresh single-client wave has exactly the generate_batched_stream
+    # cadence (1-step first chunk, then check_interval) => exact tokens
+    np.testing.assert_array_equal(got, want)
+    assert engine.cfg.eos not in got.tolist()
+
+
+def test_staggered_clients_share_one_wave(engine):
+    cfg = engine.cfg
+    reqs = [_inputs(s, cfg) for s in (31, 32, 33, 34)]
+    solos = [_solo_tokens(engine, *r) for r in reqs]
+
+    sched = WaveScheduler(engine, max_batch=4)
+    try:
+        h0 = sched.attach(*reqs[0], top_k=1)
+        # wait until client 0 is actually decoding before the others arrive
+        first, done0 = h0.get(timeout=120.0)
+        assert not done0 or first.size
+        handles = [sched.attach(*r, top_k=1) for r in reqs[1:]]
+        got0 = first if done0 else np.concatenate([first, _drain(h0)])
+        gots = [got0] + [_drain(h) for h in handles]
+        stats = sched.stats
+    finally:
+        sched.close()
+
+    for i, (got, want) in enumerate(zip(gots, solos)):
+        _assert_tokens_match(got, want, engine.check_interval, f"client {i}")
+    # the later arrivals must have joined via growth/refill, not new waves
+    assert len(stats["waves"]) <= 1 or sum(
+        w["attached"] for w in stats["waves"]) == 4
+    total = sum(w["refills"] + w["resizes"] for w in stats["waves"])
+    assert total >= 1, f"no slot sharing happened: {stats}"
+
+
+def test_cancel_compacts_wave_and_survivor_is_exact(engine):
+    cfg = engine.cfg
+    reqs = [_inputs(s, cfg) for s in (41, 42, 43, 44)]
+    survivor_want = _solo_tokens(engine, *reqs[0])
+
+    sched = WaveScheduler(engine, max_batch=4)
+    try:
+        handles = [sched.attach(*r, top_k=1) for r in reqs]
+        # let the wave start, then detach three clients
+        first, done0 = handles[0].get(timeout=120.0)
+        for h in handles[1:]:
+            h.cancel()
+        got = np.concatenate([first, _drain(handles[0])]) if not done0 else first
+        # compaction must have re-packed the wave into a smaller bucket
+        deadline = time.time() + 30.0
+        compacted = False
+        while time.time() < deadline:
+            stats = sched.stats
+            if any(w["resizes"] >= 1 for w in stats["waves"]) or not stats["waves"]:
+                compacted = True
+                break
+            time.sleep(0.05)
+    finally:
+        stats = sched.stats
+        sched.close()
+    _assert_tokens_match(got, survivor_want, engine.check_interval, "survivor")
+    assert compacted, f"no compaction observed: {stats}"
+
+
+def test_growth_from_single_to_full_wave(engine):
+    cfg = engine.cfg
+    reqs = [_inputs(s, cfg) for s in (51, 52, 53, 54)]
+    solos = [_solo_tokens(engine, *r) for r in reqs]
+
+    sched = WaveScheduler(engine, max_batch=4)
+    try:
+        h0 = sched.attach(*reqs[0], top_k=1)
+        first, done0 = h0.get(timeout=120.0)
+        handles = [sched.attach(*r, top_k=1) for r in reqs[1:]]
+        gots = [np.concatenate([first, _drain(h0)]) if not done0 else first]
+        gots += [_drain(h) for h in handles]
+        stats = sched.stats
+    finally:
+        sched.close()
+    for i, (got, want) in enumerate(zip(gots, solos)):
+        _assert_tokens_match(got, want, engine.check_interval, f"client {i}")
+    assert any(w["resizes"] >= 1 or w["refills"] >= 1
+               for w in stats["waves"]), stats
+
+
+def test_distinct_signatures_get_distinct_waves(engine):
+    cfg = engine.cfg
+    x, y, bert = _inputs(61, cfg)
+    sched = WaveScheduler(engine, max_batch=4)
+    try:
+        h1 = sched.attach(x, y, bert, top_k=1)
+        h2 = sched.attach(x, y, bert, top_k=5, temperature=0.9)
+        g1, g2 = _drain(h1), _drain(h2)
+    finally:
+        sched.close()
+    assert g1.size and g2.size
+    np.testing.assert_array_equal(g1, _solo_tokens(engine, x, y, bert))
+
+
+def test_attach_rejects_oversized_prompt(engine):
+    cfg = engine.cfg
+    x = np.ones(100, np.int32)
+    y = np.ones(60, np.int32)
+    bert = np.zeros((100, cfg.bert_dim), np.float32)
+    sched = WaveScheduler(engine, max_batch=4)
+    try:
+        with pytest.raises(ValueError):
+            sched.attach(x, y, bert)
+    finally:
+        sched.close()
+
+
+def test_close_fails_outstanding_handles(engine):
+    cfg = engine.cfg
+    x, y, bert = _inputs(71, cfg)
+    sched = WaveScheduler(engine, max_batch=4)
+    h = sched.attach(x, y, bert, top_k=1)
+    sched.close()
+    with pytest.raises((RuntimeError, queue.Empty)):
+        while True:
+            _, done = h.get(timeout=5.0)
+            if done:
+                # finished before close() landed — acceptable
+                break
