@@ -164,6 +164,74 @@ def bench_batched_decode(B: int = 4, chunk: int = 25, bucket: int = 512,
             "streams_realtime": agg / 25.0}
 
 
+def bench_breakdown(n_tokens: int = 400, chunk: int = 25, bucket: int = 512,
+                    reps: int = 3):
+    """B=1 plateau attribution (VERDICT r2 #4): time the whole-step kernel
+    with one phase compile-time-removed per variant (``fused_step:<mode>``,
+    ``ops/fused_step.py`` ablations).  The delta full-minus-variant is that
+    phase's contribution to the serial critical path; if the deltas sum to
+    far less than the step time, the residue is chain latency / overheads
+    rather than any single phase's FLOPs or bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs, decode_chunk, prefill_batch
+
+    platform = jax.devices()[0].platform
+    if platform not in ("tpu", "axon"):
+        return {"skipped": f"breakdown needs real TPU (platform={platform})"}
+    dtype = jnp.bfloat16
+    dtype_name = "bfloat16"
+    cfg = T2SConfig()
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    params["predict_w"] = params["predict_w"] * 0.05
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(1, cfg.phoneme_vocab_size, (1, 60)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, cfg.vocab_size - 1, (1, 75)), jnp.int32)
+    bert = jnp.zeros((1, 60, cfg.bert_dim), jnp.float32)
+    shape = (cfg.num_layers, 1, bucket, cfg.num_heads, cfg.head_dim)
+
+    modes = [
+        ("full", "fused_step", SampleArgs()),
+        # sampling pipeline off (rp/top-p/top-k all compile away)
+        ("no_sampling", "fused_step",
+         SampleArgs(top_k=cfg.vocab_size, top_p=1.0, repetition_penalty=1.0,
+                    use_prev=False)),
+        ("no_walk", "fused_step:walk", SampleArgs()),
+        ("no_attn_mm", "fused_step:attn_mm", SampleArgs()),
+        ("no_mlp", "fused_step:mlp", SampleArgs()),
+        ("no_head", "fused_step:head", SampleArgs()),
+        # weight stream + walk only: every weight-consuming matmul removed
+        ("stream_only", "fused_step:mm_off", SampleArgs()),
+    ]
+    out = {}
+    for label, impl, sa in modes:
+        state, _ = prefill_batch(params, cfg, x, y, bert,
+                                 jnp.full((1,), 60, jnp.int32),
+                                 jnp.full((1,), 75, jnp.int32),
+                                 jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                                 jax.random.PRNGKey(1), sa, True, dtype_name)
+        state, toks = decode_chunk(params, cfg, state, chunk, sa, 10,
+                                   dtype_name, impl)
+        np.asarray(toks)  # compile + sync
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n_tokens // chunk):
+                state, toks = decode_chunk(params, cfg, state, chunk, sa, 10,
+                                           dtype_name, impl)
+            np.asarray(toks)
+            best = min(best, (time.perf_counter() - t0) / n_tokens)
+        out[label] = best * 1e3  # ms/tok
+    full = out["full"]
+    out_d = {k: {"ms_per_tok": round(v, 4),
+                 "delta_vs_full_us": round((full - v) * 1e3, 1)}
+             for k, v in out.items()}
+    return out_d
+
+
 def bench_sharded_decode(bucket: int = 512, n_tokens: int = 250, chunk: int = 25):
     """GSPMD overhead probe (VERDICT r1 item 5): the flagship decode under a
     1×1 jax.sharding.Mesh vs the plain single-chip XLA path.  On multi-chip
@@ -263,11 +331,30 @@ def main():
     ap.add_argument("--tokens", type=int, default=500)
     ap.add_argument("--chunk", type=int, default=25)
     ap.add_argument("--skip-sovits", action="store_true")
+    ap.add_argument("--skip-sharded", action="store_true",
+                    help="skip the GSPMD 1x1-mesh decode overhead probe "
+                         "(recorded by default so the bench artifact carries "
+                         "the sharding-overhead number)")
     ap.add_argument("--sharded", action="store_true",
-                    help="also measure the GSPMD 1x1-mesh decode overhead")
+                    help="(kept for compatibility; the probe now runs by "
+                         "default)")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="run the B=1 plateau phase-ablation breakdown "
+                         "(real TPU only) and exit")
     args = ap.parse_args()
 
+    if args.breakdown:
+        bd = bench_breakdown()
+        for k, v in bd.items():
+            print(f"# {k}: {v}", file=sys.stderr)
+        print(json.dumps({"metric": "b1_breakdown", "value": bd.get(
+            "full", {}).get("ms_per_tok") if isinstance(bd.get("full"), dict)
+            else None, "unit": "ms/tok", "vs_baseline": 0, "extra": bd}))
+        return
+
+    extra = {}
     stats = bench_t2s_decode(n_tokens=args.tokens, chunk=args.chunk)
+    chunk_ms = args.chunk * stats["decode_ms_per_token"]
     print(
         f"# platform={stats['platform']} dtype={stats['dtype']} "
         f"tok/s={stats['tok_s']:.1f} ms/tok={stats['decode_ms_per_token']:.3f} "
@@ -276,13 +363,18 @@ def main():
         f"ttft(gpt)={stats['ttft_gpt_ms']:.1f}ms "
         f"gpt_rtf={stats['gpt_rtf']:.4f} compile={stats['compile_prefill_s']:.1f}s",
         file=sys.stderr)
-    if args.sharded:
+    extra.update(
+        prefill_wall_ms=round(stats["prefill_ms"], 1),
+        prefill_onchip_ms=round(stats["prefill_onchip_ms"], 1),
+        gpt_rtf=round(stats["gpt_rtf"], 4))
+    if not args.skip_sharded:
         try:
             sh = bench_sharded_decode()
             print(f"# sharded: xla_1chip={sh['xla_1chip']:.0f} tok/s, "
                   f"gspmd_1x1={sh['gspmd_1x1']:.0f} tok/s "
                   f"(GSPMD overhead {sh['gspmd_overhead_pct']:+.1f}%)",
                   file=sys.stderr)
+            extra["gspmd_1x1_overhead_pct"] = round(sh["gspmd_overhead_pct"], 1)
         except Exception as e:  # noqa: BLE001
             print(f"# sharded bench failed: {e}", file=sys.stderr)
     try:
@@ -291,17 +383,31 @@ def main():
               f"aggregate tok/s "
               f"(~{bt['streams_realtime']:.0f} concurrent realtime GPT streams)",
               file=sys.stderr)
+        extra["batched_b4_agg_tok_s"] = round(bt["agg_tok_s"], 0)
     except Exception as e:  # noqa: BLE001
         print(f"# batched bench failed: {e}", file=sys.stderr)
     if not args.skip_sovits:
         try:
             sv = bench_sovits_chunk()
             e2e_rtf = stats["gpt_rtf"] + sv["sovits_rtf"]
-            ttft = stats["ttft_gpt_ms"] + sv["sovits_chunk_ms"]
+            # wall TTFT includes one tunnel RTT per dispatch (tens of ms on
+            # axon — pessimistic for colocated serving); the on-chip figure
+            # is the honest device-time budget: amortized prefill + first
+            # 25-token decode chunk + one vocoder chunk (VERDICT r2 #3)
+            ttft_wall = stats["ttft_gpt_ms"] + sv["sovits_chunk_ms"]
+            ttft_onchip = (stats["prefill_onchip_ms"] + chunk_ms
+                           + sv["sovits_chunk_ms"])
             print(f"# sovits_chunk={sv['sovits_chunk_ms']:.1f}ms "
                   f"sovits_rtf={sv['sovits_rtf']:.4f} e2e_rtf={e2e_rtf:.4f} "
-                  f"ttft_stream={ttft:.1f}ms (targets: rtf<=0.1, ttft<=130ms)",
+                  f"ttft_stream_wall={ttft_wall:.1f}ms "
+                  f"ttft_onchip={ttft_onchip:.1f}ms "
+                  f"(targets: rtf<=0.1, ttft<=130ms)",
                   file=sys.stderr)
+            extra.update(
+                sovits_chunk_ms=round(sv["sovits_chunk_ms"], 1),
+                e2e_rtf=round(e2e_rtf, 4),
+                ttft_stream_wall_ms=round(ttft_wall, 1),
+                ttft_onchip_ms=round(ttft_onchip, 1))
         except Exception as e:  # noqa: BLE001
             print(f"# sovits bench failed: {e}", file=sys.stderr)
     print(json.dumps({
@@ -309,6 +415,7 @@ def main():
         "value": round(stats["tok_s"], 2),
         "unit": "tok/s",
         "vs_baseline": round(stats["tok_s"] / 800.0, 4),
+        "extra": extra,
     }))
 
 

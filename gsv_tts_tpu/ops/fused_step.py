@@ -314,7 +314,7 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
                    logits_vmem, k_win, v_win,
                    w_sem, pw_sem, kv_sem, win_rsem, win_wsem, row_sem,
                    *, L, S, H, D, M, V, Vp, CHV, block_s, sa, suppressed,
-                   eps=1e-5):
+                   ablate=None, eps=1e-5):
     """Whole decode step, DMA-issue-minimized: the four per-layer weight
     matrices arrive as ONE packed [D, 3D+D+2M] transfer (mlp2 pre-transposed
     so every matrix is row-major over D), and the K/V appends batch into a
@@ -323,7 +323,17 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
     (A combined [L, 2, B, S, D] cache with one descriptor per walk block
     was tried and measured 1628 vs 2916 tok/s — the K→V stride makes the
     DMA non-rectangular-slow; split caches with two descriptors win.)"""
+    # measurement-only ablations (bench.py --breakdown): compile-time
+    # removal of one phase each, to attribute the per-step time between
+    # the serial MXU chain and the DMA streams (VERDICT r2 #4)
+    no_attn_mm = ablate in ("attn_mm", "mm_off")
+    no_mlp = ablate in ("mlp", "mm_off")
+    no_head = ablate in ("head", "mm_off")
+    no_walk = ablate == "walk"
+
     length = scalar_ref[0]
+    if no_walk:
+        length = length * 0  # self-attention only: no history-walk DMAs/MXU
     pe_idx = scalar_ref[1]
     last_tok = scalar_ref[2]
     buf_len = scalar_ref[3]
@@ -420,19 +430,23 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
         def _():
             start_layer_load(i + 1, nxt)
 
-        @pl.when(i + 1 == L)
-        def _():
-            # last layer computing: stream the logits head behind it
-            pw_dma(0, 0).start(priority=1)
-            if n_pw_chunks > 1:
-                pw_dma(1, 1).start(priority=1)
+        if not no_head:
+            @pl.when(i + 1 == L)
+            def _():
+                # last layer computing: stream the logits head behind it
+                pw_dma(0, 0).start(priority=1)
+                if n_pw_chunks > 1:
+                    pw_dma(1, 1).start(priority=1)
 
         wait_layer_load(slot)
 
         x = x_scr[:]
         xc = x.astype(cdtype)
 
-        qkv = jnp.dot(xc, w_all[slot][:, :O_OUT], preferred_element_type=F32)
+        if no_attn_mm:
+            qkv = jnp.concatenate([xc, xc, xc], axis=1).astype(F32)
+        else:
+            qkv = jnp.dot(xc, w_all[slot][:, :O_OUT], preferred_element_type=F32)
         qkv = qkv + qkv_b_ref[i][0:1].astype(F32)
         q = qkv[:, :D]
         k_new = qkv[:, D:2 * D]
@@ -498,27 +512,34 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
             acc = acc_ref[:] * corr_exp + pself_exp * v_new
             l_exp = jnp.dot(l[None, :], poolT, preferred_element_type=F32)
 
-            h = jnp.dot((acc / l_exp).astype(cdtype),
-                        w_all[slot][:, O_OUT:O_M1], preferred_element_type=F32)
+            attn_out = (acc / l_exp).astype(cdtype)
+            if no_attn_mm:
+                h = attn_out.astype(F32)
+            else:
+                h = jnp.dot(attn_out, w_all[slot][:, O_OUT:O_M1],
+                            preferred_element_type=F32)
             h = x + h + out_b_ref[i][0:1].astype(F32)
             mean = jnp.mean(h, axis=-1, keepdims=True)
             var = jnp.mean((h - mean) ** 2, axis=-1, keepdims=True)
             h = (h - mean) * jax.lax.rsqrt(var + eps) \
                 * ln1_g_ref[i][0:1].astype(F32) + ln1_b_ref[i][0:1].astype(F32)
 
-            m1 = jnp.dot(h.astype(cdtype), w_all[slot][:, O_M1:O_M2],
-                         preferred_element_type=F32)
-            m1 = jnp.maximum(m1 + mlp1_b_ref[i][0:1].astype(F32), 0.0)
-            # mlp2 is packed transposed ([D, M]); contract both last dims
-            m2 = jax.lax.dot_general(
-                m1.astype(cdtype), w_all[slot][:, O_M2:],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=F32)
-            h2 = h + m2 + mlp2_b_ref[i][0:1].astype(F32)
-            mean = jnp.mean(h2, axis=-1, keepdims=True)
-            var = jnp.mean((h2 - mean) ** 2, axis=-1, keepdims=True)
-            x_scr[:] = (h2 - mean) * jax.lax.rsqrt(var + eps) \
-                * ln2_g_ref[i][0:1].astype(F32) + ln2_b_ref[i][0:1].astype(F32)
+            if no_mlp:
+                x_scr[:] = h
+            else:
+                m1 = jnp.dot(h.astype(cdtype), w_all[slot][:, O_M1:O_M2],
+                             preferred_element_type=F32)
+                m1 = jnp.maximum(m1 + mlp1_b_ref[i][0:1].astype(F32), 0.0)
+                # mlp2 is packed transposed ([D, M]); contract both last dims
+                m2 = jax.lax.dot_general(
+                    m1.astype(cdtype), w_all[slot][:, O_M2:],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=F32)
+                h2 = h + m2 + mlp2_b_ref[i][0:1].astype(F32)
+                mean = jnp.mean(h2, axis=-1, keepdims=True)
+                var = jnp.mean((h2 - mean) ** 2, axis=-1, keepdims=True)
+                x_scr[:] = (h2 - mean) * jax.lax.rsqrt(var + eps) \
+                    * ln2_g_ref[i][0:1].astype(F32) + ln2_b_ref[i][0:1].astype(F32)
 
         pl.run_scoped(
             scoped,
@@ -539,19 +560,22 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
     vwin_write.start()
 
     # ---- logits head: chunked [1,D]@[D,CHV] matmuls over the streamed head ----
-    xc = x_scr[:].astype(cdtype)
-    for c in range(n_pw_chunks):
-        slot = c % 2
-        pw_dma(c, slot).wait()
-        logits_vmem[0:1, pl.ds(c * CHV, CHV)] = jnp.dot(
-            xc, pw_buf[slot], preferred_element_type=F32)
-        # refill this slot only after the matmul consumed it
-        if c + 2 < n_pw_chunks:
-            pw_dma(c + 2, slot).start()
-
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, Vp), 1)
-    row = logits_vmem[:]
-    row = jnp.where(lane < V, row, NEG)
+    if no_head:
+        row = jnp.where(lane < V, jnp.zeros((1, Vp), F32), NEG)
+    else:
+        xc = x_scr[:].astype(cdtype)
+        for c in range(n_pw_chunks):
+            slot = c % 2
+            pw_dma(c, slot).wait()
+            logits_vmem[0:1, pl.ds(c * CHV, CHV)] = jnp.dot(
+                xc, pw_buf[slot], preferred_element_type=F32)
+            # refill this slot only after the matmul consumed it
+            if c + 2 < n_pw_chunks:
+                pw_dma(c + 2, slot).start()
+
+        row = logits_vmem[:]
+        row = jnp.where(lane < V, row, NEG)
 
     # suppression window (reference ``t2s_model.py:444-445``): -inf on the
     # configured ids while step_idx < initial_suppression_steps
@@ -673,7 +697,8 @@ def _pw_chunk(Vp: int) -> int:
 def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
                              kv_len, x_len, last_tok, buf_len, step_idx,
                              gumbel, *, sa, suppress_until: int = 0,
-                             suppressed=(), interpret: bool = False):
+                             suppressed=(), interpret: bool = False,
+                             ablate=None):
     """One FULL decode step in a single kernel launch (B = 1): embedding,
     all transformer layers, in-place KV append, logits head, and sampling.
 
@@ -726,7 +751,8 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
     kernel = functools.partial(
         _kernel_sample, L=L, S=S, H=H, D=D, M=M, V=V, Vp=Vp, CHV=CHV,
         block_s=block_s, sa=sa,
-        suppressed=tuple(suppressed) if suppress_until else ())
+        suppressed=tuple(suppressed) if suppress_until else (),
+        ablate=ablate)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)

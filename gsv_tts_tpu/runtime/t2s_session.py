@@ -137,6 +137,47 @@ def _append_tok(tok_buf, buf_len, tok):
     return tok_buf
 
 
+@partial(jax.jit, static_argnames=("new_S", "vocab"))
+def _gather_slots(state: DecodeState, slot_map, new_S: int, vocab: int):
+    """Re-pack slots into a (differently sized) wave: ``slot_map[j]`` is
+    the OLD slot index new slot ``j`` inherits, -1 for a dead slot.  One
+    device gather per buffer — used for continuous-batching wave growth
+    (identity map into a larger B) and tail compaction (survivors into a
+    smaller B, so a lone tail request decodes at the small-batch kernel
+    rate instead of burning dead slots).  The sequence dimension pads or
+    truncates to ``new_S``; the caller guarantees every live slot's
+    ``kv_len`` fits.  (No donation: the output shape always differs.)"""
+    old_B = state.kv_len.shape[0]
+    src = jnp.clip(slot_map, 0, old_B - 1)
+    live = slot_map >= 0
+    S = state.k_cache.shape[2]
+
+    def fix_s(c):
+        if new_S > S:
+            return jnp.pad(c, [(0, 0), (0, 0), (0, new_S - S), (0, 0), (0, 0)])
+        if new_S < S:
+            return c[:, :, :new_S]
+        return c
+
+    tok_buf = jnp.take(state.tok_buf, src, axis=0)
+    if new_S > S:
+        tok_buf = jnp.pad(tok_buf, [(0, 0), (0, new_S - S)],
+                          constant_values=vocab)
+    elif new_S < S:
+        tok_buf = tok_buf[:, :new_S]
+
+    def scal(a):
+        return jnp.where(live, jnp.take(a, src, axis=0), 0)
+
+    return DecodeState(
+        k_cache=fix_s(jnp.take(state.k_cache, src, axis=1)),
+        v_cache=fix_s(jnp.take(state.v_cache, src, axis=1)),
+        kv_len=scal(state.kv_len), x_len=scal(state.x_len),
+        tok_buf=tok_buf, buf_len=scal(state.buf_len),
+        last_tok=scal(state.last_tok), step_idx=scal(state.step_idx),
+        rng=state.rng)
+
+
 @partial(jax.jit, static_argnames=("cfg", "sa", "first_suppress", "dtype_name",
                                    "attn_impl"),
          donate_argnames=("k_cache", "v_cache"))
@@ -271,6 +312,10 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
 
     D = cfg.hidden_dim
     S = state.k_cache.shape[2]
+    # measurement-only phase ablation ("fused_step:<mode>", bench.py
+    # --breakdown): strip the suffix before impl dispatch
+    attn_impl, _, ablate = attn_impl.partition(":")
+    ablate = ablate or None
     # the fused kernels' attention walk (pl.ds over block_s windows) and
     # repetition-penalty tok_buf sweep (128-row chunks) require the cache
     # bucket length to be a 128-multiple; gpt_cache is user config, so gate
@@ -356,7 +401,8 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
                 st.kv_len, st.x_len, st.last_tok, st.buf_len, st.step_idx,
                 g, sa=sa, suppress_until=suppress_until,
                 suppressed=cfg.suppressed_tokens + (cfg.eos,),
-                interpret=(attn_impl == "fused_step_interpret"))
+                interpret=(attn_impl == "fused_step_interpret"),
+                ablate=ablate)
             new = DecodeState(
                 k_cache=kc, v_cache=vc,
                 kv_len=st.kv_len + 1, x_len=st.x_len,
@@ -418,6 +464,9 @@ class T2SEngine:
         self.check_interval = check_interval
         self.initial_suppression_steps = initial_suppression_steps
         self.mesh = None  # set by .shard() for multi-chip inference
+        # observability counters (asserted by tpu_smoke's real-chip drives)
+        self.compactions = 0
+        self.refills = 0
         # buckets[batch_size] = sorted list of max_kv_cache lengths
         self.buckets: Dict[int, List[int]] = {}
         for b, s in gpt_cache:
@@ -615,7 +664,7 @@ class T2SEngine:
 
     def generate_batched(self, x_list, y_list, bert_list, top_k=15, top_p=1.0,
                          temperature=1.0, repetition_penalty=1.35,
-                         rng: Optional[jax.Array] = None):
+                         rng: Optional[jax.Array] = None, compact: bool = True):
         """Continuous batching with slot refill.  Returns
         (list of np token arrays, list of original indices)."""
         acc: Dict[int, List[np.ndarray]] = {}
@@ -623,7 +672,7 @@ class T2SEngine:
         for i, toks, done in self.generate_batched_stream(
                 x_list, y_list, bert_list, top_k=top_k, top_p=top_p,
                 temperature=temperature, repetition_penalty=repetition_penalty,
-                rng=rng):
+                rng=rng, compact=compact):
             acc.setdefault(i, []).append(toks)
             if done:
                 order.append(i)
@@ -634,7 +683,8 @@ class T2SEngine:
     def generate_batched_stream(self, x_list, y_list, bert_list, top_k=15,
                                 top_p=1.0, temperature=1.0,
                                 repetition_penalty=1.35,
-                                rng: Optional[jax.Array] = None):
+                                rng: Optional[jax.Array] = None,
+                                compact: bool = True):
         """Incremental continuous batching: yields ``(orig_idx, new_tokens,
         done)`` after every decode chunk, where concatenating a request's
         ``new_tokens`` arrays reproduces its :meth:`generate_batched`
@@ -783,6 +833,7 @@ class T2SEngine:
                     slot_emitted[j] = 0
                     slot_eos_seen[j] = False
                     buf = None
+                    self.refills += 1
                 else:
                     ignore[j] = True
                     # freeze the slot: reset kv_len so it stops growing
@@ -790,3 +841,40 @@ class T2SEngine:
                         state, kv_len=state.kv_len.at[j].set(0),
                         step_idx=state.step_idx.at[j].set(0),
                         buf_len=state.buf_len.at[j].set(0))
+
+            # tail compaction: once no requests remain to refill and the
+            # wave is mostly dead, re-pack survivors into the smallest
+            # batch bucket that fits (one device gather — the tail then
+            # decodes at the small-batch kernel rate instead of paying
+            # full-wave steps for frozen slots)
+            if compact and next_req >= N:
+                live_idx = [k for k in range(B) if not ignore[k]]
+                if live_idx and len(live_idx) <= B // 2:
+                    sizes = sorted(self.buckets.keys())
+                    smaller = next((b for b in sizes
+                                    if b >= len(live_idx) and b < B), None)
+                    if smaller is not None:
+                        kvn = np.asarray(state.kv_len)
+                        need = int(max(kvn[k] for k in live_idx))
+                        new_S = next((s for s in self.buckets[smaller]
+                                      if s > need), None)
+                        if new_S is not None:
+                            slot_map = np.full((smaller,), -1, np.int32)
+                            slot_map[:len(live_idx)] = live_idx
+                            state = _gather_slots(
+                                state, jnp.asarray(slot_map), new_S,
+                                cfg.vocab_size)
+
+                            def remap(lst, fill):
+                                return [lst[k] for k in live_idx] + \
+                                    [fill] * (smaller - len(live_idx))
+
+                            slot_orig = remap(slot_orig, -1)
+                            slot_start = remap(slot_start, 0)
+                            slot_steps = remap(slot_steps, 0)
+                            slot_samples = remap(slot_samples, [])
+                            slot_emitted = remap(slot_emitted, 0)
+                            slot_eos_seen = remap(slot_eos_seen, False)
+                            ignore = remap(ignore, True)
+                            B = smaller
+                            self.compactions += 1

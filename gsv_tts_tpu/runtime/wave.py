@@ -37,62 +37,19 @@ import logging
 import queue
 import threading
 from collections import deque
-from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .t2s_session import (DecodeState, SampleArgs, T2SEngine, decode_chunk,
-                          prefill_batch, prefill_slot, PAD_MULTIPLE, _round_up)
+from .t2s_session import (DecodeState, SampleArgs, T2SEngine, _gather_slots,
+                          decode_chunk, prefill_batch, prefill_slot,
+                          PAD_MULTIPLE, _round_up)
 
 __all__ = ["WaveScheduler", "StreamHandle"]
 
 I32 = jnp.int32
-
-
-@partial(jax.jit, static_argnames=("new_S", "vocab"))
-def _gather_slots(state: DecodeState, slot_map, new_S: int, vocab: int):
-    # (no donation: the output batch or sequence shape always differs from
-    # the input's, so XLA could never reuse the buffers anyway)
-    """Re-pack live slots into a (possibly differently sized) wave.
-
-    ``slot_map[j]`` is the OLD slot index whose state new slot ``j``
-    inherits, or -1 for a dead slot.  One device gather per buffer — this
-    is both wave growth (identity map into a larger B) and compaction
-    (surviving slots into a smaller B).  The sequence dimension pads or
-    truncates to ``new_S`` (truncation is guarded by the caller: every
-    live slot's kv_len must fit)."""
-    old_B = state.kv_len.shape[0]
-    src = jnp.clip(slot_map, 0, old_B - 1)
-    live = slot_map >= 0
-    S = state.k_cache.shape[2]
-
-    def fix_s(c):
-        if new_S > S:
-            return jnp.pad(c, [(0, 0), (0, 0), (0, new_S - S), (0, 0), (0, 0)])
-        if new_S < S:
-            return c[:, :, :new_S]
-        return c
-
-    tok_buf = jnp.take(state.tok_buf, src, axis=0)
-    if new_S > S:
-        tok_buf = jnp.pad(tok_buf, [(0, 0), (0, new_S - S)],
-                          constant_values=vocab)
-    elif new_S < S:
-        tok_buf = tok_buf[:, :new_S]
-
-    def scal(a):
-        return jnp.where(live, jnp.take(a, src, axis=0), 0)
-
-    return DecodeState(
-        k_cache=fix_s(jnp.take(state.k_cache, src, axis=1)),
-        v_cache=fix_s(jnp.take(state.v_cache, src, axis=1)),
-        kv_len=scal(state.kv_len), x_len=scal(state.x_len),
-        tok_buf=tok_buf, buf_len=scal(state.buf_len),
-        last_tok=scal(state.last_tok), step_idx=scal(state.step_idx),
-        rng=state.rng)
 
 
 class StreamHandle:
@@ -422,6 +379,14 @@ class WaveScheduler:
                 slot.live = False
                 wave.state = self._freeze(wave.state, j)
                 wave.n_finished += 1
+
+        # a fully-dead wave resets to fresh state before admission: new
+        # arrivals then get the fresh-wave cadence (1-step first chunk)
+        # and bucket sizing instead of inheriting a stale wave's phase
+        if wave.state is not None and not any(s.live for s in wave.slots):
+            wave.state = None
+            wave.slots = []
+            wave.first_chunk = True
 
         live = [j for j, s in enumerate(wave.slots) if s.live]
         with self._lock:

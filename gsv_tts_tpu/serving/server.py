@@ -135,7 +135,7 @@ def pack_audio(data: np.ndarray, rate: int, media_type: str) -> bytes:
 
 class TTSServer:
     def __init__(self, tts, asr_fn=None, batch_window_ms: float = 0.0,
-                 batch_max: int = 4):
+                 batch_max: int = 4, stream_share: bool = False):
         """``tts``: a gsv_tts_tpu.TTS engine.  ``asr_fn``: optional callable
         (audio_path → transcript) used when prompt_text is omitted (the
         reference calls Qwen3-ASR, ``personal_api.py:92-108``).
@@ -148,9 +148,16 @@ class TTSServer:
         silence between segments (``infer_batched`` structurally inserts
         the fragment pauses).  A flush wave holding exactly ONE request
         bypasses that and keeps the documented single-``infer`` semantics
-        (only the window's latency is added)."""
+        (only the window's latency is added).
+
+        ``stream_share`` makes ``/tts/stream`` route through the shared
+        wave scheduler by default (``TTS.stream_shared`` — N independent
+        SSE clients decode concurrently in one batched kernel wave instead
+        of queueing on the engine lock); each request can override with
+        ``"shared": true/false``."""
         self.tts = tts
         self.asr_fn = asr_fn
+        self.stream_share = stream_share
         self.timings = Timings()
         self.batcher = None
         if batch_window_ms > 0:
@@ -218,6 +225,10 @@ class TTSServer:
         }
         if self.batcher is not None:
             payload["batcher"] = self.batcher.stats
+        if hasattr(self.tts, "wave_stats"):
+            waves = self.tts.wave_stats()
+            if waves:
+                payload["waves"] = waves
         return web.json_response(payload)
 
     async def tts_stream(self, request: web.Request) -> web.StreamResponse:
@@ -239,19 +250,13 @@ class TTSServer:
         first = True
         total_len = 0
         try:
-            agen = self.tts.infer_stream_async(
-                spk_audio_path=speaker_audio,
-                prompt_audio_path=prompt_audio,
-                prompt_audio_text=prompt_text,
-                text=req["text"],
+            kw = dict(
                 return_subtitles=bool(req.get("return_subtitles", False)),
                 is_cut_text=bool(req.get("is_cut_text", True)),
                 cut_minlen=int(req.get("cut_minlen", 10)),
                 cut_mute=float(req.get("cut_mute", 0.3)),
-                stream_mode=req.get("stream_mode", "token"),
                 stream_chunk=int(req.get("stream_chunk", 25)),
                 overlap_len=int(req.get("overlap_len", 5)),
-                boost_first_chunk=bool(req.get("boost_first_chunk", True)),
                 top_k=int(req.get("top_k", 15)),
                 top_p=float(req.get("top_p", 1.0)),
                 temperature=float(req.get("temperature", 1.0)),
@@ -260,6 +265,26 @@ class TTSServer:
                 speed=float(req.get("speed", 1.0)),
                 debug=False,
             )
+            if bool(req.get("shared", self.stream_share)):
+                # shared wave: concurrent SSE clients decode in one batched
+                # kernel wave (sentence mode maps to a huge chunk as in
+                # infer_stream; boost_first_chunk has no batched analogue)
+                if req.get("stream_mode", "token") == "sentence":
+                    kw["stream_chunk"] = 10000
+                agen = self.tts.stream_shared_async(
+                    spk_audio_path=speaker_audio,
+                    prompt_audio_path=prompt_audio,
+                    prompt_audio_text=prompt_text,
+                    text=req["text"], **kw)
+            else:
+                agen = self.tts.infer_stream_async(
+                    spk_audio_path=speaker_audio,
+                    prompt_audio_path=prompt_audio,
+                    prompt_audio_text=prompt_text,
+                    text=req["text"],
+                    stream_mode=req.get("stream_mode", "token"),
+                    boost_first_chunk=bool(req.get("boost_first_chunk", True)),
+                    **kw)
             async for clip in agen:
                 if first:
                     self.timings.record("ttfa_s", time.perf_counter() - t0)
@@ -309,6 +334,7 @@ class TTSServer:
                 prompt_audio_paths=prompt_audio,
                 prompt_audio_texts=prompt_text,
                 texts=req["texts"],
+                return_subtitles=bool(req.get("return_subtitles", False)),
                 is_cut_text=bool(req.get("is_cut_text", True)),
                 cut_minlen=int(req.get("cut_minlen", 10)),
                 cut_mute=float(req.get("cut_mute", 0.3)),
@@ -332,6 +358,7 @@ class TTSServer:
                         np.asarray(clip.audio_data, np.float32).tobytes()).decode(),
                     "sample_rate": clip.samplerate,
                     "duration": clip.audio_len_s,
+                    "subtitles": clip.subtitles,
                     "text": clip.orig_text,
                 }
                 await resp.write(
@@ -525,9 +552,9 @@ class TTSServer:
 
 
 def create_app(tts, asr_fn=None, batch_window_ms: float = 0.0,
-               batch_max: int = 4) -> "web.Application":
+               batch_max: int = 4, stream_share: bool = False) -> "web.Application":
     server = TTSServer(tts, asr_fn=asr_fn, batch_window_ms=batch_window_ms,
-                       batch_max=batch_max)
+                       batch_max=batch_max, stream_share=stream_share)
     app = web.Application()
     app["server"] = server
     if server.batcher is not None:
@@ -568,6 +595,13 @@ def main():
     ap.add_argument("--batch-max", type=int, default=4,
                     help="max requests per coalesced batch (the fused "
                          "batched decode kernel peaks at 4 slots/wave)")
+    ap.add_argument("--stream-share", action="store_true",
+                    help="route /tts/stream through the shared wave "
+                         "scheduler by default: N independent SSE clients "
+                         "decode concurrently in one batched kernel wave "
+                         "(per-request override via \"shared\": true/false; "
+                         "shared streams use batched-mode sampling "
+                         "semantics)")
     args = ap.parse_args()
 
     tts = TTS(models_dir=args.models_dir, dtype=args.dtype)
@@ -579,7 +613,8 @@ def main():
 
     web.run_app(create_app(tts, asr_fn=make_asr_fn(),
                            batch_window_ms=args.batch_window_ms,
-                           batch_max=args.batch_max),
+                           batch_max=args.batch_max,
+                           stream_share=args.stream_share),
                 host=args.host, port=args.port)
 
 

@@ -48,6 +48,109 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+class _SegStream:
+    """Per-segment incremental vocoder state machine shared by the
+    streaming batched modes (``infer_batched_stream`` / ``stream_shared``):
+    cumulative-token chunked SoVITS decode with latent cross-fade
+    (``y_overlap``), SOLA waveform stitching, head trim, final mute pad,
+    and (optionally) the same incremental subtitle pipeline as
+    ``infer_stream`` (reference ``TTS.py:415-476``).
+
+    ``req_state`` threads the REQUEST-level subtitle chain across a
+    request's segments: ``{"last_end_s": float, "cur_text_l": int}``."""
+
+    __slots__ = ("tokens", "vocoded", "done", "phones2", "ge", "text_cut",
+                 "word2ph", "norm_text", "want_subtitles", "_y_overlap",
+                 "_vsi", "_last_overlap", "_chunk_idx", "_head_offset",
+                 "_last_subtitles_end")
+
+    def __init__(self, phones2, ge, text_cut, word2ph=None, norm_text=None,
+                 want_subtitles: bool = False):
+        self.tokens: List[int] = []
+        self.vocoded = 0
+        self.done = False
+        self.phones2 = phones2
+        self.ge = ge
+        self.text_cut = text_cut
+        self.word2ph = word2ph
+        self.norm_text = norm_text
+        self.want_subtitles = want_subtitles
+        self._y_overlap = None
+        self._vsi = 0
+        self._last_overlap = None
+        self._chunk_idx = 0
+        self._head_offset = 0
+        self._last_subtitles_end = 0
+
+    def step(self, tts: "TTS", sovits, final: bool, req_state: dict, *,
+             noise_scale: float, speed: float, overlap_len: int,
+             cut_mute: float, cut_mute_scale_map: dict):
+        """One incremental vocode pass over the cumulative tokens; returns
+        ``(audio float32, new_subtitles)``."""
+        overlap_samples = overlap_len * sovits.cfg.samples_per_frame
+        semantic = np.asarray(self.tokens, np.int64)
+        subtitles = []
+        if semantic.size:
+            audio, attn, self._y_overlap = tts._sovits_decode_stream(
+                sovits, semantic[None, None, :],
+                np.asarray(self.phones2, np.int32)[None], self.ge,
+                noise_scale=noise_scale, speed=speed,
+                y_overlap=self._y_overlap, valid_start_idx=self._vsi,
+                overlap_len=overlap_len)
+            audio = np.asarray(audio).reshape(-1)
+            attn = np.asarray(attn)
+            if self._last_overlap is not None:
+                audio, _ = dsp.sola_align(self._last_overlap, audio,
+                                          overlap_samples)
+            self._last_overlap = audio[-overlap_samples:].copy()
+            if not final:
+                audio = audio[:-overlap_samples]
+                attn = attn[:, :-overlap_len, :]
+                self._vsi = attn.shape[1]
+            if self.want_subtitles:
+                assign = dsp.viterbi_monotonic(attn)
+                if dsp.is_normal_assign(assign) or final:
+                    subtitles = tts._get_subtitles(
+                        self.word2ph, assign, speed,
+                        last_end_s=req_state["last_end_s"])
+            if self._chunk_idx == 0:
+                self._head_offset = dsp.find_head_threshold_offset(audio)
+                audio = audio[self._head_offset:]
+            if subtitles:
+                tts._increment_subtitle_times(
+                    subtitles, -self._head_offset / tts.samplerate)
+                subtitles[0]["start_s"] = max(req_state["last_end_s"],
+                                              subtitles[0]["start_s"])
+            self._chunk_idx += 1
+        else:
+            audio = np.zeros(0, np.float32)
+        if final:
+            scale = tts._mute_scale(self.text_cut, cut_mute_scale_map)
+            audio = np.concatenate([
+                audio,
+                np.zeros(int(cut_mute * scale * tts.samplerate), np.float32)])
+            if subtitles:
+                if not tts._check_pause(subtitles[-1]["text"]):
+                    subtitles.append({"text": self.word2ph["word"][-1],
+                                      "start_s": subtitles[-1]["end_s"],
+                                      "end_s": subtitles[-1]["end_s"]})
+                subtitles[-1]["end_s"] += cut_mute * scale
+                req_state["last_end_s"] = subtitles[-1]["end_s"]
+        new_subtitles = []
+        if subtitles:
+            subtitles = sub2text_index(subtitles, self.norm_text, self.text_cut)
+            tts._increment_subtitle_indices(subtitles, req_state["cur_text_l"])
+            new_subtitles = subtitles[self._last_subtitles_end:]
+            self._last_subtitles_end = len(subtitles) - 1
+            if not final and new_subtitles:
+                new_subtitles[-1]["end_s"] = None
+        if final:
+            req_state["cur_text_l"] += len(self.text_cut)
+        self.vocoded = len(self.tokens)
+        self.done = self.done or final
+        return audio.astype(np.float32), new_subtitles
+
+
 class TTS:
     """Engine facade.  Constructor mirrors the reference ``TTS.__init__``
     (``TTS.py:38-147``); CUDA-specific knobs map onto their XLA equivalents
@@ -66,6 +169,7 @@ class TTS:
         use_jieba_fast: bool = False,
         always_load_cnhubert: bool = False,
         always_load_sv: bool = False,
+        wave_max_batch: int = 4,
     ):
         self.tts_config = Config(dtype=dtype, platform=device)
         self.tts_config.use_flash_attn = use_flash_attn
@@ -114,6 +218,14 @@ class TTS:
 
         self.audio_queue = AudioQueue(self.samplerate)
         self._infer_lock = threading.Lock()
+        # shared-wave streaming (``stream_shared``): one scheduler per GPT
+        # model, created lazily; concurrent clients bypass _infer_lock, so
+        # the rng chain and the featurize caches get their own locks
+        self.wave_max_batch = wave_max_batch
+        self._wave_schedulers: Dict = {}
+        self._sched_lock = threading.Lock()
+        self._rng_lock = threading.Lock()
+        self._prep_lock = threading.Lock()
         # first-class latency observability (SURVEY §5: the reference only has
         # tqdm bars + the WebUI RTF readout)
         self.timings = Timings()
@@ -142,6 +254,10 @@ class TTS:
     def unload_gpt_model(self, *model_paths):
         for path in model_paths:
             if path in self.gpt_models:
+                with self._sched_lock:
+                    sched = self._wave_schedulers.pop(path, None)
+                if sched is not None:
+                    sched.close()
                 del self.gpt_models[path]
                 logging.info(f"Unloaded GPT model: {path}")
             else:
@@ -690,6 +806,7 @@ class TTS:
 
     def infer_batched_stream(self, spk_audio_paths, prompt_audio_paths,
                              prompt_audio_texts, texts,
+                             return_subtitles: bool = False,
                              is_cut_text: bool = True, cut_minlen: int = 10,
                              cut_mute: float = 0.4,
                              cut_mute_scale_map: dict = DEFAULT_MUTE_SCALE,
@@ -712,83 +829,59 @@ class TTS:
         early by other slots are buffered as tokens and vocoded when their
         turn comes.  Sampling uses the batched-mode semantics
         (``infer_batched``'s: no repetition penalty over generated tokens).
-        Subtitles are not produced in this mode."""
+        With ``return_subtitles`` each clip carries the same incremental
+        subtitles as ``infer_stream`` (reference ``TTS.py:444-476``),
+        per-request time/index chains included."""
         cut_mute = cut_mute / speed
         (gpt, sovits, orig_texts, all_segments, segment_to_original,
-         all_phones2, _all_word2ph, _all_norm_text, xs, ys, berts, all_ge) = \
+         all_phones2, all_word2ph, all_norm_text, xs, ys, berts, all_ge) = \
             self._prepare_batched_inputs(
                 spk_audio_paths, prompt_audio_paths, prompt_audio_texts, texts,
                 is_cut_text, cut_minlen, bert_batch_size, gpt_model,
                 sovits_model)
         n_segs = len(all_segments)
-        overlap_samples = overlap_len * sovits.cfg.samples_per_frame
 
         orig_segments: Dict[int, List[int]] = {}
         for s, oi in enumerate(segment_to_original):
             orig_segments.setdefault(oi, []).append(s)
         cur_pos = {oi: 0 for oi in orig_segments}
         audio_len_s = {oi: 0.0 for oi in orig_segments}
-        seg = [{"tokens": [], "done": False, "vocoded": 0, "y_overlap": None,
-                "vsi": 0, "last_overlap": None, "chunk_idx": 0}
-               for _ in range(n_segs)]
+        req_state = {oi: {"last_end_s": 0.0, "cur_text_l": 0}
+                     for oi in orig_segments}
+        seg = [_SegStream(all_phones2[s], all_ge[s], all_segments[s],
+                          word2ph=all_word2ph[s], norm_text=all_norm_text[s],
+                          want_subtitles=return_subtitles)
+               for s in range(n_segs)]
 
-        def vocode(s: int, final: bool) -> np.ndarray:
-            """One incremental vocode pass over segment ``s``'s cumulative
-            tokens (mirrors the per-chunk body of ``infer_stream``)."""
-            st = seg[s]
-            semantic = np.asarray(st["tokens"], np.int64)
-            if semantic.size:
-                audio, attn, st["y_overlap"] = self._sovits_decode_stream(
-                    sovits, semantic[None, None, :],
-                    np.asarray(all_phones2[s], np.int32)[None], all_ge[s],
-                    noise_scale=noise_scale, speed=speed,
-                    y_overlap=st["y_overlap"], valid_start_idx=st["vsi"],
-                    overlap_len=overlap_len)
-                audio = np.asarray(audio).reshape(-1)
-                attn = np.asarray(attn)
-                if st["last_overlap"] is not None:
-                    audio, _ = dsp.sola_align(st["last_overlap"], audio,
-                                              overlap_samples)
-                st["last_overlap"] = audio[-overlap_samples:].copy()
-                if not final:
-                    audio = audio[:-overlap_samples]
-                    st["vsi"] = attn[:, :-overlap_len, :].shape[1]
-                if st["chunk_idx"] == 0:
-                    audio = audio[dsp.find_head_threshold_offset(audio):]
-                st["chunk_idx"] += 1
-            else:
-                audio = np.zeros(0, np.float32)
-            if final:
-                scale = self._mute_scale(all_segments[s], cut_mute_scale_map)
-                audio = np.concatenate([
-                    audio,
-                    np.zeros(int(cut_mute * scale * self.samplerate),
-                             np.float32)])
-            st["vocoded"] = len(st["tokens"])
-            return audio.astype(np.float32)
+        def vocode(s: int, final: bool):
+            oi = segment_to_original[s]
+            return seg[s].step(
+                self, sovits, final, req_state[oi], noise_scale=noise_scale,
+                speed=speed, overlap_len=overlap_len, cut_mute=cut_mute,
+                cut_mute_scale_map=cut_mute_scale_map)
 
-        def clip(oi: int, audio: np.ndarray) -> AudioClip:
+        def clip(oi: int, audio: np.ndarray, subtitles) -> AudioClip:
             audio_len_s[oi] += len(audio) / self.samplerate
             return AudioClip(self.audio_queue, audio, self.samplerate,
-                             audio_len_s[oi], [], orig_texts[oi])
+                             audio_len_s[oi], subtitles, orig_texts[oi])
 
         for s, new_toks, sdone in gpt.engine.generate_batched_stream(
                 xs, ys, berts, top_k=top_k, top_p=top_p,
                 temperature=temperature,
                 repetition_penalty=repetition_penalty, rng=self._next_rng()):
             st = seg[s]
-            st["tokens"].extend(int(t) for t in new_toks)
+            st.tokens.extend(int(t) for t in new_toks)
             if sdone:
-                st["done"] = True
+                st.done = True
             oi = segment_to_original[s]
             if orig_segments[oi][cur_pos[oi]] != s:
                 continue  # out-of-order segment: buffer until its turn
 
-            if not st["done"]:
-                if len(st["tokens"]) - st["vocoded"] >= stream_chunk:
-                    audio = vocode(s, final=False)
+            if not st.done:
+                if len(st.tokens) - st.vocoded >= stream_chunk:
+                    audio, subs = vocode(s, final=False)
                     if audio.size:
-                        yield oi, clip(oi, audio), False
+                        yield oi, clip(oi, audio, subs), False
                 continue
 
             # current segment finished: finalize it, then drain any later
@@ -797,13 +890,105 @@ class TTS:
             cur_pos[oi] += 1
             while cur_pos[oi] < len(orig_segments[oi]):
                 nxt = orig_segments[oi][cur_pos[oi]]
-                if not seg[nxt]["done"]:
+                if not seg[nxt].done:
                     break
                 pending.append(vocode(nxt, final=True))
                 cur_pos[oi] += 1
             req_done = cur_pos[oi] == len(orig_segments[oi])
-            for k, audio in enumerate(pending):
-                yield oi, clip(oi, audio), req_done and k == len(pending) - 1
+            for k, (audio, subs) in enumerate(pending):
+                yield oi, clip(oi, audio, subs), req_done and k == len(pending) - 1
+
+    def stream_shared(self, spk_audio_path, prompt_audio_path,
+                      prompt_audio_text, text, return_subtitles: bool = False,
+                      is_cut_text: bool = True, cut_minlen: int = 10,
+                      cut_mute: float = 0.4,
+                      cut_mute_scale_map: dict = DEFAULT_MUTE_SCALE,
+                      stream_chunk: int = 25, overlap_len: int = 5,
+                      top_k: int = 15, top_p: float = 1.0,
+                      temperature: float = 1.0,
+                      repetition_penalty: float = 1.35,
+                      noise_scale: float = 0.5, speed: float = 1.0,
+                      gpt_model=None, sovits_model=None, debug: bool = True,
+                      cancel_event: Optional[threading.Event] = None):
+        """Streaming synthesis through the SHARED wave scheduler: unlike
+        ``infer_stream`` (which serializes callers behind ``_infer_lock``),
+        N independent callers — threads or server requests arriving at any
+        time — decode CONCURRENTLY in one batched whole-step kernel wave
+        (``runtime/wave.py``), each with its own SoVITS / SOLA / subtitle
+        state.  This is how one chip serves many realtime streams; the
+        reference has no equivalent (its ``personal_api.py:560-663`` SSE
+        clients queue on the lock).
+
+        Sampling uses batched-mode semantics (no repetition penalty over
+        generated tokens, no initial-suppression window — reference
+        ``t2s_model.py:651``), so token streams match ``infer_batched`` /
+        ``infer_batched_stream`` rather than solo ``infer_stream``.
+        ``cancel_event`` (optional) detaches the request mid-stream — the
+        async wrapper sets it when the consumer disconnects."""
+        if self._contains_chinese(text):
+            self._ensure_bert_loaded()
+        if not self._check_pause(text):
+            text += "."
+        if not is_cut_text:
+            cut_minlen = 10000
+        cut_mute = cut_mute / speed
+        gpt_model, sovits_model = self._default_models(gpt_model, sovits_model)
+        with self._prep_lock:
+            sovits, ge = self._prepare_sovits_resources(sovits_model, spk_audio_path)
+            gpt, prompt, phones1, bert1 = self._prepare_gpt_resources(
+                gpt_model, prompt_audio_path, prompt_audio_text)
+        sched = self._get_wave_scheduler(gpt_model)
+
+        import time as _time
+
+        _t_start = _time.perf_counter()
+        first_yield = True
+        req_state = {"last_end_s": 0.0, "cur_text_l": 0}
+        audio_len_s = 0.0
+        text_cuts = cut_text(text, cut_minlen)
+        for i, text_cut in enumerate(text_cuts):
+            if debug:
+                logging.info(f"Shared-stream segment {i + 1}/{len(text_cuts)}: {text_cut!r}")
+            with self._prep_lock:
+                phones2, word2ph, bert2, norm_text = get_phones_and_bert(
+                    text_cut, self.tts_config)
+            x = np.asarray(phones1 + phones2, np.int32)
+            bert = np.concatenate([np.asarray(bert1, np.float32),
+                                   np.asarray(bert2, np.float32)], axis=0)
+            handle = sched.attach(
+                x, np.asarray(prompt, np.int32).reshape(-1), bert,
+                top_k=top_k, top_p=top_p, temperature=temperature,
+                repetition_penalty=repetition_penalty)
+            seg = _SegStream(phones2, ge, text_cut, word2ph=word2ph,
+                             norm_text=norm_text,
+                             want_subtitles=return_subtitles)
+            try:
+                for toks, done in handle:
+                    if cancel_event is not None and cancel_event.is_set():
+                        handle.cancel()
+                        return
+                    seg.tokens.extend(int(t) for t in toks)
+                    if not done and len(seg.tokens) - seg.vocoded < stream_chunk:
+                        continue
+                    audio, subs = seg.step(
+                        self, sovits, done, req_state,
+                        noise_scale=noise_scale, speed=speed,
+                        overlap_len=overlap_len, cut_mute=cut_mute,
+                        cut_mute_scale_map=cut_mute_scale_map)
+                    if audio.size or subs or done:
+                        audio_len_s += len(audio) / self.samplerate
+                        if first_yield:
+                            self.timings.record(
+                                "ttfa_s", _time.perf_counter() - _t_start)
+                            first_yield = False
+                        yield AudioClip(self.audio_queue, audio,
+                                        self.samplerate, audio_len_s, subs,
+                                        text)
+            finally:
+                if not handle.done:
+                    handle.cancel()
+        if debug:
+            logging.info(f"Shared-stream inference complete. Generated {audio_len_s:.2f}s of audio.")
 
     def infer_vc(self, spk_audio_path, prompt_audio_path, prompt_audio_text,
                  noise_scale: float = 0.5, speed: float = 1.0, sovits_model=None):
@@ -908,6 +1093,39 @@ class TTS:
                 raise chunk
             yield chunk
 
+    async def stream_shared_async(self, *args,
+                                  executor: Optional[ThreadPoolExecutor] = None,
+                                  **kwargs):
+        """Async bridge over :meth:`stream_shared`.  Deliberately does NOT
+        take ``_infer_lock`` — concurrent callers sharing the wave is the
+        whole point.  A consumer that stops iterating (client disconnect)
+        detaches its request from the wave via ``cancel_event``."""
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+        cancel_event = threading.Event()
+        kwargs.setdefault("cancel_event", cancel_event)
+
+        def run():
+            try:
+                for chunk in self.stream_shared(*args, **kwargs):
+                    loop.call_soon_threadsafe(queue.put_nowait, chunk)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                loop.call_soon_threadsafe(queue.put_nowait, exc)
+            finally:
+                loop.call_soon_threadsafe(queue.put_nowait, None)
+
+        loop.run_in_executor(executor, run)
+        try:
+            while True:
+                chunk = await queue.get()
+                if chunk is None:
+                    break
+                if isinstance(chunk, BaseException):
+                    raise chunk
+                yield chunk
+        finally:
+            cancel_event.set()
+
     async def infer_batched_stream_async(self, *args,
                                          executor: Optional[ThreadPoolExecutor] = None,
                                          **kwargs):
@@ -962,8 +1180,25 @@ class TTS:
     # ------------------------------------------------------------------
 
     def _next_rng(self):
-        self._rng, sub = jax.random.split(self._rng)
-        return sub
+        with self._rng_lock:
+            self._rng, sub = jax.random.split(self._rng)
+            return sub
+
+    def _get_wave_scheduler(self, gpt_model):
+        from .runtime.wave import WaveScheduler
+
+        with self._sched_lock:
+            sched = self._wave_schedulers.get(gpt_model)
+            if sched is None:
+                sched = WaveScheduler(self.gpt_models[gpt_model].engine,
+                                      max_batch=self.wave_max_batch)
+                self._wave_schedulers[gpt_model] = sched
+            return sched
+
+    def wave_stats(self) -> Dict:
+        """Shared-wave scheduler state per GPT model (serving /health)."""
+        with self._sched_lock:
+            return {str(k): s.stats for k, s in self._wave_schedulers.items()}
 
     def _default_models(self, gpt_model, sovits_model):
         if gpt_model is None:

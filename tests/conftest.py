@@ -75,3 +75,15 @@ from gsv_tts_tpu.utils.timing import enable_compilation_cache
 
 enable_compilation_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                       ".jax_test_cache"))
+
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bound_jax_memory_between_modules():
+    """Drop the in-process jit caches after each heavy test module: the
+    full suite compiles hundreds of XLA programs and pytest RSS was seen
+    past 17 GB on a serial run (r2 verdict #6).  The persistent on-disk
+    compile cache keeps recompiles cheap."""
+    yield
+    jax.clear_caches()

@@ -1,0 +1,257 @@
+"""WebRTC realtime serving (serving/realtime.py) and ASR plumbing
+(serving/asr.py) exercised in CI with stubbed aiortc/av/dashscope —
+asserting the reference behavior (``realtime_api.py:75-119``): 32 kHz
+float32 clips resample to 48 kHz s16 mono in 960-sample (20 ms) frames,
+first-packet latency + done events on the datachannel."""
+import asyncio
+import json
+import sys
+import types
+
+import numpy as np
+import pytest
+
+pytest.importorskip("aiohttp")
+
+
+class _FakeTrackBase:
+    def __init__(self):
+        pass
+
+
+class _FakeAudioFrame:
+    @staticmethod
+    def from_ndarray(arr, format=None, layout=None):
+        f = types.SimpleNamespace(array=np.asarray(arr), format=format,
+                                  layout=layout, sample_rate=None, pts=None,
+                                  time_base=None)
+        return f
+
+
+class _FakeDescription:
+    def __init__(self, sdp=None, type=None):
+        self.sdp = sdp
+        self.type = type
+
+
+class _FakePC:
+    instances = []
+
+    def __init__(self):
+        self.handlers = {}
+        self.tracks = []
+        self.connectionState = "new"
+        self.localDescription = _FakeDescription("answer-sdp", "answer")
+        _FakePC.instances.append(self)
+
+    def on(self, name):
+        def deco(fn):
+            self.handlers[name] = fn
+            return fn
+        return deco
+
+    def addTrack(self, track):
+        self.tracks.append(track)
+
+    async def setRemoteDescription(self, offer):
+        self.remote = offer
+
+    async def createAnswer(self):
+        return self.localDescription
+
+    async def setLocalDescription(self, answer):
+        pass
+
+    async def close(self):
+        self.connectionState = "closed"
+
+
+@pytest.fixture()
+def aiortc_stubs():
+    """Install fake aiortc/av modules; ALWAYS removed afterwards (stubs
+    left behind make gated real-backend paths elsewhere mis-detect the
+    environment)."""
+    saved = {k: sys.modules.get(k) for k in ("aiortc", "aiortc.mediastreams", "av")}
+    aiortc = types.ModuleType("aiortc")
+    media = types.ModuleType("aiortc.mediastreams")
+    media.MediaStreamTrack = _FakeTrackBase
+    media.AudioFrame = _FakeAudioFrame
+    aiortc.RTCPeerConnection = _FakePC
+    aiortc.RTCSessionDescription = _FakeDescription
+    aiortc.mediastreams = media
+    av = types.ModuleType("av")
+    av.AudioFrame = _FakeAudioFrame
+    sys.modules["aiortc"] = aiortc
+    sys.modules["aiortc.mediastreams"] = media
+    sys.modules["av"] = av
+    _FakePC.instances = []
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_audio_track_resamples_to_48k_s16_frames(aiortc_stubs):
+    from gsv_tts_tpu.serving import realtime
+
+    track = realtime.make_audio_track()
+
+    sr = 32000
+    t = np.arange(sr) / sr  # 1 s of 440 Hz at 32 kHz
+    clip = types.SimpleNamespace(
+        audio_data=(0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32),
+        samplerate=sr)
+
+    async def go():
+        await track.put_audio(clip)
+        frames = [await track.recv() for _ in range(3)]
+        return frames
+
+    frames = asyncio.run(go())
+    for i, f in enumerate(frames):
+        assert f.sample_rate == 48000
+        assert f.format == "s16" and f.layout == "mono"
+        assert f.array.shape == (1, realtime.SAMPLES_PER_FRAME)
+        assert f.array.dtype == np.int16
+        assert f.pts == i * realtime.SAMPLES_PER_FRAME
+    # 1 s at 32 kHz resamples to 1.5x samples: 48000 -> buffered remainder
+    buffered = len(track._buffer)
+    assert buffered == 48000 - 3 * realtime.SAMPLES_PER_FRAME
+    # content survived the resample (not silence)
+    assert np.abs(frames[1].array).max() > 1000
+
+
+def test_audio_track_underflow_emits_silence(aiortc_stubs):
+    from gsv_tts_tpu.serving import realtime
+
+    track = realtime.make_audio_track()
+
+    async def go():
+        return await track.recv()
+
+    frame = asyncio.run(go())
+    assert frame.array.shape == (1, realtime.SAMPLES_PER_FRAME)
+    assert np.abs(frame.array).max() == 0
+
+
+def test_offer_datachannel_flow(aiortc_stubs):
+    """POST /offer negotiates, then a datachannel message drives streaming
+    synthesis: first_audio (with latency_ms) then done, audio lands on the
+    track queue."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from gsv_tts_tpu.serving.realtime import create_realtime_app
+
+    class FakeTTS:
+        def __init__(self):
+            self.calls = []
+
+        async def infer_stream_async(self, **kw):
+            self.calls.append(kw)
+            sr = 32000
+            for _ in range(2):
+                await asyncio.sleep(0)
+                yield types.SimpleNamespace(
+                    audio_data=np.ones(3200, np.float32) * 0.1,
+                    samplerate=sr)
+
+    class FakeChannel:
+        def __init__(self):
+            self.sent = []
+            self.handlers = {}
+
+        def on(self, name):
+            def deco(fn):
+                self.handlers[name] = fn
+                return fn
+            return deco
+
+        def send(self, msg):
+            self.sent.append(json.loads(msg))
+
+    tts = FakeTTS()
+    app = create_realtime_app(tts)
+
+    async def go():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/offer", json={"sdp": "fake-offer",
+                                                  "type": "offer"})
+            ans = await r.json()
+            assert r.status == 200
+            assert ans["type"] == "answer" and ans["sdp"]
+
+            pc = _FakePC.instances[-1]
+            assert pc.tracks, "no audio track added to the peer connection"
+            track = pc.tracks[0]
+            # simulate the browser opening a datachannel + sending a request
+            chan = FakeChannel()
+            pc.handlers["datachannel"](chan)
+            chan.handlers["message"](json.dumps({
+                "text": "hello realtime.",
+                "speaker_audio": "spk.wav",
+                "prompt_audio": "prompt.wav",
+                "prompt_text": "hi.",
+            }))
+            for _ in range(200):
+                await asyncio.sleep(0.01)
+                if any(m.get("event") == "done" for m in chan.sent):
+                    break
+            return chan.sent, track.queue.qsize(), tts.calls
+        finally:
+            await client.close()
+
+    sent, qsize, calls = asyncio.run(go())
+    events = [m["event"] for m in sent]
+    assert events[0] == "first_audio" and "latency_ms" in sent[0]
+    assert events[-1] == "done"
+    assert qsize == 2  # both clips resampled + queued
+    assert calls and calls[0]["text"] == "hello realtime."
+
+
+def test_asr_fn_selection_and_dashscope_parsing(monkeypatch):
+    """serving/asr.py: custom registration wins; the dashscope backend
+    builds the reference's message structure (``personal_api.py:92-108``)
+    and extracts the transcript from the response."""
+    import gsv_tts_tpu.serving.asr as asr
+
+    monkeypatch.setattr(asr, "_CUSTOM", None)
+    # no dashscope, no custom -> None
+    assert asr.make_asr_fn() is None
+
+    asr.register_asr(lambda p: f"custom:{p}")
+    try:
+        fn = asr.make_asr_fn()
+        assert fn("a.wav") == "custom:a.wav"
+    finally:
+        monkeypatch.setattr(asr, "_CUSTOM", None)
+
+    # stub dashscope and drive the real backend body
+    calls = {}
+
+    class FakeConv:
+        @staticmethod
+        def call(**kw):
+            calls.update(kw)
+            return {"output": {"choices": [
+                {"message": {"content": [{"text": "transcribed text"}]}}]}}
+
+    dashscope = types.ModuleType("dashscope")
+    dashscope.MultiModalConversation = FakeConv
+    monkeypatch.setitem(sys.modules, "dashscope", dashscope)
+    monkeypatch.setenv("DASHSCOPE_API_KEY", "k")
+    fn = asr.make_asr_fn()
+    assert fn is asr._dashscope_asr
+    assert fn("audio.wav") == "transcribed text"
+    assert calls["model"] == "qwen3-asr-flash"
+    assert calls["messages"][1]["content"][0]["audio"] == "audio.wav"
+    assert calls["asr_options"] == {"enable_lid": True, "enable_itn": False}
+
+    # malformed response degrades to empty string, not an exception
+    FakeConv.call = staticmethod(lambda **kw: {"output": {}})
+    assert asr._dashscope_asr("audio.wav") == ""

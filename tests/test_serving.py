@@ -10,7 +10,12 @@ pytest.importorskip("aiohttp")
 torch = pytest.importorskip("torch")
 pytest.importorskip("transformers")
 
+import aiohttp
 from aiohttp.test_utils import TestClient, TestServer
+
+# heavy requests compile ~a dozen XLA programs on first run; under -n 4
+# contention that blew past aiohttp's default 5-min total timeout (r2)
+LONG = aiohttp.ClientTimeout(total=1800)
 
 from test_e2e import assets, engine  # fixtures  # noqa: F401
 
@@ -39,7 +44,7 @@ def test_sse_stream_batched(client_factory, assets):  # noqa: F811
     """/tts/stream/batched: every request index streams >=1 tagged audio
     event and exactly one done-marked event; the stream ends with done."""
     async def go(client):
-        r = await client.post("/tts/stream/batched", json={
+        r = await client.post("/tts/stream/batched", timeout=LONG, json={
             "texts": ["hello streaming batch one.",
                       "and a second concurrent line."],
             "speaker_audio": assets["spk"],
@@ -67,6 +72,61 @@ def test_sse_stream_batched(client_factory, assets):  # noqa: F811
         assert evs[-1]["done"] is True
 
 
+def test_sse_stream_shared_independent_clients(client_factory, assets):  # noqa: F811
+    """Three INDEPENDENT /tts/stream clients with "shared": true arriving
+    staggered must each stream ordered audio + done while sharing one wave
+    (they are not serialized behind the engine lock); /health exposes the
+    wave scheduler state while streams are live."""
+    async def go(client):
+        async def one(text, delay):
+            await asyncio.sleep(delay)
+            r = await client.post("/tts/stream", timeout=LONG, json={
+                "text": text,
+                "speaker_audio": assets["spk"],
+                "prompt_audio": assets["prompt"],
+                "prompt_text": "hello there.",
+                "stream_chunk": 10,
+                "shared": True,
+                "noise_scale": 0.0,
+            })
+            return r.status, await r.text()
+
+        seen = {}
+
+        async def poll_health():
+            while True:
+                h = await (await client.get("/health")).json()
+                for waves in h.get("waves", {}).values():
+                    for w in waves["waves"]:
+                        seen["live"] = max(seen.get("live", 0), w["live"])
+                        seen["attached"] = max(seen.get("attached", 0),
+                                               w["attached"])
+                await asyncio.sleep(0.05)
+
+        poller = asyncio.ensure_future(poll_health())
+        outs = await asyncio.gather(
+            one("the first shared client speaks.", 0.0),
+            one("a second shared client talks concurrently.", 0.2),
+            one("and a third one joins the wave.", 0.4))
+        poller.cancel()
+        return outs, seen
+
+    outs, seen = client_factory(go)
+    for status, body in outs:
+        assert status == 200
+        events = [e for e in body.split("\n\n") if e.strip()]
+        audio_events = [e for e in events if e.startswith("event: audio")]
+        assert audio_events, body[:400]
+        assert any(e.startswith("event: done") for e in events)
+        assert "event: error" not in body
+        total = sum(np.frombuffer(base64.b64decode(
+            json.loads(e.split("data: ", 1)[1])["audio"]), np.float32).size
+            for e in audio_events)
+        assert total > 0
+    # the poller must have observed the wave with >1 client attached
+    assert seen.get("attached", 0) >= 2, f"wave never shared: {seen}"
+
+
 def test_root_and_health(client_factory):
     async def go(client):
         r = await client.get("/")
@@ -83,7 +143,7 @@ def test_root_and_health(client_factory):
 
 def test_sse_stream(client_factory, assets):  # noqa: F811
     async def go(client):
-        r = await client.post("/tts/stream", json={
+        r = await client.post("/tts/stream", timeout=LONG, json={
             "text": "hello streaming world.",
             "speaker_audio": assets["spk"],
             "prompt_audio": assets["prompt"],
@@ -110,7 +170,7 @@ def test_sse_stream(client_factory, assets):  # noqa: F811
 
 def test_api_v2_get_wav(client_factory, assets):  # noqa: F811
     async def go(client):
-        r = await client.get("/tts", params={
+        r = await client.get("/tts", timeout=LONG, params={
             "text": "api v2 compatibility.",
             "ref_audio_path": assets["prompt"],
             "prompt_text": "hello there.",
@@ -125,7 +185,7 @@ def test_api_v2_get_wav(client_factory, assets):  # noqa: F811
 
 def test_api_v2_missing_ref(client_factory):
     async def go(client):
-        r = await client.get("/tts", params={"text": "x"})
+        r = await client.get("/tts", timeout=LONG, params={"text": "x"})
         return r.status
 
     assert client_factory(go) == 400
@@ -133,7 +193,7 @@ def test_api_v2_missing_ref(client_factory):
 
 def test_batched_endpoint(client_factory, assets):  # noqa: F811
     async def go(client):
-        r = await client.post("/tts/batched", json={
+        r = await client.post("/tts/batched", timeout=LONG, json={
             "texts": ["first one.", "second one."],
             "speaker_audio": assets["spk"],
             "prompt_audio": assets["prompt"],
@@ -193,7 +253,7 @@ def test_sse_stream_error_event(client_factory, engine, assets):  # noqa: F811
     engine.infer_stream = boom
     try:
         async def go(client):
-            r = await client.post("/tts/stream", json={
+            r = await client.post("/tts/stream", timeout=LONG, json={
                 "text": "will fail.",
                 "speaker_audio": assets["spk"],
                 "prompt_audio": assets["prompt"],
@@ -222,7 +282,7 @@ def test_api_v2_media_types(client_factory, assets, media_type, expect):  # noqa
         expect = 200 if media_type in _supported_media_types() else 415
 
     async def go(client):
-        r = await client.get("/tts", params={
+        r = await client.get("/tts", timeout=LONG, params={
             "text": "media type check.",
             "ref_audio_path": assets["prompt"],
             "prompt_text": "hello there.",

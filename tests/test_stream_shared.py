@@ -1,0 +1,184 @@
+"""Shared-wave streaming at the facade (TTS.stream_shared) and subtitles
+in the streaming-batched mode.
+
+Determinism levers: top_k=1 makes the token chain exact, noise_scale=0
+removes the vocoder's stochastic latent, so audio comparisons across
+paths can be bitwise."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from test_e2e import assets, engine  # fixtures  # noqa: F401,E402
+
+
+def _collect_shared(engine, assets, text, **kw):
+    clips = list(engine.stream_shared(
+        assets["spk"], assets["prompt"], "hello there.", text,
+        debug=False, **kw))
+    return clips
+
+
+def test_stream_shared_single_client_matches_batched_stream(engine, assets):
+    """A fresh single-client wave has exactly the generate_batched_stream
+    cadence, so stream_shared must reproduce infer_batched_stream(N=1)
+    bitwise (top_k=1, noise_scale=0)."""
+    # single segment: multi-segment requests legitimately differ between
+    # the two modes (batched decodes segments concurrently and vocodes
+    # buffered segments in one final pass; shared streams them in order)
+    text = "this is a longer test sentence to stream."
+    kw = dict(top_k=1, noise_scale=0.0, stream_chunk=10, is_cut_text=False,
+              return_subtitles=True)
+
+    batched = list(engine.infer_batched_stream(
+        assets["spk"], assets["prompt"], "hello there.", [text], **kw))
+    shared = _collect_shared(engine, assets, text, **kw)
+
+    a_batched = np.concatenate([c.audio_data for _, c, _ in batched])
+    a_shared = np.concatenate([c.audio_data for c in shared])
+    np.testing.assert_array_equal(a_shared, a_batched)
+
+    s_batched = [s for _, c, _ in batched for s in c.subtitles]
+    s_shared = [s for c in shared for s in c.subtitles]
+    assert s_shared == s_batched
+    assert s_shared, "expected subtitles in shared streaming mode"
+    # scheduler must have torn the idle wave down (frees the HBM cache)
+    deadline = time.time() + 10.0
+    while time.time() < deadline:
+        stats = engine.wave_stats()
+        if all(not v["waves"] for v in stats.values()):
+            break
+        time.sleep(0.05)
+    assert all(not v["waves"] for v in engine.wave_stats().values())
+
+
+def test_stream_shared_concurrent_clients_share_wave(engine, assets):
+    """Three independent threads streaming concurrently: all finish, audio
+    is sane, the wave actually gets shared (refills/resizes > 0), and
+    per-client durations track the solo runs."""
+    texts = ["the first client speaks now.",
+             "meanwhile a second client is talking.",
+             "and one more joins the conversation."]
+    kw = dict(top_k=1, noise_scale=0.0, stream_chunk=10, is_cut_text=False)
+
+    solo_samples = []
+    for t in texts:
+        clips = _collect_shared(engine, assets, t, **kw)
+        solo_samples.append(sum(len(c.audio_data) for c in clips))
+
+    results = [None] * 3
+    events = []
+
+    def client(i):
+        out = []
+        for c in engine.stream_shared(
+                assets["spk"], assets["prompt"], "hello there.", texts[i],
+                debug=False, **kw):
+            events.append((time.perf_counter(), i))
+            out.append(c)
+        results[i] = out
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+    threads[0].start()
+    time.sleep(0.3)
+    threads[1].start()
+    threads[2].start()
+    stats_seen = {"refills": 0, "resizes": 0, "max_live": 0}
+    for th in threads:
+        while th.is_alive():
+            th.join(timeout=0.1)
+            for v in engine.wave_stats().values():
+                for w in v["waves"]:
+                    stats_seen["refills"] = max(stats_seen["refills"], w["refills"])
+                    stats_seen["resizes"] = max(stats_seen["resizes"], w["resizes"])
+                    stats_seen["max_live"] = max(stats_seen["max_live"], w["live"])
+
+    for i in range(3):
+        assert results[i], f"client {i} got no audio"
+        total = sum(len(c.audio_data) for c in results[i])
+        # cap-ended rows may differ by one check interval of tokens
+        # (2 frames/token * 640 samples/frame), plus the same slack for
+        # chunk-boundary SOLA differences
+        assert abs(total - solo_samples[i]) <= 4 * 2 * 640 * 5, \
+            f"client {i}: {total} vs solo {solo_samples[i]}"
+        for c in results[i]:
+            a = np.asarray(c.audio_data)
+            assert a.dtype == np.float32 and np.isfinite(a).all()
+    assert stats_seen["max_live"] >= 2 or stats_seen["refills"] >= 1 \
+        or stats_seen["resizes"] >= 1, f"no wave sharing observed: {stats_seen}"
+    # true interleaving: some client-1/2 event lands between client-0 events
+    order = [i for _, i in sorted(events)]
+    first0, last0 = order.index(0), len(order) - 1 - order[::-1].index(0)
+    assert any(i != 0 for i in order[first0:last0 + 1]), \
+        "clients were serialized, not concurrent"
+
+
+def test_stream_shared_cancel_frees_slot(engine, assets):
+    """Abandoning the generator mid-stream must detach the request (the
+    wave drains instead of decoding a dead client to the cap)."""
+    gen = engine.stream_shared(
+        assets["spk"], assets["prompt"], "hello there.",
+        "a sentence that will be cancelled midway through synthesis.",
+        top_k=1, noise_scale=0.0, stream_chunk=5, is_cut_text=False,
+        debug=False)
+    first = next(gen)
+    assert len(first.audio_data) >= 0
+    gen.close()
+    deadline = time.time() + 15.0
+    while time.time() < deadline:
+        stats = engine.wave_stats()
+        if all(not v["waves"] for v in stats.values()):
+            return
+        time.sleep(0.05)
+    pytest.fail(f"wave did not drain after cancel: {engine.wave_stats()}")
+
+
+def test_batched_stream_subtitles_match_infer_stream(engine, assets, monkeypatch):
+    """VERDICT r2 #6: with an identical token stream and identical chunk
+    boundaries, a 1-request infer_batched_stream must emit byte-identical
+    audio AND identical subtitle words/timestamps to infer_stream (the two
+    paths share the incremental subtitle machinery)."""
+    tokens = np.random.RandomState(9).randint(0, 1024, 23).astype(np.int64)
+    chunk = 5
+    gpt = engine.gpt_models[assets["gpt"]]
+
+    def fake_generate(x_ids, y_ids, bert, **kw):
+        for hi in range(chunk, len(tokens), chunk):
+            yield tokens[None, None, :hi], False
+        yield tokens[None, None, :], True
+
+    def fake_gbs(xs, ys, bs, **kw):
+        emitted = 0
+        for hi in range(chunk, len(tokens), chunk):
+            yield 0, tokens[emitted:hi], False
+            emitted = hi
+        yield 0, tokens[emitted:], True
+
+    monkeypatch.setattr(gpt.engine, "generate", fake_generate)
+    monkeypatch.setattr(gpt.engine, "generate_batched_stream", fake_gbs)
+
+    text = "this is a test sentence for subtitle parity."
+    common = dict(return_subtitles=True, is_cut_text=False,
+                  stream_chunk=chunk, noise_scale=0.0)
+    engine._rng = jax.random.PRNGKey(7)
+    stream_clips = list(engine.infer_stream(
+        assets["spk"], assets["prompt"], "hello there.", text,
+        debug=False, boost_first_chunk=False, **common))
+    engine._rng = jax.random.PRNGKey(7)
+    batched = list(engine.infer_batched_stream(
+        assets["spk"], assets["prompt"], "hello there.", [text], **common))
+
+    a1 = np.concatenate([c.audio_data for c in stream_clips])
+    a2 = np.concatenate([c.audio_data for _, c, _ in batched])
+    np.testing.assert_array_equal(a1, a2)
+
+    s1 = [s for c in stream_clips for s in c.subtitles]
+    s2 = [s for _, c, _ in batched for s in c.subtitles]
+    assert s1, "no subtitles produced by infer_stream"
+    assert s1 == s2

@@ -226,3 +226,47 @@ def test_generate_batched_stream_matches_batched():
         got = np.concatenate(acc[i]) if acc[i] else np.zeros(0, np.int64)
         np.testing.assert_array_equal(got, p, err_msg=f"request {i}")
     assert n_partial >= 1, "no incremental emission happened"
+
+
+def test_batched_tail_compaction_is_token_invariant():
+    """Tail compaction (dead-slot burn fix): once refills run out and most
+    slots are frozen, the wave re-packs into a smaller batch bucket.  The
+    gather must be token-invariant — with top_k=1 the compacted run equals
+    the uncompacted one exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import T2SEngine
+
+    cfg = T2SConfig(hidden_dim=64, embedding_dim=64, num_heads=4,
+                    num_layers=2, vocab_size=101, phoneme_vocab_size=50,
+                    eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(1), cfg,
+                                   dtype=jnp.float32)
+    eng = T2SEngine(params, cfg, gpt_cache=[(1, 96), (1, 128), (2, 128),
+                                            (4, 128)], dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    N = 4
+    xs = [rng.randint(1, 50, rng.randint(6, 12)).astype(np.int32)
+          for _ in range(N)]
+    ys = [rng.randint(0, 100, rng.randint(4, 9)).astype(np.int32)
+          for _ in range(N)]
+    bs = [np.zeros((len(x), cfg.bert_dim), np.float32) for x in xs]
+
+    key = jax.random.PRNGKey(9)
+    plain, idx_p = eng.generate_batched(xs, ys, bs, top_k=1, rng=key,
+                                        compact=False)
+    assert eng.compactions == 0
+    packed, idx_c = eng.generate_batched(xs, ys, bs, top_k=1, rng=key,
+                                         compact=True)
+    assert eng.compactions >= 1, \
+        "compaction never triggered (request lengths too uniform?)"
+
+    by_idx_p = {int(i): t for i, t in zip(idx_p, plain)}
+    by_idx_c = {int(i): t for i, t in zip(idx_c, packed)}
+    assert set(by_idx_p) == set(by_idx_c) == set(range(N))
+    for i in range(N):
+        np.testing.assert_array_equal(by_idx_c[i], by_idx_p[i],
+                                      err_msg=f"request {i}")
