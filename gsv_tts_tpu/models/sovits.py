@@ -551,6 +551,67 @@ def decode_core(p, cfg: SovitsConfig, codes, text, ge, noise, *,
     return z_p, y_mask, attn, new_overlap, ge_out
 
 
+def decode_core_stream_padded(p, cfg: SovitsConfig, codes_pad, codes_len,
+                              text_pad, text_len, ge, noise, y_overlap, vsi,
+                              *, overlap_len: int, blend: bool):
+    """Bucket-padded streaming variant of :func:`decode_core` — the shape
+    contract that makes the facade's streaming vocode ONE jitted program
+    per (codes-bucket, text-bucket) pair instead of an eager op-by-op
+    dispatch per chunk (reference ``TTS.py:422-431`` runs its equivalent
+    eagerly under CUDA; on TPU eager dispatch costs ~10-50 us/op and a
+    tunnel RTT per op under axon).
+
+    ``codes_pad`` [1, 1, Bc] / ``text_pad`` [1, Np] are right-padded to
+    bucket sizes; ``codes_len`` / ``text_len`` / ``vsi`` are traced
+    scalars, so chunk boundaries never trigger recompiles.  VITS masking
+    makes right-padding exact: masked columns are zeros, which match the
+    SAME-padding zeros convs see at the boundary in the exact-shape
+    computation, and attention is masked — so the valid region is
+    numerically identical to :func:`decode_core`.
+
+    Returns ``(z_p [1, C, 2*Bc], y_mask_chunk, attn [1, 2*Bc, Np],
+    new_overlap [1, hidden, overlap_len])``; the caller slices the valid
+    prefix ``2*codes_len - vsi`` (and ``attn``'s valid rows/cols) host-side.
+    """
+    Bc = codes_pad.shape[-1]
+    T50 = 2 * Bc
+    quantized = quantizer_decode(p, codes_pad, cfg.quantizer_n_q)
+    quantized = interpolate_nearest_2x(quantized)
+    t50_valid = 2 * codes_len
+    pos = jnp.arange(T50)[None, None, :]
+    y_mask = (pos < t50_valid).astype(quantized.dtype)
+    tpos = jnp.arange(text_pad.shape[-1])[None, None, :]
+    text_mask = (tpos < text_len).astype(quantized.dtype)
+
+    ge_t = ge
+    if ge.shape[-1] != 1:
+        ge_t = interpolate_nearest(ge, ge.shape[-1] * 2)
+    y_latent, y_mask, attn = text_encoder_infer(
+        p, cfg, quantized, text_pad, ge_for_mrte(p, cfg, ge_t),
+        y_mask=y_mask, text_mask=text_mask)
+
+    C = y_latent.shape[1]
+    # static-size chunk slice at a traced offset: right-extend by T50 zeros
+    # so (vsi + T50) never clamps
+    ext = jnp.pad(y_latent, [(0, 0), (0, 0), (0, T50)])
+    chunk = jax.lax.dynamic_slice(ext, (0, 0, vsi), (1, C, T50))
+    mext = jnp.pad(y_mask, [(0, 0), (0, 0), (0, T50)])
+    mask_chunk = jax.lax.dynamic_slice(mext, (0, 0, vsi), (1, 1, T50))
+    if blend:
+        alpha = jnp.linspace(0, 1, overlap_len, dtype=chunk.dtype)[None, None, :]
+        head = y_overlap * (1 - alpha) + chunk[:, :, :overlap_len] * alpha
+        chunk = jnp.concatenate([head, chunk[:, :, overlap_len:]], axis=2)
+    # overlap carry comes from the BLENDED chunk's valid tail
+    # (``decode_core`` takes it after the cross-fade)
+    cext = jnp.pad(chunk, [(0, 0), (0, 0), (0, T50)])
+    new_overlap = jax.lax.dynamic_slice(
+        cext, (0, 0, t50_valid - vsi - overlap_len), (1, C, overlap_len))
+
+    m, logs = project_latent(p, cfg, chunk, mask_chunk)
+    z_p = m + noise * jnp.exp(logs)
+    return z_p, mask_chunk, attn, new_overlap
+
+
 def params_from_torch_state_dict(state_dict: Dict[str, Any], dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
     """Flat torch state dict (numpy values) → our flat params.  Folds any
     weight-norm (weight_g/weight_v) pairs (reference removes the Generator's

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import asyncio
 import dataclasses
+import functools
 import logging
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -46,6 +47,18 @@ DEFAULT_MUTE_SCALE = {"…": 2.0, ".": 1.5, "。": 1.5, "?": 1.5, "？": 1.5,
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "overlap_len", "blend"))
+def _stream_core_padded_jit(params, cfg, codes_pad, codes_len, text_pad,
+                            text_len, ge, noise, y_ov, vsi, overlap_len,
+                            blend):
+    """Jitted bucket-padded streaming vocoder core — one compiled program
+    per (codes-bucket, text-bucket) shape pair; see
+    ``models/sovits.py:decode_core_stream_padded``."""
+    return sovits_model.decode_core_stream_padded(
+        params, cfg, codes_pad, codes_len, text_pad, text_len, ge, noise,
+        y_ov, vsi, overlap_len=overlap_len, blend=blend)
 
 
 class _SegStream:
@@ -170,6 +183,7 @@ class TTS:
         always_load_cnhubert: bool = False,
         always_load_sv: bool = False,
         wave_max_batch: int = 4,
+        stream_vocoder: str = "bucketed",
     ):
         self.tts_config = Config(dtype=dtype, platform=device)
         self.tts_config.use_flash_attn = use_flash_attn
@@ -222,6 +236,12 @@ class TTS:
         # model, created lazily; concurrent clients bypass _infer_lock, so
         # the rng chain and the featurize caches get their own locks
         self.wave_max_batch = wave_max_batch
+        # "bucketed": streaming vocode chunks run as ONE jitted program per
+        # (codes, text) shape bucket (lengths traced — no per-chunk
+        # recompiles, no eager per-op dispatch); "exact" keeps the
+        # unpadded eager path (kept for speed!=1 and as a numerical
+        # cross-check)
+        self.stream_vocoder = stream_vocoder
         self._wave_schedulers: Dict = {}
         self._sched_lock = threading.Lock()
         self._rng_lock = threading.Lock()
@@ -1246,16 +1266,41 @@ class TTS:
         cfg = sovits.cfg
         p = sovits.params
         dtype = self.tts_config.dtype
-        codes = jnp.asarray(np.asarray(codes, np.int32))
-        text = jnp.asarray(np.asarray(text, np.int32))
+        codes = np.asarray(codes, np.int32)
+        text = np.asarray(text, np.int32)
         ge = jnp.asarray(ge, dtype)
-        t50 = codes.shape[-1] * 2
+        n = codes.shape[-1]
+        t50 = n * 2
+        if (speed == 1 and slice_indices is None and ge.shape[-1] == 1
+                and self.stream_vocoder == "bucketed"):
+            # same bucket-padded jitted program as the streaming path
+            # (vsi=0, no blend) — one compile per shape bucket instead of
+            # eager dispatch + one compile per exact length
+            CB = 32
+            Bc = _round_up(max(n, 1), CB)
+            Np = _round_up(max(text.shape[-1], 1), CB)
+            codes_pad = np.zeros((1, 1, Bc), np.int32)
+            codes_pad[..., :n] = codes.reshape(1, 1, -1)
+            text_pad = np.zeros((1, Np), np.int32)
+            text_pad[..., :text.shape[-1]] = text.reshape(1, -1)
+            noise = (jax.random.normal(self._next_rng(),
+                                       (1, cfg.inter_channels, 2 * Bc),
+                                       jnp.float32) * noise_scale).astype(dtype)
+            y_ov = jnp.zeros((1, cfg.hidden_channels, 1), dtype)
+            z_p, mask, attn, _ = _stream_core_padded_jit(
+                p, cfg, jnp.asarray(codes_pad), jnp.int32(n),
+                jnp.asarray(text_pad), jnp.int32(text.shape[-1]), ge, noise,
+                y_ov, jnp.int32(0), 1, False)
+            audio = self._flow_dec_bucketed(
+                sovits, z_p[:, :, :t50], mask[:, :, :t50], ge, use_buckets)
+            return audio, attn[0][..., :t50, :text.shape[-1]]
         t_lat = int(t50 / speed) + 1 if speed != 1 else t50
         noise = (jax.random.normal(self._next_rng(), (1, cfg.inter_channels, t_lat),
                                    jnp.float32) * noise_scale).astype(dtype)
         si = None if slice_indices is None else jnp.asarray(np.asarray(slice_indices, np.int32))
         z_p, y_mask, attn, _, ge_out = sovits_model.decode_core(
-            p, cfg, codes, text, ge, noise, speed=speed, slice_indices=si)
+            p, cfg, jnp.asarray(codes), jnp.asarray(text), ge, noise,
+            speed=speed, slice_indices=si)
         audio = self._flow_dec_bucketed(sovits, z_p, y_mask, ge_out, use_buckets)
         return audio, attn[0]
 
@@ -1263,17 +1308,49 @@ class TTS:
                               speed, y_overlap, valid_start_idx, overlap_len):
         cfg = sovits.cfg
         dtype = self.tts_config.dtype
-        codes = jnp.asarray(np.asarray(codes, np.int32))
-        text = jnp.asarray(np.asarray(text, np.int32))
+        codes = np.asarray(codes, np.int32)
+        text = np.asarray(text, np.int32)
         ge = jnp.asarray(ge, dtype)
-        t_valid = codes.shape[-1] * 2 - valid_start_idx
+        n = codes.shape[-1]
+        t_valid = n * 2 - valid_start_idx
+        if speed == 1 and ge.shape[-1] == 1 and self.stream_vocoder == "bucketed":
+            # bucket-padded ONE-program path (decode_core_stream_padded):
+            # pads codes/text to 32-multiples so every chunk of every
+            # request reuses a handful of compiled programs; lengths and
+            # the chunk offset are traced scalars.  The eager exact-shape
+            # path pays per-op dispatch (tunnel RTT under axon) and a new
+            # shape per chunk.
+            CB = 32
+            Bc = _round_up(max(n, 1), CB)
+            Np = _round_up(max(text.shape[-1], 1), CB)
+            codes_pad = np.zeros((1, 1, Bc), np.int32)
+            codes_pad[..., :n] = codes.reshape(1, 1, -1)
+            text_pad = np.zeros((1, Np), np.int32)
+            text_pad[..., :text.shape[-1]] = text.reshape(1, -1)
+            OUT = 2 * Bc
+            noise = (jax.random.normal(self._next_rng(),
+                                       (1, cfg.inter_channels, OUT),
+                                       jnp.float32) * noise_scale).astype(dtype)
+            blend = y_overlap is not None
+            y_ov = y_overlap if blend else jnp.zeros(
+                (1, cfg.hidden_channels, overlap_len), dtype)
+            z_p, mask, attn, new_overlap = _stream_core_padded_jit(
+                sovits.params, cfg, jnp.asarray(codes_pad),
+                jnp.int32(n), jnp.asarray(text_pad),
+                jnp.int32(text.shape[-1]), ge, noise, y_ov,
+                jnp.int32(valid_start_idx), overlap_len, blend)
+            z_p = z_p[:, :, :t_valid]
+            mask = mask[:, :, :t_valid]
+            attn = attn[..., :2 * n, :text.shape[-1]]
+            audio = self._flow_dec_bucketed(sovits, z_p, mask, ge, True)
+            return audio, attn[0], new_overlap
         t_lat = int(t_valid / speed) + 1 if speed != 1 else t_valid
         noise = (jax.random.normal(self._next_rng(), (1, cfg.inter_channels, t_lat),
                                    jnp.float32) * noise_scale).astype(dtype)
         z_p, y_mask, attn, new_overlap, ge_out = sovits_model.decode_core(
-            sovits.params, cfg, codes, text, ge, noise, speed=speed,
-            y_overlap=y_overlap, valid_start_idx=valid_start_idx,
-            overlap_len=overlap_len)
+            sovits.params, cfg, jnp.asarray(codes), jnp.asarray(text), ge,
+            noise, speed=speed, y_overlap=y_overlap,
+            valid_start_idx=valid_start_idx, overlap_len=overlap_len)
         audio = self._flow_dec_bucketed(sovits, z_p, y_mask, ge_out, True)
         return audio, attn[0], new_overlap
 
