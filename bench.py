@@ -205,6 +205,11 @@ def bench_breakdown(n_tokens: int = 400, chunk: int = 25, bucket: int = 512,
         ("no_head", "fused_step:head", SampleArgs()),
         # weight stream + walk only: every weight-consuming matmul removed
         ("stream_only", "fused_step:mm_off", SampleArgs()),
+        # DMA-shape experiments (token-identical: same data, different
+        # transfer shapes/priorities)
+        ("w_prio0", "fused_step:wprio0", SampleArgs()),
+        ("w_split2", "fused_step:wsplit", SampleArgs()),
+        ("w_split4", "fused_step:wsplit4", SampleArgs()),
     ]
     out = {}
     for label, impl, sa in modes:
@@ -287,84 +292,82 @@ def bench_shared_serving(n_clients: int = 8, bucket: int = 512):
         y = rng.randint(0, cfg.vocab_size - 1, 75).astype(np.int32)
         prompts.append((x, y, np.zeros((60, cfg.bert_dim), np.float32)))
 
-    # warm compiles: one solo run through scheduler + vocoder
-    sched = WaveScheduler(eng, max_batch=4)
-    try:
-        h = sched.attach(*prompts[0], top_k=15)
-        warm_toks = []
-        for toks, done in h:
-            warm_toks.extend(int(t) for t in toks)
-            if len(warm_toks) >= 25:
-                break
-        np.asarray(vocode_chunk(jnp.asarray(
-            np.asarray(warm_toks[:25], np.int32)[None, None, :] % 1024))[0, 0, :4])
-        if not h.done:
-            h.cancel()
-    finally:
-        sched.close()
-
-    # solo TTFT baseline (fresh scheduler, single client)
-    sched = WaveScheduler(eng, max_batch=4)
-    results = {}
-    try:
-        t0 = time.perf_counter()
-        h = sched.attach(*prompts[0], top_k=15)
-        got = []
-        for toks, done in h:
-            got.extend(int(t) for t in toks)
-            if len(got) >= 25 or done:
-                break
-        np.asarray(vocode_chunk(jnp.asarray(
-            (np.asarray(got[:25], np.int32) % 1024).reshape(1, 1, -1)
-            if len(got) >= 25 else
-            np.zeros((1, 1, 25), np.int32)))[0, 0, :4])
-        solo_ttft = time.perf_counter() - t0
-        if not h.done:
-            h.cancel()
-    finally:
-        sched.close()
-
-    # N staggered clients
-    sched = WaveScheduler(eng, max_batch=4)
-    out_q = _queue.Queue()
-    t_start = time.perf_counter()
-
-    def client(i):
+    def solo_pass():
+        """Single client through a fresh scheduler; returns wall TTFT
+        (attach -> first 25 tokens -> first vocoder chunk fetched)."""
+        sched = WaveScheduler(eng, max_batch=4)
         try:
             t0 = time.perf_counter()
-            h = sched.attach(*prompts[i], top_k=15)
-            toks = []
-            ttft = None
-            n_vocoded = 0
-            for tarr, done in h:
-                toks.extend(int(t) for t in tarr)
-                while len(toks) - n_vocoded >= 25:
-                    block = (np.asarray(
-                        toks[n_vocoded:n_vocoded + 25], np.int32) % 1024)
-                    np.asarray(vocode_chunk(
-                        jnp.asarray(block.reshape(1, 1, -1)))[0, 0, :4])
-                    n_vocoded += 25
-                    if ttft is None:
-                        ttft = time.perf_counter() - t0
-            out_q.put((i, len(toks), ttft or (time.perf_counter() - t0),
-                       time.perf_counter()))
-        except Exception as e:  # noqa: BLE001
-            out_q.put((i, 0, None, time.perf_counter()))
-            print(f"# shared-serving client {i} failed: {e}", file=sys.stderr)
+            h = sched.attach(*prompts[0], top_k=15)
+            got = []
+            for toks, done in h:
+                got.extend(int(t) for t in toks)
+                if len(got) >= 25 or done:
+                    break
+            block = (np.asarray(got[:25], np.int32) % 1024 if len(got) >= 25
+                     else np.zeros(25, np.int32))
+            np.asarray(vocode_chunk(
+                jnp.asarray(block.reshape(1, 1, -1)))[0, 0, :4])
+            ttft = time.perf_counter() - t0
+            if not h.done:
+                h.cancel()
+            return ttft
+        finally:
+            sched.close()
 
-    threads = []
-    for i in range(n_clients):
-        th = threading.Thread(target=client, args=(i,))
-        th.start()
-        threads.append(th)
-        time.sleep(0.05 * (i % 4))
-    for th in threads:
-        th.join(timeout=900)
-    sched.close()
+    def staggered_pass():
+        """N staggered clients through one fresh scheduler; returns
+        (rows, wall_start) — rows are (i, n_tokens, ttft, t_done)."""
+        sched = WaveScheduler(eng, max_batch=4)
+        out_q = _queue.Queue()
+        t_start = time.perf_counter()
 
-    rows = []
-    while not out_q.empty():
-        rows.append(out_q.get())
+        def client(i):
+            try:
+                t0 = time.perf_counter()
+                h = sched.attach(*prompts[i], top_k=15)
+                toks = []
+                ttft = None
+                n_vocoded = 0
+                for tarr, done in h:
+                    toks.extend(int(t) for t in tarr)
+                    while len(toks) - n_vocoded >= 25:
+                        block = (np.asarray(
+                            toks[n_vocoded:n_vocoded + 25], np.int32) % 1024)
+                        np.asarray(vocode_chunk(
+                            jnp.asarray(block.reshape(1, 1, -1)))[0, 0, :4])
+                        n_vocoded += 25
+                        if ttft is None:
+                            ttft = time.perf_counter() - t0
+                out_q.put((i, len(toks), ttft or (time.perf_counter() - t0),
+                           time.perf_counter()))
+            except Exception as e:  # noqa: BLE001
+                out_q.put((i, 0, None, time.perf_counter()))
+                print(f"# shared-serving client {i} failed: {e}",
+                      file=sys.stderr)
+
+        threads = []
+        for i in range(n_clients):
+            th = threading.Thread(target=client, args=(i,))
+            th.start()
+            threads.append(th)
+            time.sleep(0.05 * (i % 4))
+        for th in threads:
+            th.join(timeout=900)
+        sched.close()
+        rows = []
+        while not out_q.empty():
+            rows.append(out_q.get())
+        return rows, t_start
+
+    # pass 0 compiles every wave program (B=1/2/4 decode, slot prefill,
+    # growth/compaction gathers, the vocoder chunk); pass 1 is the
+    # measurement — first-compile time must not read as serving latency
+    solo_pass()
+    staggered_pass()
+    solo_ttft = solo_pass()
+    rows, t_start = staggered_pass()
+
     total_toks = sum(r[1] for r in rows)
     t_end = max(r[3] for r in rows)
     agg = total_toks / (t_end - t_start)
@@ -474,6 +477,82 @@ def bench_sovits_chunk(frames25: int = 25, n_text: int = 30, reps: int = 8):
     return {"sovits_chunk_ms": dt * 1000.0, "sovits_rtf": dt / audio_s}
 
 
+def bench_vocoder_breakdown(frames25: int = 25, n_text: int = 30,
+                            reps: int = 16):
+    """Device-time split of the streaming vocoder chunk + flow_dec batch
+    scaling — decides whether a cross-stream batched vocoder pays.
+
+    Phases (all with ``ge`` precomputed, as the serving path caches it per
+    speaker — the legacy ``bench_sovits_chunk`` re-runs ``get_ge`` per rep):
+      ge      one-time speaker conditioning (MelStyleEncoder)
+      core    decode_core → z_p (quantizer + MRTE + enc_p + projection)
+      flow    flow_dec (flow reverse + HiFi-GAN) at the 55-frame bucket
+      full    core + flow in one jitted program
+      flow_bN flow_dec with a [N, ...] batch — cross-stream batching economics
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gsv_tts_tpu.models import sovits as jsv
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+    cfg = jsv.SovitsConfig()
+    params = jsv.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    rng = np.random.RandomState(0)
+    codes = jnp.asarray(rng.randint(0, 1024, (1, 1, frames25)), jnp.int32)
+    text = jnp.asarray(rng.randint(0, 732, (1, n_text)), jnp.int32)
+    refer = jnp.asarray(rng.randn(1, cfg.spec_channels, 100).astype(np.float32), dtype)
+    t50 = frames25 * 2
+    bucket = 128 if t50 > 55 else 55
+    noise = jnp.zeros((1, cfg.inter_channels, t50), dtype)
+
+    def timeit(fn, *a, sync=lambda r: np.asarray(r).reshape(-1)[:4]):
+        r = fn(*a)
+        sync(r)  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn(*a)
+        sync(r)
+        return (time.perf_counter() - t0) / reps * 1e3, r
+
+    ge_fn = jax.jit(lambda p, r: jsv.get_ge(p, cfg, r))
+    ms_ge, ge = timeit(ge_fn, params, refer)
+
+    core_fn = jax.jit(lambda p, c, t, g, n: jsv.decode_core(p, cfg, c, t, g, n)[:2])
+    ms_core, (z_p, y_mask) = timeit(
+        core_fn, params, codes, text, ge, noise,
+        sync=lambda r: np.asarray(r[0]).reshape(-1)[:4])
+
+    pad = bucket - t50
+    z_pb = jnp.pad(z_p, [(0, 0), (0, 0), (0, pad)])
+    y_mb = jnp.pad(y_mask, [(0, 0), (0, 0), (0, pad)])
+    flow_fn = jax.jit(lambda p, z, m, g: jsv.flow_dec(p, cfg, z, m, g))
+    ms_flow, _ = timeit(flow_fn, params, z_pb, y_mb, ge)
+
+    @jax.jit
+    def full(p, c, t, g, n):
+        z, m, _, _, g_out = jsv.decode_core(p, cfg, c, t, g, n)
+        z = jnp.pad(z, [(0, 0), (0, 0), (0, bucket - z.shape[-1])])
+        m = jnp.pad(m, [(0, 0), (0, 0), (0, bucket - m.shape[-1])])
+        a = jsv.flow_dec(p, cfg, z, m, g_out)
+        return a[:, :, : t50 * cfg.samples_per_frame]
+    ms_full, _ = timeit(full, params, codes, text, ge, noise)
+
+    out = {"platform": platform, "bucket_frames": bucket,
+           "ge_ms": round(ms_ge, 2), "core_ms": round(ms_core, 2),
+           "flow_ms": round(ms_flow, 2), "full_ms": round(ms_full, 2)}
+    for B in (2, 4, 8):
+        zB = jnp.tile(z_pb, (B, 1, 1))
+        mB = jnp.tile(y_mb, (B, 1, 1))
+        gB = jnp.tile(ge, (B, 1, 1))
+        ms_b, _ = timeit(flow_fn, params, zB, mB, gB)
+        out[f"flow_b{B}_ms"] = round(ms_b, 2)
+        out[f"flow_b{B}_per_stream_ms"] = round(ms_b / B, 2)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tokens", type=int, default=500)
@@ -492,7 +571,19 @@ def main():
     ap.add_argument("--skip-serving", action="store_true",
                     help="skip the shared-wave serving measurement "
                          "(N staggered clients + per-client vocoder)")
+    ap.add_argument("--vocoder-breakdown", action="store_true",
+                    help="measure the streaming-vocoder chunk phase split "
+                         "(ge/core/flow) + flow_dec batch scaling and exit")
     args = ap.parse_args()
+
+    if args.vocoder_breakdown:
+        vb = bench_vocoder_breakdown()
+        for k, v in vb.items():
+            print(f"# {k}: {v}", file=sys.stderr)
+        print(json.dumps({"metric": "vocoder_breakdown",
+                          "value": vb.get("full_ms"), "unit": "ms/chunk",
+                          "vs_baseline": 0, "extra": vb}))
+        return
 
     if args.breakdown:
         bd = bench_breakdown()
@@ -540,17 +631,19 @@ def main():
     if not args.skip_serving:
         try:
             sv = bench_shared_serving()
+            # NOTE: over the axon tunnel every 5-token wave chunk pays one
+            # host round trip (tens of ms), so these wall numbers are a
+            # TUNNEL-BOUND LOWER BOUND — they prove the path works under
+            # concurrent load, not the chip's capacity.  A colocated host
+            # pays ~0.1-0.5 ms per dispatch instead.
             print(f"# shared serving ({sv['n_clients']} staggered clients, "
-                  f"wave+vocoder): {sv['agg_tok_s']:.0f} agg tok/s "
-                  f"(~{sv['streams_realtime']:.0f} realtime streams/chip "
-                  f"SERVED), ttft solo={sv['solo_ttft_ms']:.0f}ms "
-                  f"p50={sv['p50_ttft_ms']:.0f}ms max={sv['max_ttft_ms']:.0f}ms",
-                  file=sys.stderr)
+                  f"wave+vocoder, TUNNEL-BOUND): {sv['agg_tok_s']:.0f} agg "
+                  f"tok/s, ttft solo={sv['solo_ttft_ms']:.0f}ms "
+                  f"p50={sv['p50_ttft_ms']:.0f}ms (each 5-token chunk pays "
+                  f"one tunnel RTT — see CLAUDE.md)", file=sys.stderr)
             extra.update(
-                served_agg_tok_s=round(sv["agg_tok_s"], 0),
-                served_streams_realtime=round(sv["streams_realtime"], 0),
-                served_ttft_solo_ms=round(sv["solo_ttft_ms"], 0),
-                served_ttft_p50_ms=round(sv["p50_ttft_ms"], 0))
+                served_tunnel_agg_tok_s=round(sv["agg_tok_s"], 0),
+                served_tunnel_ttft_solo_ms=round(sv["solo_ttft_ms"], 0))
         except Exception as e:  # noqa: BLE001
             print(f"# shared-serving bench failed: {e}", file=sys.stderr)
     if not args.skip_sovits:
@@ -575,6 +668,18 @@ def main():
                 e2e_rtf=round(e2e_rtf, 4),
                 ttft_stream_wall_ms=round(ttft_wall, 1),
                 ttft_onchip_ms=round(ttft_onchip, 1))
+            # end-to-end realtime stream capacity from measured DEVICE
+            # times: each realtime stream consumes 25 tokens/s of B=4-wave
+            # decode (25/agg device-seconds) plus one vocoder chunk/s
+            if "batched_b4_agg_tok_s" in extra:
+                per_stream_s = (25.0 / extra["batched_b4_agg_tok_s"]
+                                + sv["sovits_chunk_ms"] / 1e3)
+                cap = 1.0 / per_stream_s
+                print(f"# e2e stream capacity (decode@B=4 + vocoder, "
+                      f"device-time): ~{cap:.0f} realtime streams/chip "
+                      f"({per_stream_s * 1e3:.1f} ms device per "
+                      f"stream-second)", file=sys.stderr)
+                extra["e2e_streams_per_chip"] = round(cap, 0)
         except Exception as e:  # noqa: BLE001
             print(f"# sovits bench failed: {e}", file=sys.stderr)
     print(json.dumps({

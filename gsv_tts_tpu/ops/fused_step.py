@@ -346,15 +346,36 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
     # lane offsets of the packed matrices (all 128-multiples)
     O_OUT, O_M1, O_M2 = 3 * D, 4 * D, 4 * D + M
 
+    W_total = 4 * D + 2 * M
+    # weight-stream DMA shape experiments (bench.py --breakdown): the r3
+    # ablation showed the per-layer page stream IS the B=1 step floor
+    # (stream_only = 0.342 of 0.351 ms/tok), with each single 6.3 MB page
+    # moving at only ~440 GB/s — so split the page across concurrent DMA
+    # engines ("wsplit"/"wsplit4") or drop the background priority
+    # ("wprio0") and measure.
+    n_wsplit = {"wsplit": 2, "wsplit4": 4}.get(ablate, 1)
+    w_prio = 0 if ablate == "wprio0" else 1
+    halfW = W_total // n_wsplit  # 6144/2/4 stay 128-multiples
+
     def start_layer_load(layer, slot):
         # background priority: the weight stream must not head-block the
         # latency-critical attention-walk / window DMAs on the queue
-        pltpu.make_async_copy(w_packed_ref.at[layer], w_all.at[slot],
-                              w_sem.at[slot]).start(priority=1)
+        if n_wsplit == 1:
+            pltpu.make_async_copy(w_packed_ref.at[layer], w_all.at[slot],
+                                  w_sem.at[slot, 0]).start(priority=w_prio)
+        else:
+            for h in range(n_wsplit):
+                pltpu.make_async_copy(
+                    w_packed_ref.at[layer, :, pl.ds(h * halfW, halfW)],
+                    w_all.at[slot, :, pl.ds(h * halfW, halfW)],
+                    w_sem.at[slot, h]).start(priority=w_prio)
 
     def wait_layer_load(slot):
-        pltpu.make_async_copy(w_packed_ref.at[0], w_all.at[slot],
-                              w_sem.at[slot]).wait()
+        for h in range(n_wsplit):
+            pltpu.make_async_copy(
+                w_packed_ref.at[0, :, pl.ds(h * halfW, halfW)],
+                w_all.at[slot, :, pl.ds(h * halfW, halfW)],
+                w_sem.at[slot, h]).wait()
 
     def pw_dma(c, slot):
         return pltpu.make_async_copy(
@@ -781,7 +802,7 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
             pltpu.VMEM((1, Vp), F32),            # logits row
             pltpu.VMEM((L, 8, D), dtype),        # K append windows (all layers)
             pltpu.VMEM((L, 8, D), dtype),        # V append windows
-            pltpu.SemaphoreType.DMA((2,)),       # weight stream slots
+            pltpu.SemaphoreType.DMA((2, 4)),     # weight stream slots (x split)
             pltpu.SemaphoreType.DMA((2,)),       # predict-head chunks
             pltpu.SemaphoreType.DMA((2, 2)),     # attention kv walk
             pltpu.SemaphoreType.DMA((2,)),       # window reads (K, V)
