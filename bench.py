@@ -553,6 +553,63 @@ def bench_vocoder_breakdown(frames25: int = 25, n_text: int = 30,
     return out
 
 
+def bench_vocoder_batched(frames25: int = 25, n_text: int = 30,
+                          reps: int = 8, Bs=(1, 2, 4)):
+    """Cross-stream batched streaming vocoder — the PRODUCTION programs of
+    ``runtime/vocoder_batch.py`` (``decode_core_stream_padded_batch`` +
+    bucketed ``flow_dec``) timed end to end at batch B, per-stream ms.
+    This is the capacity denominator once concurrent shared-wave clients
+    micro-batch their chunk vocodes (ge cached per speaker, as serving
+    does)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsv_tts_tpu.models import sovits as jsv
+    from gsv_tts_tpu.runtime.vocoder_batch import _stream_batch_fused_jit
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+    cfg = jsv.SovitsConfig()
+    params = jsv.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+
+    rng = np.random.RandomState(0)
+    overlap = 5
+    Bc = ((frames25 + 31) // 32) * 32
+    Np = ((n_text + 31) // 32) * 32
+    t50 = frames25 * 2
+    bucket = 128 if t50 > 55 else 55
+
+    out = {"platform": platform, "bucket_frames": bucket}
+    for B in Bs:
+        codes = jnp.asarray(rng.randint(0, 1024, (B, 1, Bc)), jnp.int32)
+        codes_len = jnp.full((B,), frames25, jnp.int32)
+        text = jnp.asarray(rng.randint(0, 732, (B, Np)), jnp.int32)
+        text_len = jnp.full((B,), n_text, jnp.int32)
+        ge = jnp.asarray(rng.randn(B, cfg.gin_channels, 1)
+                         .astype(np.float32) * 0.1, dtype)
+        noise = jnp.zeros((B, cfg.inter_channels, 2 * Bc), dtype)
+        y_ov = jnp.zeros((B, cfg.hidden_channels, overlap), dtype)
+        vsi = jnp.zeros((B,), jnp.int32)
+        blend = jnp.zeros((B,), bool)
+
+        def run():
+            audio, attn, ov = _stream_batch_fused_jit(
+                params, cfg, codes, codes_len, text, text_len, ge, noise,
+                y_ov, vsi, blend, overlap, bucket)
+            return audio
+
+        audio = run()
+        np.asarray(audio[0, 0, :4])  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            audio = run()
+        np.asarray(audio[0, 0, :4])
+        ms = (time.perf_counter() - t0) / reps * 1e3
+        out[f"vb{B}_ms"] = round(ms, 2)
+        out[f"vb{B}_per_stream_ms"] = round(ms / B, 2)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tokens", type=int, default=500)
@@ -675,11 +732,28 @@ def main():
                 per_stream_s = (25.0 / extra["batched_b4_agg_tok_s"]
                                 + sv["sovits_chunk_ms"] / 1e3)
                 cap = 1.0 / per_stream_s
-                print(f"# e2e stream capacity (decode@B=4 + vocoder, "
+                print(f"# e2e stream capacity (decode@B=4 + solo vocoder, "
                       f"device-time): ~{cap:.0f} realtime streams/chip "
                       f"({per_stream_s * 1e3:.1f} ms device per "
                       f"stream-second)", file=sys.stderr)
                 extra["e2e_streams_per_chip"] = round(cap, 0)
+                try:
+                    vb = bench_vocoder_batched(Bs=(1, 4))
+                    per_b = vb["vb4_per_stream_ms"]
+                    per_stream_b = (25.0 / extra["batched_b4_agg_tok_s"]
+                                    + per_b / 1e3)
+                    cap_b = 1.0 / per_stream_b
+                    print(f"# e2e stream capacity (decode@B=4 + BATCHED "
+                          f"vocoder {per_b:.1f}ms/stream vs solo-padded "
+                          f"{vb['vb1_ms']:.1f}ms): ~{cap_b:.0f} realtime "
+                          f"streams/chip", file=sys.stderr)
+                    extra.update(
+                        vocoder_b4_per_stream_ms=per_b,
+                        vocoder_b1_ms=vb["vb1_ms"],
+                        e2e_streams_per_chip_batched_vocoder=round(cap_b, 0))
+                except Exception as e:  # noqa: BLE001
+                    print(f"# batched vocoder bench failed: {e}",
+                          file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# sovits bench failed: {e}", file=sys.stderr)
     print(json.dumps({

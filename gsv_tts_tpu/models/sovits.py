@@ -612,6 +612,72 @@ def decode_core_stream_padded(p, cfg: SovitsConfig, codes_pad, codes_len,
     return z_p, mask_chunk, attn, new_overlap
 
 
+def decode_core_stream_padded_batch(p, cfg: SovitsConfig, codes_pad,
+                                    codes_len, text_pad, text_len, ge, noise,
+                                    y_overlap, vsi, blend, *,
+                                    overlap_len: int):
+    """Cross-stream batched variant of :func:`decode_core_stream_padded`:
+    N independent streaming requests' vocoder chunks run as ONE program.
+
+    Every per-request quantity is a [B]-vector of traced scalars
+    (``codes_len`` / ``text_len`` / ``vsi`` / ``blend``), so requests at
+    different progress points — different valid lengths, different chunk
+    offsets, first chunk (no blend) vs later chunks — share one compiled
+    executable keyed only by the (B, codes-bucket, text-bucket) shapes.
+    Rows are right-padded into the COMMON bucket; VITS masking makes that
+    exact per row (see the single-row variant's docstring).  ``blend`` is
+    a per-row bool selecting the cross-fade head (the single-row variant's
+    static ``blend`` flag, made traced so first chunks can share the batch
+    with later chunks).
+
+    Shapes: codes_pad [B, 1, Bc], text_pad [B, Np], ge [B, gin, 1],
+    noise [B, inter, 2*Bc], y_overlap [B, hidden, overlap_len];
+    returns (z_p [B, C, 2*Bc], mask [B, 1, 2*Bc], attn [B, 2*Bc, Np],
+    new_overlap [B, hidden, overlap_len]) — the caller slices each row's
+    valid prefix ``2*codes_len[b] - vsi[b]`` host-side.
+
+    No reference counterpart: the reference vocodes each stream's chunk
+    solo under its ``_infer_lock`` (``TTS.py:422-431``); this is the TPU
+    batch-amortization of that region across concurrent clients.
+    """
+    B, _, Bc = codes_pad.shape
+    T50 = 2 * Bc
+    quantized = quantizer_decode(p, codes_pad.transpose(1, 0, 2),
+                                 cfg.quantizer_n_q)
+    quantized = interpolate_nearest_2x(quantized)
+    t50_valid = 2 * codes_len  # [B]
+    pos = jnp.arange(T50)[None, None, :]
+    y_mask = (pos < t50_valid[:, None, None]).astype(quantized.dtype)
+    tpos = jnp.arange(text_pad.shape[-1])[None, None, :]
+    text_mask = (tpos < text_len[:, None, None]).astype(quantized.dtype)
+
+    y_latent, y_mask, attn = text_encoder_infer(
+        p, cfg, quantized, text_pad, ge_for_mrte(p, cfg, ge),
+        y_mask=y_mask, text_mask=text_mask)
+
+    C = y_latent.shape[1]
+    ext = jnp.pad(y_latent, [(0, 0), (0, 0), (0, T50)])
+    mext = jnp.pad(y_mask, [(0, 0), (0, 0), (0, T50)])
+    slice_row = jax.vmap(
+        lambda e, v: jax.lax.dynamic_slice(e, (0, v), (C, T50)))
+    chunk = slice_row(ext, vsi)
+    mask_chunk = jax.vmap(
+        lambda e, v: jax.lax.dynamic_slice(e, (0, v), (1, T50)))(mext, vsi)
+    alpha = jnp.linspace(0, 1, overlap_len, dtype=chunk.dtype)[None, None, :]
+    blended = y_overlap * (1 - alpha) + chunk[:, :, :overlap_len] * alpha
+    head = jnp.where(blend[:, None, None], blended, chunk[:, :, :overlap_len])
+    chunk = jnp.concatenate([head, chunk[:, :, overlap_len:]], axis=2)
+    cext = jnp.pad(chunk, [(0, 0), (0, 0), (0, T50)])
+    H = chunk.shape[1]
+    new_overlap = jax.vmap(
+        lambda e, s: jax.lax.dynamic_slice(e, (0, s), (H, overlap_len)))(
+        cext, t50_valid - vsi - overlap_len)
+
+    m, logs = project_latent(p, cfg, chunk, mask_chunk)
+    z_p = m + noise * jnp.exp(logs)
+    return z_p, mask_chunk, attn, new_overlap
+
+
 def params_from_torch_state_dict(state_dict: Dict[str, Any], dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
     """Flat torch state dict (numpy values) → our flat params.  Folds any
     weight-norm (weight_g/weight_v) pairs (reference removes the Generator's

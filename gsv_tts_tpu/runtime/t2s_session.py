@@ -684,7 +684,7 @@ class T2SEngine:
                                 top_p=1.0, temperature=1.0,
                                 repetition_penalty=1.35,
                                 rng: Optional[jax.Array] = None,
-                                compact: bool = True):
+                                compact: bool = True, grouped: bool = False):
         """Incremental continuous batching: yields ``(orig_idx, new_tokens,
         done)`` after every decode chunk, where concatenating a request's
         ``new_tokens`` arrays reproduces its :meth:`generate_batched`
@@ -693,7 +693,14 @@ class T2SEngine:
         harvest, and nothing past a sampled EOS is ever emitted).  This is
         the engine surface for streaming continuous-batched serving — B
         concurrent requests share the batched whole-step kernel while each
-        consumer vocodes its tokens as they arrive."""
+        consumer vocodes its tokens as they arrive.
+
+        With ``grouped=True`` each iteration instead yields the LIST of
+        ``(orig_idx, new_tokens, done)`` events produced by one decode
+        chunk (same events, same order).  Slots cross their stream-chunk
+        thresholds on the same decode step, so a consumer seeing the whole
+        step at once can micro-batch its per-request vocodes
+        (``tts.infer_batched_stream`` does)."""
         cfg = self.cfg
         rng = rng if rng is not None else jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         N = len(x_list)
@@ -754,6 +761,7 @@ class T2SEngine:
         # t2s_model.py:634-655), so the first chunk is 1 step and the rest
         # are check_interval; slot refills inherit the global phase
         first_chunk = True
+        events: List[tuple] = []
         while not all(ignore):
             n_steps = 1 if first_chunk else self.check_interval
             first_chunk = False
@@ -789,9 +797,11 @@ class T2SEngine:
                             slot_eos_seen[j] = True
                             break
                     if hi > slot_emitted[j]:
-                        yield (slot_orig[j],
-                               np.asarray(window[slot_emitted[j]: hi],
-                                          np.int64), False)
+                        events.append((slot_orig[j],
+                                       np.asarray(window[slot_emitted[j]: hi],
+                                                  np.int64), False))
+                        if not grouped:
+                            yield events.pop()
                         slot_emitted[j] = hi
                 # the reference checks EOS only on the interval's LAST sample
                 # (``samples[:, 0] == EOS`` at the boundary, t2s_model.py:655)
@@ -812,7 +822,9 @@ class T2SEngine:
                     gen = gen[: eos_pos[0]]
                 gen = gen[gen < cfg.eos]
                 gen = gen.astype(np.int64)
-                yield (slot_orig[j], gen[slot_emitted[j]:], True)
+                events.append((slot_orig[j], gen[slot_emitted[j]:], True))
+                if not grouped:
+                    yield events.pop()
 
                 if next_req < N:
                     i = next_req
@@ -878,3 +890,7 @@ class T2SEngine:
                             ignore = remap(ignore, True)
                             B = smaller
                             self.compactions += 1
+
+            if grouped and events:
+                yield events
+                events = []

@@ -229,6 +229,10 @@ class TTSServer:
             waves = self.tts.wave_stats()
             if waves:
                 payload["waves"] = waves
+        if hasattr(self.tts, "vocoder_batch_stats"):
+            vb = self.tts.vocoder_batch_stats()
+            if vb:
+                payload["vocoder_batcher"] = vb
         return web.json_response(payload)
 
     async def tts_stream(self, request: web.Request) -> web.StreamResponse:

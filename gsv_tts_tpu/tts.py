@@ -95,21 +95,43 @@ class _SegStream:
         self._head_offset = 0
         self._last_subtitles_end = 0
 
+    def batch_eligible(self, tts: "TTS", speed: float) -> bool:
+        """True when this segment's vocode can join a cross-request batched
+        program (same gate as the solo bucketed path)."""
+        return (speed == 1 and self.ge.shape[-1] == 1
+                and tts.stream_vocoder == "bucketed")
+
     def step(self, tts: "TTS", sovits, final: bool, req_state: dict, *,
              noise_scale: float, speed: float, overlap_len: int,
-             cut_mute: float, cut_mute_scale_map: dict):
+             cut_mute: float, cut_mute_scale_map: dict, batcher=None,
+             upto: Optional[int] = None, vocode_result=None):
         """One incremental vocode pass over the cumulative tokens; returns
-        ``(audio float32, new_subtitles)``."""
+        ``(audio float32, new_subtitles)``.  With ``batcher`` (a
+        ``runtime/vocoder_batch.VocoderBatcher``) eligible chunks are
+        micro-batched across concurrent streams.  ``upto`` caps the token
+        snapshot (deferred-execution callers plan several vocodes before
+        running any); ``vocode_result`` injects a precomputed
+        ``(audio, attn, new_overlap)`` from ``VocoderBatcher.decode_many``
+        in place of the solo decode."""
         overlap_samples = overlap_len * sovits.cfg.samples_per_frame
-        semantic = np.asarray(self.tokens, np.int64)
+        semantic = np.asarray(
+            self.tokens if upto is None else self.tokens[:upto], np.int64)
         subtitles = []
         if semantic.size:
-            audio, attn, self._y_overlap = tts._sovits_decode_stream(
-                sovits, semantic[None, None, :],
-                np.asarray(self.phones2, np.int32)[None], self.ge,
-                noise_scale=noise_scale, speed=speed,
-                y_overlap=self._y_overlap, valid_start_idx=self._vsi,
-                overlap_len=overlap_len)
+            if vocode_result is not None:
+                audio, attn, self._y_overlap = vocode_result
+            elif (batcher is not None and self.batch_eligible(tts, speed)):
+                audio, attn, self._y_overlap = batcher.decode_stream(
+                    sovits, semantic, np.asarray(self.phones2, np.int32),
+                    self.ge, noise_scale, self._y_overlap, self._vsi,
+                    overlap_len)
+            else:
+                audio, attn, self._y_overlap = tts._sovits_decode_stream(
+                    sovits, semantic[None, None, :],
+                    np.asarray(self.phones2, np.int32)[None], self.ge,
+                    noise_scale=noise_scale, speed=speed,
+                    y_overlap=self._y_overlap, valid_start_idx=self._vsi,
+                    overlap_len=overlap_len)
             audio = np.asarray(audio).reshape(-1)
             attn = np.asarray(attn)
             if self._last_overlap is not None:
@@ -159,7 +181,8 @@ class _SegStream:
                 new_subtitles[-1]["end_s"] = None
         if final:
             req_state["cur_text_l"] += len(self.text_cut)
-        self.vocoded = len(self.tokens)
+        self.vocoded = max(self.vocoded,
+                           len(self.tokens) if upto is None else upto)
         self.done = self.done or final
         return audio.astype(np.float32), new_subtitles
 
@@ -184,6 +207,7 @@ class TTS:
         always_load_sv: bool = False,
         wave_max_batch: int = 4,
         stream_vocoder: str = "bucketed",
+        vocoder_batch: bool = True,
     ):
         self.tts_config = Config(dtype=dtype, platform=device)
         self.tts_config.use_flash_attn = use_flash_attn
@@ -242,6 +266,10 @@ class TTS:
         # unpadded eager path (kept for speed!=1 and as a numerical
         # cross-check)
         self.stream_vocoder = stream_vocoder
+        # cross-stream vocoder micro-batching for shared-wave streaming
+        # (runtime/vocoder_batch.py); created lazily on first use
+        self.vocoder_batch = vocoder_batch
+        self._vocoder_batcher = None
         self._wave_schedulers: Dict = {}
         self._sched_lock = threading.Lock()
         self._rng_lock = threading.Lock()
@@ -873,50 +901,98 @@ class TTS:
                           want_subtitles=return_subtitles)
                for s in range(n_segs)]
 
-        def vocode(s: int, final: bool):
-            oi = segment_to_original[s]
-            return seg[s].step(
-                self, sovits, final, req_state[oi], noise_scale=noise_scale,
-                speed=speed, overlap_len=overlap_len, cut_mute=cut_mute,
-                cut_mute_scale_map=cut_mute_scale_map)
-
         def clip(oi: int, audio: np.ndarray, subtitles) -> AudioClip:
             audio_len_s[oi] += len(audio) / self.samplerate
             return AudioClip(self.audio_queue, audio, self.samplerate,
                              audio_len_s[oi], subtitles, orig_texts[oi])
 
-        for s, new_toks, sdone in gpt.engine.generate_batched_stream(
+        # coincident chunk boundaries: requests gain tokens in lockstep, so
+        # their vocodes come due on the same decode step — consume the
+        # engine's GROUPED events, plan every due vocode for the step, run
+        # the eligible ones as ONE batched program, then post-process and
+        # yield in the ungrouped order
+        batcher = self._get_vocoder_batcher() if speed == 1 else None
+
+        for events in gpt.engine.generate_batched_stream(
                 xs, ys, berts, top_k=top_k, top_p=top_p,
                 temperature=temperature,
-                repetition_penalty=repetition_penalty, rng=self._next_rng()):
-            st = seg[s]
-            st.tokens.extend(int(t) for t in new_toks)
-            if sdone:
-                st.done = True
-            oi = segment_to_original[s]
-            if orig_segments[oi][cur_pos[oi]] != s:
-                continue  # out-of-order segment: buffer until its turn
+                repetition_penalty=repetition_penalty, rng=self._next_rng(),
+                grouped=True):
+            plan: List[dict] = []
+            planned_idx: Dict[int, int] = {}
 
-            if not st.done:
-                if len(st.tokens) - st.vocoded >= stream_chunk:
-                    audio, subs = vocode(s, final=False)
-                    if audio.size:
-                        yield oi, clip(oi, audio, subs), False
-                continue
+            def plan_vocode(s: int, final: bool):
+                if s in planned_idx:
+                    # a chunk vocode planned earlier this step is upgraded
+                    # in place by the segment's final (one pass covers all
+                    # tokens; a second pass would need the first's carried
+                    # overlap state)
+                    e = plan[planned_idx[s]]
+                    e["final"] = e["final"] or final
+                    e["upto"] = len(seg[s].tokens)
+                else:
+                    planned_idx[s] = len(plan)
+                    plan.append({"s": s, "final": final,
+                                 "upto": len(seg[s].tokens),
+                                 "oi": segment_to_original[s]})
+                seg[s].vocoded = len(seg[s].tokens)
 
-            # current segment finished: finalize it, then drain any later
-            # segments of this request that other slots already completed
-            pending = [vocode(s, final=True)]
-            cur_pos[oi] += 1
-            while cur_pos[oi] < len(orig_segments[oi]):
-                nxt = orig_segments[oi][cur_pos[oi]]
-                if not seg[nxt].done:
-                    break
-                pending.append(vocode(nxt, final=True))
+            for s, new_toks, sdone in events:
+                st = seg[s]
+                st.tokens.extend(int(t) for t in new_toks)
+                if sdone:
+                    st.done = True
+                oi = segment_to_original[s]
+                if orig_segments[oi][cur_pos[oi]] != s:
+                    continue  # out-of-order segment: buffer until its turn
+
+                if not st.done:
+                    if len(st.tokens) - st.vocoded >= stream_chunk:
+                        plan_vocode(s, final=False)
+                    continue
+
+                # current segment finished: finalize it, then drain any
+                # later segments of this request that other slots already
+                # completed
+                plan_vocode(s, final=True)
                 cur_pos[oi] += 1
-            req_done = cur_pos[oi] == len(orig_segments[oi])
-            for k, (audio, subs) in enumerate(pending):
-                yield oi, clip(oi, audio, subs), req_done and k == len(pending) - 1
+                while cur_pos[oi] < len(orig_segments[oi]):
+                    nxt = orig_segments[oi][cur_pos[oi]]
+                    if not seg[nxt].done:
+                        break
+                    plan_vocode(nxt, final=True)
+                    cur_pos[oi] += 1
+
+            if not plan:
+                continue
+            results = {}
+            eligible = [e for e in plan if e["upto"] > 0
+                        and seg[e["s"]].batch_eligible(self, speed)]
+            if batcher is not None and len(eligible) >= 2:
+                specs = []
+                for e in eligible:
+                    st = seg[e["s"]]
+                    specs.append((
+                        sovits, np.asarray(st.tokens[:e["upto"]], np.int64),
+                        np.asarray(st.phones2, np.int32), st.ge, noise_scale,
+                        st._y_overlap, st._vsi, overlap_len))
+                outs = batcher.decode_many(specs)
+                results = {e["s"]: r for e, r in zip(eligible, outs)}
+            last_final = {e["oi"]: e["s"] for e in plan if e["final"]}
+            for e in plan:
+                s, final, oi = e["s"], e["final"], e["oi"]
+                audio, subs = seg[s].step(
+                    self, sovits, final, req_state[oi],
+                    noise_scale=noise_scale, speed=speed,
+                    overlap_len=overlap_len, cut_mute=cut_mute,
+                    cut_mute_scale_map=cut_mute_scale_map,
+                    upto=e["upto"], vocode_result=results.get(s))
+                if final:
+                    req_done = (cur_pos[oi] == len(orig_segments[oi])
+                                and last_final[oi] == s)
+                    yield oi, clip(oi, audio, subs), req_done
+                elif audio.size:
+                    yield oi, clip(oi, audio, subs), False
 
     def stream_shared(self, spk_audio_path, prompt_audio_path,
                       prompt_audio_text, text, return_subtitles: bool = False,
@@ -958,6 +1034,9 @@ class TTS:
             gpt, prompt, phones1, bert1 = self._prepare_gpt_resources(
                 gpt_model, prompt_audio_path, prompt_audio_text)
         sched = self._get_wave_scheduler(gpt_model)
+        # concurrent shared streams hit chunk boundaries together (same
+        # wave step) — micro-batch their vocoder chunks into one program
+        batcher = self._get_vocoder_batcher() if speed == 1 else None
 
         import time as _time
 
@@ -994,7 +1073,8 @@ class TTS:
                         self, sovits, done, req_state,
                         noise_scale=noise_scale, speed=speed,
                         overlap_len=overlap_len, cut_mute=cut_mute,
-                        cut_mute_scale_map=cut_mute_scale_map)
+                        cut_mute_scale_map=cut_mute_scale_map,
+                        batcher=batcher)
                     if audio.size or subs or done:
                         audio_len_s += len(audio) / self.samplerate
                         if first_yield:
@@ -1215,10 +1295,35 @@ class TTS:
                 self._wave_schedulers[gpt_model] = sched
             return sched
 
+    def _get_vocoder_batcher(self):
+        """Lazy cross-stream vocoder micro-batcher (``runtime/
+        vocoder_batch.py``); ``vocoder_batch=False`` disables it (each
+        shared stream then vocodes solo)."""
+        if not self.vocoder_batch:
+            return None
+        from .runtime.vocoder_batch import VocoderBatcher
+
+        with self._sched_lock:
+            if self._vocoder_batcher is None:
+                self._vocoder_batcher = VocoderBatcher(
+                    self, max_batch=self.wave_max_batch)
+            return self._vocoder_batcher
+
     def wave_stats(self) -> Dict:
-        """Shared-wave scheduler state per GPT model (serving /health)."""
+        """Shared-wave scheduler state per GPT model (serving /health).
+        Every value is a per-model ``{"waves": [...]}`` dict — batcher
+        counters live in :meth:`vocoder_batch_stats` so consumers can
+        iterate these values uniformly."""
         with self._sched_lock:
             return {str(k): s.stats for k, s in self._wave_schedulers.items()}
+
+    def vocoder_batch_stats(self) -> Dict:
+        """Cross-stream vocoder micro-batcher counters (empty dict until
+        the first shared stream engages it)."""
+        with self._sched_lock:
+            if self._vocoder_batcher is None:
+                return {}
+            return dict(self._vocoder_batcher.stats)
 
     def _default_models(self, gpt_model, sovits_model):
         if gpt_model is None:
@@ -1354,29 +1459,29 @@ class TTS:
         audio = self._flow_dec_bucketed(sovits, z_p, y_mask, ge_out, True)
         return audio, attn[0], new_overlap
 
+    def _flow_bucket(self, t: int, use_buckets: bool = True) -> int:
+        """Frame bucket for a t-frame flow/vocoder run: first configured
+        ``sovits_cache`` bucket that fits, else the ×1.5 geometric ladder
+        above them (O(log t) compiled programs for arbitrary lengths), else
+        exact shape (``sovits_cache=[]`` ⇒ reference CPU semantics)."""
+        buckets = self.tts_config.sovits_cache or []
+        if use_buckets:
+            for b in buckets:
+                if b >= t:
+                    return b
+        if not buckets:
+            return t
+        target = max(buckets)
+        while target < t:
+            target = _round_up(int(target * 1.5) + 1, 64)
+        return target
+
     def _flow_dec_bucketed(self, sovits: Sovits, z_p, y_mask, ge, use_buckets: bool):
         """Pad z_p to a fixed frame bucket and run the jitted flow+vocoder
         (the reference's CUDA-graph region, ``models.py:406-425``)."""
         cfg = sovits.cfg
         t = z_p.shape[-1]
-        buckets = self.tts_config.sovits_cache or []
-        target = None
-        if use_buckets:
-            for b in buckets:
-                if b >= t:
-                    target = b
-                    break
-        if target is None:
-            if buckets:
-                # geometric ladder above the configured buckets: ×1.5 rungs
-                # snapped to 64-frame multiples, so arbitrarily long packed
-                # batches compile O(log t) flow/vocoder programs instead of
-                # one per 64-frame quantum
-                target = max(buckets)
-                while target < t:
-                    target = _round_up(int(target * 1.5) + 1, 64)
-            else:
-                target = t  # sovits_cache=[] ⇒ exact shapes (reference CPU mode)
+        target = self._flow_bucket(t, use_buckets)
         pad = target - t
         if pad:
             z_p = jnp.pad(z_p, [(0, 0), (0, 0), (0, pad)])

@@ -151,12 +151,16 @@ def test_batched_stream_subtitles_match_infer_stream(engine, assets, monkeypatch
             yield tokens[None, None, :hi], False
         yield tokens[None, None, :], True
 
-    def fake_gbs(xs, ys, bs, **kw):
-        emitted = 0
-        for hi in range(chunk, len(tokens), chunk):
-            yield 0, tokens[emitted:hi], False
-            emitted = hi
-        yield 0, tokens[emitted:], True
+    def fake_gbs(xs, ys, bs, grouped=False, **kw):
+        def ev():
+            emitted = 0
+            for hi in range(chunk, len(tokens), chunk):
+                yield 0, tokens[emitted:hi], False
+                emitted = hi
+            yield 0, tokens[emitted:], True
+
+        for e in ev():
+            yield [e] if grouped else e
 
     monkeypatch.setattr(gpt.engine, "generate", fake_generate)
     monkeypatch.setattr(gpt.engine, "generate_batched_stream", fake_gbs)
@@ -180,3 +184,128 @@ def test_batched_stream_subtitles_match_infer_stream(engine, assets, monkeypatch
     s2 = [s for _, c, _ in batched for s in c.subtitles]
     assert s1, "no subtitles produced by infer_stream"
     assert s1 == s2
+
+
+def test_vocoder_batcher_groups_and_matches_solo(engine, assets):
+    """Cross-stream vocoder micro-batching (runtime/vocoder_batch.py):
+    three threads submitting chunk states at DIFFERENT progress points
+    (two first chunks of different lengths, one blended continuation)
+    must be grouped into one batched program whose per-row results match
+    each row's solo bucketed vocode (noise_scale=0 ⇒ deterministic)."""
+    from gsv_tts_tpu.runtime.vocoder_batch import VocoderBatcher
+
+    sovits, ge = engine._prepare_sovits_resources(assets["sovits"],
+                                                  assets["spk"])
+    overlap = 5
+    rng = np.random.RandomState(5)
+    c_long = rng.randint(0, 1024, 41).astype(np.int32)
+    t_long = rng.randint(1, 100, 13).astype(np.int32)
+
+    # build the continuation row's carried overlap via a solo first chunk
+    _, _, ov_carry = engine._sovits_decode_stream(
+        sovits, c_long[None, None, :20], t_long[None], ge,
+        noise_scale=0.0, speed=1.0, y_overlap=None, valid_start_idx=0,
+        overlap_len=overlap)
+
+    # (codes, text, vsi, y_overlap)
+    rows = [
+        (c_long[:20], t_long, 0, None),                       # first chunk
+        (c_long, t_long, 35, ov_carry),                       # continuation
+        (rng.randint(0, 1024, 9).astype(np.int32),
+         rng.randint(1, 100, 7).astype(np.int32), 0, None),   # short row
+    ]
+    expected = [
+        engine._sovits_decode_stream(
+            sovits, c[None, None, :], t[None], ge, noise_scale=0.0,
+            speed=1.0, y_overlap=yo, valid_start_idx=v, overlap_len=overlap)
+        for c, t, v, yo in rows
+    ]
+
+    batcher = VocoderBatcher(engine, max_batch=4, window_s=0.5)
+    try:
+        results = [None] * len(rows)
+        errs = []
+        barrier = threading.Barrier(len(rows))
+
+        def client(i):
+            c, t, v, yo = rows[i]
+            try:
+                barrier.wait()
+                results[i] = batcher.decode_stream(
+                    sovits, c, t, ge, 0.0, yo, v, overlap)
+            except Exception as exc:  # noqa: BLE001
+                errs.append(exc)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(rows))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        assert not errs, errs
+        assert batcher.stats["max_group"] >= 2, batcher.stats
+        for i, ((audio_e, attn_e, ov_e), got) in enumerate(zip(expected,
+                                                               results)):
+            audio_b, attn_b, ov_b = got
+            assert np.asarray(audio_b).shape == np.asarray(audio_e).shape
+            np.testing.assert_allclose(
+                np.asarray(audio_b), np.asarray(audio_e), atol=2e-3,
+                err_msg=f"row {i} audio")
+            np.testing.assert_allclose(
+                np.asarray(attn_b), np.asarray(attn_e), rtol=2e-4,
+                atol=2e-5, err_msg=f"row {i} attn")
+            np.testing.assert_allclose(
+                np.asarray(ov_b), np.asarray(ov_e), rtol=2e-4, atol=2e-5,
+                err_msg=f"row {i} overlap carry")
+    finally:
+        batcher.close()
+
+
+def test_stream_shared_concurrent_clients_use_vocoder_batcher(engine, assets):
+    """Two concurrent shared-wave clients must route their vocoder chunks
+    through the micro-batcher (rows counted in wave_stats) and still
+    produce sane audio of the expected per-client duration."""
+    from gsv_tts_tpu.runtime.vocoder_batch import VocoderBatcher
+
+    texts = ["the first client speaks now.",
+             "meanwhile a second client is talking."]
+    kw = dict(top_k=1, noise_scale=0.0, stream_chunk=10, is_cut_text=False)
+
+    solo_samples = []
+    for t in texts:
+        clips = _collect_shared(engine, assets, t, **kw)
+        solo_samples.append(sum(len(c.audio_data) for c in clips))
+
+    # widen the collect window so coincident chunk boundaries group even
+    # on a slow CPU box
+    old = engine._vocoder_batcher
+    engine._vocoder_batcher = VocoderBatcher(engine, max_batch=4,
+                                             window_s=0.15)
+    try:
+        results = [None] * 2
+
+        def client(i):
+            results[i] = list(engine.stream_shared(
+                assets["spk"], assets["prompt"], "hello there.", texts[i],
+                debug=False, **kw))
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        stats = dict(engine._vocoder_batcher.stats)
+        for i in range(2):
+            assert results[i], f"client {i} got no audio"
+            total = sum(len(c.audio_data) for c in results[i])
+            assert abs(total - solo_samples[i]) <= 4 * 2 * 640 * 5, \
+                f"client {i}: {total} vs solo {solo_samples[i]}"
+            for c in results[i]:
+                a = np.asarray(c.audio_data)
+                assert a.dtype == np.float32 and np.isfinite(a).all()
+        assert stats["rows"] >= 2, stats
+        assert engine.vocoder_batch_stats()["rows"] >= 2
+    finally:
+        engine._vocoder_batcher.close()
+        engine._vocoder_batcher = old

@@ -109,3 +109,78 @@ def test_padded_stream_core_is_jittable_one_program(setup):
                         ge, noise, y_ov, jnp.int32(0), 5, False)
         assert np.isfinite(np.asarray(z)).all()
     assert fn._cache_size() - before <= 1, "length change retraced the jit"
+
+
+def test_batched_stream_core_matches_solo_rows(setup):
+    """decode_core_stream_padded_batch: N rows at DIFFERENT progress points
+    (first chunk, blended continuation, different lengths) in one program
+    must reproduce each row's solo decode_core_stream_padded result in its
+    valid region — including rows padded into a larger common bucket."""
+    cfg, params = setup
+    rng = np.random.RandomState(2)
+    overlap = 5
+    # (n_codes, n_text, vsi, blend)
+    rows = [(20, 13, 0, False),   # first chunk
+            (41, 13, 35, True),   # continuation (needs y_overlap)
+            (9, 7, 0, False)]     # short row padded far into the bucket
+    y_ovs = [None,
+             jnp.asarray(rng.randn(1, cfg.hidden_channels, overlap)
+                         .astype(np.float32) * 0.1),
+             None]
+    codes = [rng.randint(0, 1024, (1, 1, n)).astype(np.int32)
+             for n, *_ in rows]
+    texts = [rng.randint(1, 700, (1, t)).astype(np.int32)
+             for _, t, *_ in rows]
+    ges = [jnp.asarray(rng.randn(1, cfg.gin_channels, 1)
+                       .astype(np.float32) * 0.1) for _ in rows]
+
+    B = len(rows)
+    Bc = ((max(n for n, *_ in rows) + 31) // 32) * 32
+    Np = ((max(t for _, t, *_ in rows) + 31) // 32) * 32
+    T50 = 2 * Bc
+    noise = jnp.asarray(rng.randn(B, cfg.inter_channels, T50)
+                        .astype(np.float32) * 0.3)
+
+    codes_b = np.zeros((B, 1, Bc), np.int32)
+    text_b = np.zeros((B, Np), np.int32)
+    yov_b = np.zeros((B, cfg.hidden_channels, overlap), np.float32)
+    for i, ((n, t, _, _), c, tx) in enumerate(zip(rows, codes, texts)):
+        codes_b[i, 0, :n] = c
+        text_b[i, :t] = tx
+        if y_ovs[i] is not None:
+            yov_b[i] = np.asarray(y_ovs[i][0])
+    z_b, m_b, attn_b, ov_b = jsv.decode_core_stream_padded_batch(
+        params, cfg, jnp.asarray(codes_b),
+        jnp.asarray([n for n, *_ in rows], jnp.int32),
+        jnp.asarray(text_b), jnp.asarray([t for _, t, *_ in rows], jnp.int32),
+        jnp.concatenate(ges, axis=0), noise, jnp.asarray(yov_b),
+        jnp.asarray([v for *_, v, _ in rows], jnp.int32),
+        jnp.asarray([b for *_, b in rows]), overlap_len=overlap)
+
+    for i, ((n, t, vsi, blend), c, tx) in enumerate(zip(rows, codes, texts)):
+        Bc_i = ((n + 31) // 32) * 32
+        # the solo program sees the row's own bucket but the SAME noise
+        # values in the valid region (noise enters additively post-slice)
+        noise_i = jnp.zeros((1, cfg.inter_channels, 2 * Bc_i), jnp.float32)
+        noise_i = noise_i.at[:, :, :T50].set(noise[i:i + 1, :, :2 * Bc_i])
+        y_ov_in = (y_ovs[i] if blend else
+                   jnp.zeros((1, cfg.hidden_channels, overlap), jnp.float32))
+        z_s, m_s, attn_s, ov_s = jsv.decode_core_stream_padded(
+            params, cfg, _pad_codes(c, Bc_i), jnp.int32(n),
+            _pad_text(tx, ((t + 31) // 32) * 32), jnp.int32(t), ges[i],
+            noise_i, y_ov_in, jnp.int32(vsi), overlap_len=overlap,
+            blend=blend)
+        t_valid = 2 * n - vsi
+        np.testing.assert_allclose(
+            np.asarray(z_b[i, :, :t_valid]), np.asarray(z_s[0, :, :t_valid]),
+            rtol=2e-4, atol=2e-5, err_msg=f"row {i} z_p")
+        np.testing.assert_array_equal(
+            np.asarray(m_b[i, :, :t_valid]), np.asarray(m_s[0, :, :t_valid]),
+            err_msg=f"row {i} mask")
+        np.testing.assert_allclose(
+            np.asarray(attn_b[i][..., :2 * n, :t]),
+            np.asarray(attn_s[0][..., :2 * n, :t]),
+            rtol=2e-4, atol=2e-5, err_msg=f"row {i} attn")
+        np.testing.assert_allclose(
+            np.asarray(ov_b[i]), np.asarray(ov_s[0]),
+            rtol=2e-4, atol=2e-5, err_msg=f"row {i} overlap carry")
