@@ -1419,12 +1419,18 @@ class TTS:
         n = codes.shape[-1]
         t_valid = n * 2 - valid_start_idx
         if speed == 1 and ge.shape[-1] == 1 and self.stream_vocoder == "bucketed":
-            # bucket-padded ONE-program path (decode_core_stream_padded):
-            # pads codes/text to 32-multiples so every chunk of every
-            # request reuses a handful of compiled programs; lengths and
-            # the chunk offset are traced scalars.  The eager exact-shape
-            # path pays per-op dispatch (tunnel RTT under axon) and a new
-            # shape per chunk.
+            # bucket-padded ONE-program path: pads codes/text to
+            # 32-multiples so every chunk of every request reuses a
+            # handful of compiled programs; lengths and the chunk offset
+            # are traced scalars.  The eager exact-shape path pays per-op
+            # dispatch (tunnel RTT under axon) and a new shape per chunk.
+            # The WHOLE chunk (core + bucket pad + flow + HiFi-GAN) runs
+            # as the B=1 case of the fused cross-stream program — the
+            # split core→pad→flow sequence measured dispatch-bound over
+            # the tunnel (~18 ms vs 8.2 fused; see
+            # runtime/vocoder_batch.py).
+            from .runtime.vocoder_batch import _stream_batch_fused_jit
+
             CB = 32
             Bc = _round_up(max(n, 1), CB)
             Np = _round_up(max(text.shape[-1], 1), CB)
@@ -1439,15 +1445,16 @@ class TTS:
             blend = y_overlap is not None
             y_ov = y_overlap if blend else jnp.zeros(
                 (1, cfg.hidden_channels, overlap_len), dtype)
-            z_p, mask, attn, new_overlap = _stream_core_padded_jit(
+            bucket = self._flow_bucket(t_valid)
+            audio, attn, new_overlap = _stream_batch_fused_jit(
                 sovits.params, cfg, jnp.asarray(codes_pad),
-                jnp.int32(n), jnp.asarray(text_pad),
-                jnp.int32(text.shape[-1]), ge, noise, y_ov,
-                jnp.int32(valid_start_idx), overlap_len, blend)
-            z_p = z_p[:, :, :t_valid]
-            mask = mask[:, :, :t_valid]
+                jnp.asarray([n], np.int32), jnp.asarray(text_pad),
+                jnp.asarray([text.shape[-1]], np.int32), ge, noise,
+                jnp.asarray(y_ov, dtype),
+                jnp.asarray([valid_start_idx], np.int32),
+                jnp.asarray([blend]), overlap_len, bucket)
+            audio = audio[:, :, : t_valid * cfg.samples_per_frame]
             attn = attn[..., :2 * n, :text.shape[-1]]
-            audio = self._flow_dec_bucketed(sovits, z_p, mask, ge, True)
             return audio, attn[0], new_overlap
         t_lat = int(t_valid / speed) + 1 if speed != 1 else t_valid
         noise = (jax.random.normal(self._next_rng(), (1, cfg.inter_channels, t_lat),
