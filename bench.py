@@ -23,7 +23,7 @@ import numpy as np
 
 def bench_t2s_decode(n_tokens: int = 500, chunk: int = 25, bucket: int = 512,
                      prompt_phones: int = 60, prompt_audio: int = 75,
-                     warmup_tokens: int = 50):
+                     warmup_tokens: int = 50, impl: str = None):
     import jax
     import jax.numpy as jnp
 
@@ -74,7 +74,7 @@ def bench_t2s_decode(n_tokens: int = 500, chunk: int = 25, bucket: int = 512,
     np.asarray(state.kv_len)
     compile_prefill_s = time.perf_counter() - t_prefill0
 
-    attn_impl = "fused_step" if platform == "tpu" else "xla"
+    attn_impl = impl or ("fused_step" if platform == "tpu" else "xla")
     for _ in range(max(1, warmup_tokens // chunk)):
         state, toks = decode_chunk(params, cfg, state, chunk, sa, 10, dtype_name,
                                    attn_impl)
@@ -666,6 +666,20 @@ def main():
         prefill_wall_ms=round(stats["prefill_ms"], 1),
         prefill_onchip_ms=round(stats["prefill_onchip_ms"], 1),
         gpt_rtf=round(stats["gpt_rtf"], 4))
+    try:
+        # int8 weight-streaming decode (opt-in "fused_step_q8" /
+        # TTS(quant_t2s=True)): halves the packed-weight DMA that bounds
+        # the bf16 step; record both batch points next to the bf16 headline
+        q1 = bench_t2s_decode(n_tokens=min(args.tokens, 400),
+                              chunk=args.chunk, impl="fused_step_q8")
+        q4 = bench_batched_decode(impl="fused_step_q8")
+        print(f"# q8: B=1 {q1['tok_s']:.0f} tok/s "
+              f"({q1['decode_ms_per_token']:.3f} ms/tok), "
+              f"B=4 {q4['agg_tok_s']:.0f} agg tok/s", file=sys.stderr)
+        extra.update(q8_b1_tok_s=round(q1["tok_s"], 0),
+                     q8_b4_agg_tok_s=round(q4["agg_tok_s"], 0))
+    except Exception as e:  # noqa: BLE001
+        print(f"# q8 bench failed: {e}", file=sys.stderr)
     if not args.skip_sharded:
         try:
             sh = bench_sharded_decode()

@@ -55,6 +55,12 @@ class Config:
     dtype: Any = None
     platform: str = None
     use_flash_attn: bool = True  # use the Pallas decode-attention kernel
+    # int8 weight-streaming t2s decode ("fused_step_q8"): halves the packed
+    # weight DMA that bounds B=1 decode (~0.34 ms/tok is pure weight
+    # stream); per-lane symmetric weight-only quantization, sampling logits
+    # shift by the int8 rounding error (opt-in — token streams are NOT
+    # bit-identical to the bf16 engine)
+    quant_t2s: bool = False
     gpt_cache: list = None
     sovits_cache: list = None
     cnroberta: Any = None  # lazily-attached BERT featurizer (see models/roberta.py)

@@ -214,7 +214,8 @@ def get_gpt_weights(gpt_path, tts_config: Config) -> Gpt:
     # tok/s vs flash 4000); B>6 falls back to flash attention.
     attn_impl = "xla"
     if getattr(tts_config, "use_flash_attn", False) and tts_config.platform == "tpu":
-        attn_impl = "fused_step"
+        attn_impl = "fused_step_q8" if getattr(tts_config, "quant_t2s", False) \
+            else "fused_step"
     engine = T2SEngine(params, cfg, gpt_cache=gpt_cache,
                        dtype=tts_config.dtype, attn_impl=attn_impl)
     return Gpt(engine, params, cfg, config)

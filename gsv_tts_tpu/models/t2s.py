@@ -355,9 +355,13 @@ def transformer_decode_step(params, cfg: T2SConfig, x, k_cache, v_cache, kv_len,
                                  interpret=(attn_impl == "fused_step_interpret"))
 
     # fused_step not applicable (B>1 or unaligned hidden dim): degrade to the
-    # flash kernel, preserving interpret mode
+    # flash kernel, preserving interpret mode (q8 only exists as the
+    # whole-step sampling kernel — its fallback is bf16 flash)
     attn_impl = {"fused_step": "flash",
-                 "fused_step_interpret": "flash_interpret"}.get(attn_impl, attn_impl)
+                 "fused_step_q8": "flash",
+                 "fused_step_interpret": "flash_interpret",
+                 "fused_step_q8_interpret": "flash_interpret"}.get(
+        attn_impl, attn_impl)
 
     if attn_impl in ("fused", "fused_interpret"):
         # whole-layer Pallas kernel (``ops/fused_layer.py``): one launch per

@@ -304,17 +304,18 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
                    g_ref,       # [1, Vp] f32 — per-step Gumbel noise
                    audio_emb_ref, pe_ref, pw_ref,     # HBM: [V, D], [P, D], [D, Vp]
                    w_packed_ref,                      # HBM [L, D, 3D+D+2M]
+                   w_scale_ref,                       # HBM [L, 8, W] f32 (quant) / dummy
                    qkv_b_ref, out_b_ref, ln1_g_ref, ln1_b_ref,
                    mlp1_b_ref, mlp2_b_ref, ln2_g_ref, ln2_b_ref,
                    k_in_ref, v_in_ref,
                    # outputs
                    tok_out_ref, row_out_ref, k_out_ref, v_out_ref,
                    # scratch
-                   w_all, pw_buf, kv_vmem, x_scr, emb_stage, pe_stage,
+                   w_all, ws_all, pw_buf, kv_vmem, x_scr, emb_stage, pe_stage,
                    logits_vmem, k_win, v_win,
-                   w_sem, pw_sem, kv_sem, win_rsem, win_wsem, row_sem,
+                   w_sem, ws_sem, pw_sem, kv_sem, win_rsem, win_wsem, row_sem,
                    *, L, S, H, D, M, V, Vp, CHV, block_s, sa, suppressed,
-                   ablate=None, eps=1e-5):
+                   quant=False, ablate=None, eps=1e-5):
     """Whole decode step, DMA-issue-minimized: the four per-layer weight
     matrices arrive as ONE packed [D, 3D+D+2M] transfer (mlp2 pre-transposed
     so every matrix is row-major over D), and the K/V appends batch into a
@@ -369,6 +370,9 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
                     w_packed_ref.at[layer, :, pl.ds(h * halfW, halfW)],
                     w_all.at[slot, :, pl.ds(h * halfW, halfW)],
                     w_sem.at[slot, h]).start(priority=w_prio)
+        if quant:
+            pltpu.make_async_copy(w_scale_ref.at[layer], ws_all.at[slot],
+                                  ws_sem.at[slot]).start(priority=w_prio)
 
     def wait_layer_load(slot):
         for h in range(n_wsplit):
@@ -376,6 +380,9 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
                 w_packed_ref.at[0, :, pl.ds(h * halfW, halfW)],
                 w_all.at[slot, :, pl.ds(h * halfW, halfW)],
                 w_sem.at[slot, h]).wait()
+        if quant:
+            pltpu.make_async_copy(w_scale_ref.at[0], ws_all.at[slot],
+                                  ws_sem.at[slot]).wait()
 
     def pw_dma(c, slot):
         return pltpu.make_async_copy(
@@ -463,11 +470,23 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
 
         x = x_scr[:]
         xc = x.astype(cdtype)
+        # int8 mode: weights arrive quantized; convert the slice to the
+        # compute dtype (every int8 value is exact in bf16) and apply the
+        # per-lane scale AFTER the matmul on the tiny output row (for the
+        # transposed mlp2 block the lane is the CONTRACTED channel, so the
+        # scale moves onto the m1 activation instead — both exact in ℝ)
+        ws_row = ws_all[slot][0:1] if quant else None
+
+        def wslice(lo, hi):
+            w = w_all[slot][:, lo:hi]
+            return w.astype(cdtype) if quant else w
 
         if no_attn_mm:
             qkv = jnp.concatenate([xc, xc, xc], axis=1).astype(F32)
         else:
-            qkv = jnp.dot(xc, w_all[slot][:, :O_OUT], preferred_element_type=F32)
+            qkv = jnp.dot(xc, wslice(0, O_OUT), preferred_element_type=F32)
+            if quant:
+                qkv = qkv * ws_row[:, :O_OUT]
         qkv = qkv + qkv_b_ref[i][0:1].astype(F32)
         q = qkv[:, :D]
         k_new = qkv[:, D:2 * D]
@@ -537,8 +556,10 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
             if no_attn_mm:
                 h = attn_out.astype(F32)
             else:
-                h = jnp.dot(attn_out, w_all[slot][:, O_OUT:O_M1],
+                h = jnp.dot(attn_out, wslice(O_OUT, O_M1),
                             preferred_element_type=F32)
+                if quant:
+                    h = h * ws_row[:, O_OUT:O_M1]
             h = x + h + out_b_ref[i][0:1].astype(F32)
             mean = jnp.mean(h, axis=-1, keepdims=True)
             var = jnp.mean((h - mean) ** 2, axis=-1, keepdims=True)
@@ -548,12 +569,18 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
             if no_mlp:
                 x_scr[:] = h
             else:
-                m1 = jnp.dot(h.astype(cdtype), w_all[slot][:, O_M1:O_M2],
+                m1 = jnp.dot(h.astype(cdtype), wslice(O_M1, O_M2),
                              preferred_element_type=F32)
+                if quant:
+                    m1 = m1 * ws_row[:, O_M1:O_M2]
                 m1 = jnp.maximum(m1 + mlp1_b_ref[i][0:1].astype(F32), 0.0)
+                if quant:
+                    # mlp2ᵀ's lane is the CONTRACTED channel: fold its
+                    # scale into the [1, M] activation before the matmul
+                    m1 = m1 * ws_row[:, O_M2:]
                 # mlp2 is packed transposed ([D, M]); contract both last dims
                 m2 = jax.lax.dot_general(
-                    m1.astype(cdtype), w_all[slot][:, O_M2:],
+                    m1.astype(cdtype), wslice(O_M2, W_total),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=F32)
                 h2 = h + m2 + mlp2_b_ref[i][0:1].astype(F32)
@@ -719,7 +746,7 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
                              kv_len, x_len, last_tok, buf_len, step_idx,
                              gumbel, *, sa, suppress_until: int = 0,
                              suppressed=(), interpret: bool = False,
-                             ablate=None):
+                             quant: bool = False, ablate=None):
     """One FULL decode step in a single kernel launch (B = 1): embedding,
     all transformer layers, in-place KV append, logits head, and sampling.
 
@@ -750,8 +777,17 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
 
     pw_pad = params["predict_w_padded"] if "predict_w_padded" in params else \
         jnp.pad(params["predict_w"], ((0, 0), (0, Vp - V)))
-    w_packed = params["layers_packed"] if "layers_packed" in params else \
-        pack_layer_weights(layers)
+    if quant:
+        # int8 weight stream (halves the per-step HBM DMA that bounds B=1)
+        if "layers_packed_q8" in params:
+            w_packed, w_scale = (params["layers_packed_q8"],
+                                 params["layers_scale_page"])
+        else:
+            w_packed, w_scale = pack_layer_weights_int8(layers)
+    else:
+        w_packed = params["layers_packed"] if "layers_packed" in params else \
+            pack_layer_weights(layers)
+        w_scale = jnp.zeros((L, 8, 128), F32)  # unused dummy (static gate)
     emb_pad = params["audio_emb_padded"] if "audio_emb_padded" in params \
         else pad_rows8(params["audio_emb"])
 
@@ -773,7 +809,7 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
         _kernel_sample, L=L, S=S, H=H, D=D, M=M, V=V, Vp=Vp, CHV=CHV,
         block_s=block_s, sa=sa,
         suppressed=tuple(suppressed) if suppress_until else (),
-        ablate=ablate)
+        quant=quant, ablate=ablate)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -788,12 +824,13 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
         grid=(1,),
         in_specs=[smem, vmem, vmem, vmem, vmem,  # alpha, pool, poolT, tok_buf, gumbel
                   hbm, hbm, any_,             # audio_emb, pe, predict_w_pad
-                  any_,                       # packed layer weights
+                  any_, any_,                 # packed layer weights, scale page
                   vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem,  # biases/LN
                   any_, any_],                # caches
         out_specs=[smem, vmem, any_, any_],
         scratch_shapes=[
-            pltpu.VMEM((2, D, W), dtype),        # packed weights (2 slots)
+            pltpu.VMEM((2, D, W), jnp.int8 if quant else dtype),  # packed weights
+            pltpu.VMEM((2, 8, W if quant else 128), F32),  # per-lane scales
             pltpu.VMEM((2, D, CHV), dtype),      # predict head chunks
             pltpu.VMEM((2, 2, block_s, D), dtype),  # kv walk (2 slots × K/V)
             pltpu.VMEM((1, D), F32),             # activation carry
@@ -803,6 +840,7 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
             pltpu.VMEM((L, 8, D), dtype),        # K append windows (all layers)
             pltpu.VMEM((L, 8, D), dtype),        # V append windows
             pltpu.SemaphoreType.DMA((2, 4)),     # weight stream slots (x split)
+            pltpu.SemaphoreType.DMA((2,)),       # scale-page stream slots
             pltpu.SemaphoreType.DMA((2,)),       # predict-head chunks
             pltpu.SemaphoreType.DMA((2, 2)),     # attention kv walk
             pltpu.SemaphoreType.DMA((2,)),       # window reads (K, V)
@@ -816,7 +854,7 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
                                (L, 2, t.shape[-1]))
         return arr.astype(F32) if f32 else arr
 
-    n_inputs = 20  # scalars + 19 tensor operands, in call order below
+    n_inputs = 21  # scalars + 20 tensor operands, in call order below
     tok, row, kc_out, vc_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -833,7 +871,7 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
       pool, poolT, tok_buf[0][:, None].astype(jnp.int32),
       gumbel.astype(F32),
       emb_pad, params["pe"], pw_pad,
-      w_packed,
+      w_packed, w_scale,
       as3(layers["qkv_b"]), as3(layers["out_b"]),
       as3(layers["ln1_g"], True), as3(layers["ln1_b"], True),
       as3(layers["mlp1_b"]),
@@ -884,17 +922,19 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
                      g_ref,       # [B, Vp] f32 per-row Gumbel noise
                      audio_emb_ref, pe_ref, pw_ref,     # HBM
                      w_packed_ref,                      # HBM [L, D, 3D+D+2M]
+                     w_scale_ref,                       # HBM [L, 8, W] f32 (quant) / dummy
                      bias_ref,                          # HBM [L, 8, 3D+D+2M]
                      ln1_g_ref, ln1_b_ref, ln2_g_ref, ln2_b_ref,
                      k_in_ref, v_in_ref,                # [L, B, S, D] (aliased)
                      # outputs
                      tok_out_ref, row_out_ref, k_out_ref, v_out_ref,
                      # scratch
-                     w_all, b_all, pw_buf, kv_vmem, emb_stage, pe_stage,
+                     w_all, ws_all, b_all, pw_buf, kv_vmem, emb_stage, pe_stage,
                      k_win, v_win,
-                     w_sem, b_sem, pw_sem, kv_sem, row_sem, win_rsem, win_wsem,
+                     w_sem, ws_sem, b_sem, pw_sem, kv_sem, row_sem, win_rsem,
+                     win_wsem,
                      *, B, L, S, H, D, M, V, Vp, CHV, block_s, sa, suppressed,
-                     eps=1e-5):
+                     quant=False, eps=1e-5):
     lengths = [scalar_ref[b] for b in range(B)]
     pe_idxs = [scalar_ref[B + b] for b in range(B)]
     last_toks = [scalar_ref[2 * B + b] for b in range(B)]
@@ -915,12 +955,18 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
                               w_sem.at[slot]).start(priority=1)
         pltpu.make_async_copy(bias_ref.at[layer], b_all.at[slot],
                               b_sem.at[slot]).start(priority=1)
+        if quant:
+            pltpu.make_async_copy(w_scale_ref.at[layer], ws_all.at[slot],
+                                  ws_sem.at[slot]).start(priority=1)
 
     def wait_layer_load(slot):
         pltpu.make_async_copy(w_packed_ref.at[0], w_all.at[slot],
                               w_sem.at[slot]).wait()
         pltpu.make_async_copy(bias_ref.at[0], b_all.at[slot],
                               b_sem.at[slot]).wait()
+        if quant:
+            pltpu.make_async_copy(w_scale_ref.at[0], ws_all.at[slot],
+                                  ws_sem.at[slot]).wait()
 
     def pw_dma(c, slot):
         return pltpu.make_async_copy(
@@ -1007,8 +1053,18 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
 
         wait_layer_load(slot)
 
+        # int8 mode: see _kernel_sample — per-lane scales applied on the
+        # [B, ·] outputs (or folded into m1 for the transposed mlp2 block)
+        ws_row = ws_all[slot][0:1] if quant else None
+
+        def wslice(lo, hi):
+            w = w_all[slot][:, lo:hi]
+            return w.astype(cdtype) if quant else w
+
         xc = x.astype(cdtype)
-        qkv = jnp.dot(xc, w_all[slot][:, :O_OUT], preferred_element_type=F32)
+        qkv = jnp.dot(xc, wslice(0, O_OUT), preferred_element_type=F32)
+        if quant:
+            qkv = qkv * ws_row[:, :O_OUT]
         qkv = qkv + b_all[slot][0:1, :O_OUT].astype(F32)
         q = qkv[:, :D]
         k_new = qkv[:, D:2 * D]
@@ -1096,19 +1152,25 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
         acc = acc * corr_exp + pself_exp * v_new
         l_exp = jnp.dot(l, poolT, preferred_element_type=F32)
 
-        h = jnp.dot((acc / l_exp).astype(cdtype), w_all[slot][:, O_OUT:O_M1],
+        h = jnp.dot((acc / l_exp).astype(cdtype), wslice(O_OUT, O_M1),
                     preferred_element_type=F32)
+        if quant:
+            h = h * ws_row[:, O_OUT:O_M1]
         h = x + h + b_all[slot][0:1, O_OUT:O_M1].astype(F32)
         mean = jnp.mean(h, axis=-1, keepdims=True)
         var = jnp.mean((h - mean) ** 2, axis=-1, keepdims=True)
         h = (h - mean) * jax.lax.rsqrt(var + eps) \
             * ln1_g_ref[i][0:1].astype(F32) + ln1_b_ref[i][0:1].astype(F32)
 
-        m1 = jnp.dot(h.astype(cdtype), w_all[slot][:, O_M1:O_M2],
+        m1 = jnp.dot(h.astype(cdtype), wslice(O_M1, O_M2),
                      preferred_element_type=F32)
+        if quant:
+            m1 = m1 * ws_row[:, O_M1:O_M2]
         m1 = jnp.maximum(m1 + b_all[slot][0:1, O_M1:O_M2].astype(F32), 0.0)
+        if quant:
+            m1 = m1 * ws_row[:, O_M2:]
         m2 = jax.lax.dot_general(
-            m1.astype(cdtype), w_all[slot][:, O_M2:],
+            m1.astype(cdtype), wslice(O_M2, 4 * D + 2 * M),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=F32)
         h2 = h + m2 + b_all[slot][0:1, O_M2:O_M2 + D].astype(F32)
@@ -1232,6 +1294,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
                                      step_idx, gumbel, *, sa,
                                      suppress_until: int = 0,
                                      suppressed=(), interpret: bool = False,
+                                     quant: bool = False,
                                      block_s: int = None):
     """One FULL batched decode step in a single kernel launch: per-row
     embedding, all layers (weights streamed once, amortized over B), the
@@ -1276,8 +1339,16 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
 
     pw_pad = params["predict_w_padded"] if "predict_w_padded" in params else \
         jnp.pad(params["predict_w"], ((0, 0), (0, Vp - V)))
-    w_packed = params["layers_packed"] if "layers_packed" in params else \
-        pack_layer_weights(layers)
+    if quant:
+        if "layers_packed_q8" in params:
+            w_packed, w_scale = (params["layers_packed_q8"],
+                                 params["layers_scale_page"])
+        else:
+            w_packed, w_scale = pack_layer_weights_int8(layers)
+    else:
+        w_packed = params["layers_packed"] if "layers_packed" in params else \
+            pack_layer_weights(layers)
+        w_scale = jnp.zeros((L, 8, 128), F32)  # unused dummy (static gate)
     bias_page = params["bias_page"] if "bias_page" in params else \
         pack_bias_page(layers, dtype)
     emb_pad = params["audio_emb_padded"] if "audio_emb_padded" in params \
@@ -1302,7 +1373,8 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
     kernel = functools.partial(
         _kernel_sample_b, B=B, L=L, S=S, H=H, D=D, M=M, V=V, Vp=Vp, CHV=CHV,
         block_s=block_s, sa=sa,
-        suppressed=tuple(suppressed) if suppress_until else ())
+        suppressed=tuple(suppressed) if suppress_until else (),
+        quant=quant)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1314,12 +1386,14 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
         grid=(1,),
         in_specs=[smem, vmem, vmem, vmem, vmem,  # alpha, pool, poolT, tok_buf, gumbel
                   hbm, hbm, any_,                # audio_emb, pe, predict_w_pad
-                  any_, any_,                    # packed layer weights, bias page
+                  any_, any_, any_,              # packed weights, scale page, bias page
                   vmem, vmem, vmem, vmem,        # LN gains/biases (f32)
                   any_, any_],                   # caches (aliased in place)
         out_specs=[smem, vmem, any_, any_],
         scratch_shapes=[
-            pltpu.VMEM((2, D, 4 * D + 2 * M), dtype),   # packed weights
+            pltpu.VMEM((2, D, 4 * D + 2 * M),
+                       jnp.int8 if quant else dtype),   # packed weights
+            pltpu.VMEM((2, 8, (4 * D + 2 * M) if quant else 128), F32),  # scales
             pltpu.VMEM((2, 8, 4 * D + 2 * M), dtype),   # bias pages
             pltpu.VMEM((2, D, CHV), dtype),             # predict head chunks
             pltpu.VMEM((2, 2, B, block_s, D), dtype),   # kv walk (strided)
@@ -1328,6 +1402,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
             pltpu.VMEM((B, L, 8, D), dtype),            # K append windows
             pltpu.VMEM((B, L, 8, D), dtype),            # V append windows
             pltpu.SemaphoreType.DMA((2,)),              # weight stream
+            pltpu.SemaphoreType.DMA((2,)),              # scale pages
             pltpu.SemaphoreType.DMA((2,)),              # bias pages
             pltpu.SemaphoreType.DMA((2,)),              # predict-head chunks
             pltpu.SemaphoreType.DMA((2, 2)),            # attention kv walk
@@ -1342,7 +1417,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
                                (L, 2, t.shape[-1]))
         return arr.astype(F32) if f32 else arr
 
-    n_inputs = 17  # scalars + 16 tensor operands, in call order below
+    n_inputs = 18  # scalars + 17 tensor operands, in call order below
     tok, row, kc_out, vc_out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1364,7 +1439,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
       pool, poolT, tok_buf.swapaxes(0, 1).astype(jnp.int32),
       gumbel.astype(F32),
       emb_pad, params["pe"], pw_pad,
-      w_packed, bias_page,
+      w_packed, w_scale, bias_page,
       as3(layers["ln1_g"], True), as3(layers["ln1_b"], True),
       as3(layers["ln2_g"], True), as3(layers["ln2_b"], True),
       kc2, vc2)
@@ -1382,6 +1457,30 @@ def pack_layer_weights(layers) -> jnp.ndarray:
         layers["qkv_w"], layers["out_w"], layers["mlp1_w"],
         jnp.swapaxes(layers["mlp2_w"], 1, 2),
     ], axis=-1)
+
+
+def pack_layer_weights_int8(layers):
+    """Symmetric per-lane int8 quantization of the packed weight stream:
+    returns ``(q [L, D, W] int8, scale_page [L, 8, W] f32)`` with
+    ``packed ≈ q * scale_page[:, 0]``.
+
+    The B=1 decode step is BOUND by the 151 MB/step packed weight DMA
+    (bench.py --breakdown, r3: a compute-free kernel runs at full-step
+    speed) — int8 halves the stream.  One scale per LANE of the packed
+    layout works for every matrix because the kernel applies it where the
+    lane axis is free: post-matmul on the output row for qkv/out/mlp1
+    (lane = output channel) and pre-matmul on the mlp1 activation for the
+    transposed mlp2 block (lane = contracted channel, so
+    ``dot(m1 * s, q) == dot(m1, q * s)`` exactly in ℝ).  Scales ride row 0
+    of an 8-sublane page streamed next to each weight page (same pattern
+    as the batched kernel's bias page)."""
+    w = pack_layer_weights(layers).astype(F32)
+    s = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0       # [L, 1, W]
+    s = jnp.where(s > 0, s, 1.0)
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    L, _, W = w.shape
+    page = jnp.zeros((L, 8, W), F32).at[:, 0].set(s[:, 0])
+    return q, page
 
 
 def _round_up_128(x: int) -> int:

@@ -321,17 +321,23 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
     # bucket length to be a 128-multiple; gpt_cache is user config, so gate
     # rather than corrupt attention on an odd bucket
     fused_ok = D % 128 == 0 and S % 128 == 0
-    fused_sample = (attn_impl in ("fused_step", "fused_step_interpret")
-                    and B == 1 and fused_ok)
+    # "fused_step_q8": int8 weight-streaming variant of the whole-step
+    # kernel (B=1) — halves the packed-weight DMA that IS the B=1 floor.
+    # B>1 falls through to the bf16 batched kernel (stream already
+    # amortized over slots there).
+    quant = attn_impl in ("fused_step_q8", "fused_step_q8_interpret")
+    fused_impls = ("fused_step", "fused_step_interpret",
+                   "fused_step_q8", "fused_step_q8_interpret")
+    interp_impls = ("fused_step_interpret", "fused_step_q8_interpret")
+    fused_sample = attn_impl in fused_impls and B == 1 and fused_ok
     # B > 6 falls back to flash+XLA: the 2-slot weight scratch no longer fits
     # the 16 MiB scoped-vmem budget, and measured scaling says it wouldn't
     # pay anyway (B=4: 0.54 ms/step; B=6: 1.07 — the per-row VPU loops and
     # [B, Vp] sampling peels pad 6 rows to 8 sublanes, so two B=4 waves beat
     # any B > 4 config per chip)
-    fused_sample_b = (attn_impl in ("fused_step", "fused_step_interpret")
-                      and 1 < B <= 6 and fused_ok)
-    if attn_impl == "fused_step_interpret" and not (fused_sample or fused_sample_b):
-        # the generic path would otherwise hand "fused_step_interpret" to the
+    fused_sample_b = attn_impl in fused_impls and 1 < B <= 6 and fused_ok
+    if attn_impl in interp_impls and not (fused_sample or fused_sample_b):
+        # the generic path would otherwise hand an interpret impl to the
         # REAL flash-decode kernel (no interpret lowering on CPU)
         attn_impl = "xla"
     if fused_sample_b:
@@ -348,7 +354,16 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
         params = dict(params)
         params.setdefault("predict_w_padded", jnp.pad(
             params["predict_w"], ((0, 0), (0, Vp - V))))
-        params.setdefault("layers_packed", pack_layer_weights(params["layers"]))
+        if quant:
+            from ..ops.fused_step import pack_layer_weights_int8
+
+            if "layers_packed_q8" not in params:
+                q8, scale = pack_layer_weights_int8(params["layers"])
+                params["layers_packed_q8"] = q8
+                params["layers_scale_page"] = scale
+        else:
+            params.setdefault("layers_packed",
+                              pack_layer_weights(params["layers"]))
         params.setdefault("bias_page", pack_bias_page(params["layers"]))
         params.setdefault("audio_emb_padded", pad_rows8(params["audio_emb"]))
         noise = jnp.pad(noise, ((0, 0), (0, 0), (0, Vp - V)))
@@ -359,7 +374,7 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
                 st.kv_len, st.x_len, st.last_tok, st.buf_len, st.step_idx,
                 g, sa=sa, suppress_until=suppress_until,
                 suppressed=cfg.suppressed_tokens + (cfg.eos,),
-                interpret=(attn_impl == "fused_step_interpret"))
+                interpret=(attn_impl in interp_impls), quant=quant)
             new = DecodeState(
                 k_cache=kc, v_cache=vc,
                 kv_len=st.kv_len + 1, x_len=st.x_len,
@@ -390,8 +405,16 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
         # consumer-friendly placement that persistent params don't get
         params.setdefault("predict_w_padded", jnp.pad(
             params["predict_w"], ((0, 0), (0, Vp - V))))
-        params.setdefault("layers_packed",
-                          pack_layer_weights(params["layers"]))
+        if quant:
+            from ..ops.fused_step import pack_layer_weights_int8
+
+            if "layers_packed_q8" not in params:
+                q8, scale = pack_layer_weights_int8(params["layers"])
+                params["layers_packed_q8"] = q8
+                params["layers_scale_page"] = scale
+        else:
+            params.setdefault("layers_packed",
+                              pack_layer_weights(params["layers"]))
         params.setdefault("audio_emb_padded", pad_rows8(params["audio_emb"]))
         noise = jnp.pad(noise, ((0, 0), (0, 0), (0, Vp - V)))
 
@@ -401,8 +424,8 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
                 st.kv_len, st.x_len, st.last_tok, st.buf_len, st.step_idx,
                 g, sa=sa, suppress_until=suppress_until,
                 suppressed=cfg.suppressed_tokens + (cfg.eos,),
-                interpret=(attn_impl == "fused_step_interpret"),
-                ablate=ablate)
+                interpret=(attn_impl in interp_impls),
+                quant=quant, ablate=ablate)
             new = DecodeState(
                 k_cache=kc, v_cache=vc,
                 kv_len=st.kv_len + 1, x_len=st.x_len,

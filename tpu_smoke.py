@@ -85,6 +85,29 @@ def main() -> int:
     print(f"1. generate B=1: {toks.size} tokens ({time.time() - t0:.0f}s)")
     assert toks.size >= 1 and (toks < cfg.vocab_size).all()
 
+    # 1b. int8 weight-streaming variant (fused_step_q8 / quant_t2s=True):
+    # the q8 kernel has its own Mosaic lowering (int8 VMEM pages, per-lane
+    # scale stream, i8->bf16 converts) — drive both B=1 and B=4 programs
+    if platform == "tpu":
+        eng_q = T2SEngine(params, cfg, gpt_cache=[(1, 512), (4, 512)],
+                          dtype=dtype, attn_impl="fused_step_q8")
+        t0 = time.time()
+        toks_q = np.asarray(eng_q.generate(x, y, bert, top_k=15,
+                                           rng=jax.random.PRNGKey(7))).ravel()
+        xs_q = [rng.randint(1, cfg.phoneme_vocab_size, n).astype(np.int32)
+                for n in (60, 50, 40, 30)]
+        ys_q = [rng.randint(0, cfg.vocab_size - 1, n).astype(np.int32)
+                for n in (70, 60, 50, 40)]
+        bs_q = [np.zeros((len(xi), cfg.bert_dim), np.float32) for xi in xs_q]
+        outs_q, _ = eng_q.generate_batched(xs_q, ys_q, bs_q, top_k=15,
+                                           rng=jax.random.PRNGKey(9))
+        sizes_q = [np.asarray(o).size for o in outs_q]
+        print(f"1b. q8 generate B=1: {toks_q.size} tokens, B=4: {sizes_q} "
+              f"({time.time() - t0:.0f}s)")
+        assert toks_q.size >= 1 and (toks_q < cfg.vocab_size).all()
+        assert all(s >= 1 for s in sizes_q)
+        del eng_q
+
     t0 = time.time()
     n_yields = 0
     for chunk, fin in eng.generate(x, y, bert, top_k=15,
