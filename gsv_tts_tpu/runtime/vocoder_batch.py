@@ -66,9 +66,11 @@ class VocoderBatcher:
     path — no batched compile is paid until two streams actually
     coincide."""
 
-    #: batch-size buckets — one compiled (core, flow) program pair per
-    #: bucket; intermediate group sizes pad up with masked dummy rows
-    B_BUCKETS = (2, 4)
+    #: batch-size buckets — one compiled fused program per bucket;
+    #: intermediate group sizes pad up with masked dummy rows.  The 8
+    #: bucket only engages when ``max_batch`` is raised above the default
+    #: 4 (multi-wave hosts: two B=4 decode waves share one vocoder)
+    B_BUCKETS = (2, 4, 8)
 
     def __init__(self, tts, max_batch: int = 4, window_s: float = 0.004):
         self.tts = tts
