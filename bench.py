@@ -765,6 +765,14 @@ def main():
                         vocoder_b4_per_stream_ms=per_b,
                         vocoder_b1_ms=vb["vb1_ms"],
                         e2e_streams_per_chip_batched_vocoder=round(cap_b, 0))
+                    if "q8_b4_agg_tok_s" in extra:
+                        per_q8 = (25.0 / extra["q8_b4_agg_tok_s"]
+                                  + per_b / 1e3)
+                        cap_q8 = 1.0 / per_q8
+                        print(f"# e2e stream capacity (q8 decode@B=4 + "
+                              f"BATCHED vocoder): ~{cap_q8:.0f} realtime "
+                              f"streams/chip", file=sys.stderr)
+                        extra["e2e_streams_per_chip_q8"] = round(cap_q8, 0)
                 except Exception as e:  # noqa: BLE001
                     print(f"# batched vocoder bench failed: {e}",
                           file=sys.stderr)
