@@ -306,9 +306,14 @@ def run_facade(args) -> int:
     ths[1].start()
     for th in ths:
         th.join(timeout=900)
+    vb = t.vocoder_batch_stats()
     print(f"8c. facade shared streams x2: {results} samples "
-          f"({_t.time() - t0:.0f}s)")
+          f"vocoder_batcher={vb} ({_t.time() - t0:.0f}s)")
     assert all(r and r > 0 for r in results)
+    # every shared-stream chunk must route through the micro-batcher
+    # (grouping itself is timing-dependent — rows is the hard assert,
+    # max_group the recorded evidence)
+    assert vb.get("rows", 0) >= 2, vb
     print("FACADE SMOKE OK")
     return 0
 
