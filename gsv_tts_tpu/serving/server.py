@@ -599,6 +599,11 @@ def main():
     ap.add_argument("--batch-max", type=int, default=4,
                     help="max requests per coalesced batch (the fused "
                          "batched decode kernel peaks at 4 slots/wave)")
+    ap.add_argument("--quant-t2s", action="store_true",
+                    help="int8 weight-streaming GPT decode (fused_step_q8):"
+                         " ~+30-40%% B=1 / +10-17%% B=4 decode throughput on"
+                         " TPU; sampled tokens shift by the int8 rounding"
+                         " error vs the bf16 default")
     ap.add_argument("--stream-share", action="store_true",
                     help="route /tts/stream through the shared wave "
                          "scheduler by default: N independent SSE clients "
@@ -608,7 +613,8 @@ def main():
                          "semantics)")
     args = ap.parse_args()
 
-    tts = TTS(models_dir=args.models_dir, dtype=args.dtype)
+    tts = TTS(models_dir=args.models_dir, dtype=args.dtype,
+              quant_t2s=args.quant_t2s)
     if args.gpt:
         tts.load_gpt_model(args.gpt)
     if args.sovits:
