@@ -553,6 +553,81 @@ def bench_vocoder_breakdown(frames25: int = 25, n_text: int = 30,
     return out
 
 
+def bench_breakdown_b4(B: int = 4, chunk: int = 25, bucket: int = 512,
+                       n_chunks: int = 12, reps: int = 3):
+    """B=4 step attribution (the serving workhorse): same ablation method
+    as the B=1 breakdown, on the batched whole-step kernel.  Attributes
+    the ~0.5 ms/step between the packed weight stream (amortized over B),
+    the strided [B, block, D] walk, the MXU chain, and the per-row VPU
+    tails (sampling peels, window patches, embedding gathers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs, decode_chunk, prefill_batch
+
+    platform = jax.devices()[0].platform
+    if platform not in ("tpu", "axon"):
+        return {"skipped": f"breakdown needs real TPU (platform={platform})"}
+    dtype = jnp.bfloat16
+    dtype_name = "bfloat16"
+    cfg = T2SConfig()
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    params["predict_w"] = params["predict_w"] * 0.05
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(1, 700, (B, 64)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 1024, (B, 64)), jnp.int32)
+    bert = jnp.zeros((B, 64, cfg.bert_dim), jnp.float32)
+    shape = (cfg.num_layers, B, bucket, cfg.num_heads, cfg.head_dim)
+
+    base = SampleArgs(use_prev=False, repetition_penalty=1.0)
+    modes = [
+        ("full", "fused_step", base),
+        ("no_sampling", "fused_step",
+         SampleArgs(top_k=cfg.vocab_size, top_p=1.0, repetition_penalty=1.0,
+                    use_prev=False)),
+        ("no_walk", "fused_step:walk", base),
+        ("no_attn_mm", "fused_step:attn_mm", base),
+        ("no_mlp", "fused_step:mlp", base),
+        ("no_head", "fused_step:head", base),
+        ("stream_only", "fused_step:mm_off", base),
+        ("q8_full", "fused_step_q8", base),
+        ("q8_stream_only", "fused_step_q8:mm_off", base),
+        # DMA-issue-count experiments: same traffic, fewer walk DMAs
+        ("wblk128", "fused_step:wblk128", base),
+        ("q8_wblk128", "fused_step_q8:wblk128", base),
+        ("q8_wblk256", "fused_step_q8:wblk256", base),
+    ]
+    out = {}
+    for name, impl, sa in modes:
+        try:
+            best = None
+            for _ in range(reps):
+                st, _ = prefill_batch(params, cfg, x, y, bert,
+                                      jnp.full((B,), 60, jnp.int32),
+                                      jnp.full((B,), 60, jnp.int32),
+                                      jnp.zeros(shape, dtype),
+                                      jnp.zeros(shape, dtype),
+                                      jax.random.PRNGKey(1), sa, True,
+                                      dtype_name)
+                st, toks = decode_chunk(params, cfg, st, chunk, sa, 10,
+                                        dtype_name, impl)
+                np.asarray(toks)  # compile + sync
+                t0 = time.perf_counter()
+                for _ in range(n_chunks):
+                    st, toks = decode_chunk(params, cfg, st, chunk, sa, 10,
+                                            dtype_name, impl)
+                np.asarray(toks)
+                dt = (time.perf_counter() - t0) / (n_chunks * chunk)
+                best = dt if best is None else min(best, dt)
+            out[name] = {"ms_per_step": round(best * 1e3, 4),
+                         "agg_tok_s": round(B / best, 0)}
+        except Exception as e:  # noqa: BLE001 — e.g. vmem OOM on a variant
+            out[name] = {"error": str(e)[:200]}
+    return out
+
+
 def bench_vocoder_batched(frames25: int = 25, n_text: int = 30,
                           reps: int = 8, Bs=(1, 2, 4)):
     """Cross-stream batched streaming vocoder — the PRODUCTION programs of
@@ -625,6 +700,9 @@ def main():
     ap.add_argument("--breakdown", action="store_true",
                     help="run the B=1 plateau phase-ablation breakdown "
                          "(real TPU only) and exit")
+    ap.add_argument("--breakdown-b4", action="store_true",
+                    help="run the B=4 step phase-ablation breakdown "
+                         "(real TPU only) and exit")
     ap.add_argument("--skip-serving", action="store_true",
                     help="skip the shared-wave serving measurement "
                          "(N staggered clients + per-client vocoder)")
@@ -640,6 +718,16 @@ def main():
         print(json.dumps({"metric": "vocoder_breakdown",
                           "value": vb.get("full_ms"), "unit": "ms/chunk",
                           "vs_baseline": 0, "extra": vb}))
+        return
+
+    if args.breakdown_b4:
+        bd = bench_breakdown_b4()
+        for k, v in bd.items():
+            print(f"# {k}: {v}", file=sys.stderr)
+        print(json.dumps({"metric": "b4_breakdown",
+                          "value": bd.get("full", {}).get("ms_per_step")
+                          if isinstance(bd.get("full"), dict) else None,
+                          "unit": "ms/step", "vs_baseline": 0, "extra": bd}))
         return
 
     if args.breakdown:

@@ -934,8 +934,17 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
                      w_sem, ws_sem, b_sem, pw_sem, kv_sem, row_sem, win_rsem,
                      win_wsem,
                      *, B, L, S, H, D, M, V, Vp, CHV, block_s, sa, suppressed,
-                     quant=False, eps=1e-5):
+                     quant=False, ablate=None, eps=1e-5):
+    # measurement-only ablations (bench.py --breakdown-b4): same modes as
+    # the B=1 kernel — attribute the per-step time between the weight
+    # stream, the strided walk, the MXU chain, and the per-row VPU tails
+    no_attn_mm = ablate in ("attn_mm", "mm_off")
+    no_mlp = ablate in ("mlp", "mm_off")
+    no_head = ablate in ("head", "mm_off")
+    no_walk = ablate == "walk"
     lengths = [scalar_ref[b] for b in range(B)]
+    if no_walk:
+        lengths = [ln * 0 for ln in lengths]
     pe_idxs = [scalar_ref[B + b] for b in range(B)]
     last_toks = [scalar_ref[2 * B + b] for b in range(B)]
     scale = 1.0 / math.sqrt(D // H)
@@ -1045,11 +1054,12 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
         def _():
             start_layer_load(i + 1, nxt)
 
-        @pl.when(i + 1 == L)
-        def _():
-            pw_dma(0, 0).start(priority=1)
-            if n_pw_chunks > 1:
-                pw_dma(1, 1).start(priority=1)
+        if not no_head:
+            @pl.when(i + 1 == L)
+            def _():
+                pw_dma(0, 0).start(priority=1)
+                if n_pw_chunks > 1:
+                    pw_dma(1, 1).start(priority=1)
 
         wait_layer_load(slot)
 
@@ -1062,9 +1072,12 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
             return w.astype(cdtype) if quant else w
 
         xc = x.astype(cdtype)
-        qkv = jnp.dot(xc, wslice(0, O_OUT), preferred_element_type=F32)
-        if quant:
-            qkv = qkv * ws_row[:, :O_OUT]
+        if no_attn_mm:
+            qkv = jnp.concatenate([xc, xc, xc], axis=1).astype(F32)
+        else:
+            qkv = jnp.dot(xc, wslice(0, O_OUT), preferred_element_type=F32)
+            if quant:
+                qkv = qkv * ws_row[:, :O_OUT]
         qkv = qkv + b_all[slot][0:1, :O_OUT].astype(F32)
         q = qkv[:, :D]
         k_new = qkv[:, D:2 * D]
@@ -1152,28 +1165,34 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
         acc = acc * corr_exp + pself_exp * v_new
         l_exp = jnp.dot(l, poolT, preferred_element_type=F32)
 
-        h = jnp.dot((acc / l_exp).astype(cdtype), wslice(O_OUT, O_M1),
-                    preferred_element_type=F32)
-        if quant:
-            h = h * ws_row[:, O_OUT:O_M1]
+        if no_attn_mm:
+            h = (acc / l_exp)
+        else:
+            h = jnp.dot((acc / l_exp).astype(cdtype), wslice(O_OUT, O_M1),
+                        preferred_element_type=F32)
+            if quant:
+                h = h * ws_row[:, O_OUT:O_M1]
         h = x + h + b_all[slot][0:1, O_OUT:O_M1].astype(F32)
         mean = jnp.mean(h, axis=-1, keepdims=True)
         var = jnp.mean((h - mean) ** 2, axis=-1, keepdims=True)
         h = (h - mean) * jax.lax.rsqrt(var + eps) \
             * ln1_g_ref[i][0:1].astype(F32) + ln1_b_ref[i][0:1].astype(F32)
 
-        m1 = jnp.dot(h.astype(cdtype), wslice(O_M1, O_M2),
-                     preferred_element_type=F32)
-        if quant:
-            m1 = m1 * ws_row[:, O_M1:O_M2]
-        m1 = jnp.maximum(m1 + b_all[slot][0:1, O_M1:O_M2].astype(F32), 0.0)
-        if quant:
-            m1 = m1 * ws_row[:, O_M2:]
-        m2 = jax.lax.dot_general(
-            m1.astype(cdtype), wslice(O_M2, 4 * D + 2 * M),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=F32)
-        h2 = h + m2 + b_all[slot][0:1, O_M2:O_M2 + D].astype(F32)
+        if no_mlp:
+            h2 = h
+        else:
+            m1 = jnp.dot(h.astype(cdtype), wslice(O_M1, O_M2),
+                         preferred_element_type=F32)
+            if quant:
+                m1 = m1 * ws_row[:, O_M1:O_M2]
+            m1 = jnp.maximum(m1 + b_all[slot][0:1, O_M1:O_M2].astype(F32), 0.0)
+            if quant:
+                m1 = m1 * ws_row[:, O_M2:]
+            m2 = jax.lax.dot_general(
+                m1.astype(cdtype), wslice(O_M2, 4 * D + 2 * M),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=F32)
+            h2 = h + m2 + b_all[slot][0:1, O_M2:O_M2 + D].astype(F32)
         mean = jnp.mean(h2, axis=-1, keepdims=True)
         var = jnp.mean((h2 - mean) ** 2, axis=-1, keepdims=True)
         return (h2 - mean) * jax.lax.rsqrt(var + eps) \
@@ -1189,18 +1208,20 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
                               win_wsem.at[1, b]).start()
 
     # ---- logits head: chunked [B,D]@[D,CHV] over the streamed head ----
-    xc = x.astype(cdtype)
-    chunks = []
-    for c in range(n_pw_chunks):
-        slot = c % 2
-        pw_dma(c, slot).wait()
-        chunks.append(jnp.dot(xc, pw_buf[slot], preferred_element_type=F32))
-        if c + 2 < n_pw_chunks:
-            pw_dma(c + 2, slot).start()
-    row = jnp.concatenate(chunks, axis=1)  # [B, Vp] f32
-
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
-    row = jnp.where(lane < V, row, NEG)
+    if no_head:
+        row = jnp.where(lane < V, jnp.zeros((B, Vp), F32), NEG)
+    else:
+        xc = x.astype(cdtype)
+        chunks = []
+        for c in range(n_pw_chunks):
+            slot = c % 2
+            pw_dma(c, slot).wait()
+            chunks.append(jnp.dot(xc, pw_buf[slot], preferred_element_type=F32))
+            if c + 2 < n_pw_chunks:
+                pw_dma(c + 2, slot).start()
+        row = jnp.concatenate(chunks, axis=1)  # [B, Vp] f32
+        row = jnp.where(lane < V, row, NEG)
 
     # per-row suppression window (reference ``t2s_model.py:444-445``)
     if suppressed:
@@ -1294,7 +1315,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
                                      step_idx, gumbel, *, sa,
                                      suppress_until: int = 0,
                                      suppressed=(), interpret: bool = False,
-                                     quant: bool = False,
+                                     quant: bool = False, ablate=None,
                                      block_s: int = None):
     """One FULL batched decode step in a single kernel launch: per-row
     embedding, all layers (weights streamed once, amortized over B), the
@@ -1307,6 +1328,10 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
     8-row window RMW (an out-of-kernel XLA scatter instead forced a full
     cache copy per step, ~0.5 ms at B=4 on v5e).
     """
+    if ablate in ("wblk128", "wblk256"):
+        # DMA-issue-count experiment: fewer, bigger strided walk DMAs
+        block_s = int(ablate[4:])
+        ablate = None
     L, B, S, H, Dh = k_cache.shape
     # the walk's pl.ds windows and the 128-row tok_buf sweep both
     # require a 128-multiple bucket (pl.ds CLAMPS out-of-range starts,
@@ -1333,8 +1358,14 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
     # CHV=384 while the engine's suppressed B=4 variant OOMed by 172 KB)
     CHV = _pw_chunk(Vp) if B <= 2 else 128  # lane slices need CHV % 128 == 0
     if block_s is None:
-        block_s = min(BLOCK_S if B <= 2 else (64 if B <= 4 else
-                                              (32 if B <= 6 else 16)), S)
+        if quant and B <= 4:
+            # int8 weight pages free ~6 MB of the 2-slot scratch: spend it
+            # on 128-row walk blocks (fewer strided DMA issues — measured
+            # +5% at B=4 on v5e; bf16 B=4 at block 128 OOMs scoped vmem)
+            block_s = min(BLOCK_S, S)
+        else:
+            block_s = min(BLOCK_S if B <= 2 else (64 if B <= 4 else
+                                                  (32 if B <= 6 else 16)), S)
     block_s = min(block_s, S)
 
     pw_pad = params["predict_w_padded"] if "predict_w_padded" in params else \
@@ -1374,7 +1405,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
         _kernel_sample_b, B=B, L=L, S=S, H=H, D=D, M=M, V=V, Vp=Vp, CHV=CHV,
         block_s=block_s, sa=sa,
         suppressed=tuple(suppressed) if suppress_until else (),
-        quant=quant)
+        quant=quant, ablate=ablate)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -374,7 +374,8 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
                 st.kv_len, st.x_len, st.last_tok, st.buf_len, st.step_idx,
                 g, sa=sa, suppress_until=suppress_until,
                 suppressed=cfg.suppressed_tokens + (cfg.eos,),
-                interpret=(attn_impl in interp_impls), quant=quant)
+                interpret=(attn_impl in interp_impls), quant=quant,
+                ablate=ablate)
             new = DecodeState(
                 k_cache=kc, v_cache=vc,
                 kv_len=st.kv_len + 1, x_len=st.x_len,
