@@ -322,9 +322,9 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
     # rather than corrupt attention on an odd bucket
     fused_ok = D % 128 == 0 and S % 128 == 0
     # "fused_step_q8": int8 weight-streaming variant of the whole-step
-    # kernel (B=1) — halves the packed-weight DMA that IS the B=1 floor.
-    # B>1 falls through to the bf16 batched kernel (stream already
-    # amortized over slots there).
+    # kernels — halves the packed-weight DMA.  B=1 and B in 2..6 both run
+    # their quantized kernels (the batched one also unlocks 128-row walk
+    # blocks); only the B>6 flash fallback stays bf16.
     quant = attn_impl in ("fused_step_q8", "fused_step_q8_interpret")
     fused_impls = ("fused_step", "fused_step_interpret",
                    "fused_step_q8", "fused_step_q8_interpret")
@@ -625,7 +625,6 @@ class T2SEngine:
         # No compaction pass is needed after prefill.
         del k_cache, v_cache
 
-        max_S = self.buckets[1][-1]
         generated: List[int] = [int(np.asarray(tok0)[0])]
         eos_at = None
         idx = 0
@@ -778,7 +777,6 @@ class T2SEngine:
         slot_eos_seen = [False] * B
         ignore = [j >= len(wave) for j in range(B)]
         next_req = len(wave)
-        max_S = self.buckets[B][-1]
 
         # the reference's decode loop checks at GLOBAL steps 1, 6, 11, ...
         # (``for idx in range(1000)`` with ``idx % check_interval == 0``,

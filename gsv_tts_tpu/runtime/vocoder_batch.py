@@ -96,7 +96,12 @@ class VocoderBatcher:
                    np.asarray(text, np.int32).reshape(-1), ge, noise_scale,
                    y_overlap, valid_start_idx, overlap_len)
         self._q.put(it)
-        it.event.wait()
+        # poll-wait so a close() racing this enqueue cannot strand the
+        # caller (close drains the queue, but an item put after its drain
+        # would otherwise block forever)
+        while not it.event.wait(1.0):
+            if self._closed and it.error is None and it.result is None:
+                raise RuntimeError("VocoderBatcher closed mid-request")
         if it.error is not None:
             raise it.error
         return it.result
@@ -105,6 +110,16 @@ class VocoderBatcher:
         self._closed = True
         self._q.put(None)  # wake the worker
         self._thread.join(timeout=10.0)
+        # fail anything still queued — their decode_stream callers are
+        # blocked on event.wait
+        while True:
+            try:
+                it = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if it is not None:
+                it.error = RuntimeError("VocoderBatcher closed")
+                it.event.set()
 
     # -- worker ----------------------------------------------------------
 

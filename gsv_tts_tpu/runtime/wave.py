@@ -122,7 +122,7 @@ class _Request:
 class _Wave:
     def __init__(self, sa: SampleArgs, rng: jax.Array):
         self.sa = sa
-        self.rng = rng  # only used to seed the state at creation
+        self.rng = rng  # split at every state creation (one key/generation)
         self.state: Optional[DecodeState] = None
         self.slots: List[_Slot] = []
         self.pending: "deque[_Request]" = deque()
@@ -172,11 +172,15 @@ class WaveScheduler:
         x = np.asarray(x_ids, np.int32).reshape(-1)
         y = np.asarray(y_ids, np.int32).reshape(-1)
         b = np.asarray(bert, np.float32).reshape(len(x), -1)
-        max_S = max(s for lens in self.engine.buckets.values() for s in lens)
-        if len(x) + len(y) + 1 >= max_S:
+        # the prefill writes the PADDED [Lx|Ly] block into the cache and
+        # generation needs one step of headroom — guard on that need, not
+        # the raw prompt length (a 500+10 prompt pads to 512+32)
+        need = self._prompt_need(x, y)
+        if not any(s >= need for lens in self.engine.buckets.values()
+                   for s in lens):
             raise ValueError(
-                f"prompt length {len(x) + len(y)} exceeds largest gpt_cache "
-                f"bucket {max_S}")
+                f"prompt length {len(x) + len(y)} (padded cache need {need}) "
+                f"exceeds every configured gpt_cache bucket")
         # batched-mode sampling semantics: wave-wide args, no repetition
         # penalty over generated tokens (reference ``t2s_model.py:651``)
         sa = SampleArgs(top_k=int(top_k), top_p=float(top_p),
@@ -275,6 +279,15 @@ class WaveScheduler:
         lens = self.engine.buckets[B]
         return next((s for s in lens if s > needed), None)
 
+    @staticmethod
+    def _prompt_need(x, y) -> int:
+        """Cache rows a request's prefill + first decode step need: the
+        padded [Lx|Ly] block the prefill writes, or prompt+1, whichever
+        is larger."""
+        lxp = _round_up(max(len(x), 1), PAD_MULTIPLE)
+        lyp = _round_up(max(len(y), 1), PAD_MULTIPLE)
+        return max(len(x) + len(y) + 1, lxp + lyp)
+
     def _take_pending(self, wave: _Wave, k: int) -> List[_Request]:
         out = []
         with self._lock:
@@ -312,12 +325,49 @@ class WaveScheduler:
         prompt_max = int((x_lens + y_lens).max())
         S = self._pick_S(B, max(prompt_max, Lx + Ly - 1))
         if S is None:
-            S = self.engine.buckets[B][-1]
+            # no S bucket at this B holds the biggest padded prompt (e.g.
+            # per-B bucket lists, or a prompt that only fits the B=1
+            # buckets).  Requeue and open the wave with just the HEAD
+            # request at a batch bucket that fits it — the rest join via
+            # refill/growth (which re-check fit per request).  attach's
+            # guard guarantees some bucket fits every admitted request.
+            with self._lock:
+                for r in reversed(reqs):
+                    wave.pending.appendleft(r)
+            reqs = self._take_pending(wave, 1)
+            if not reqs:
+                return False
+            r0 = reqs[0]
+            need = self._prompt_need(r0.x, r0.y)
+            fit = next((b for b in self._bucket_sizes()
+                        if self._pick_S(b, need - 1) is not None), None)
+            if fit is None:  # cannot happen after attach's guard
+                r0.handle._fail(ValueError("prompt fits no gpt_cache bucket"))
+                return True
+            B = fit
+            Lx = _round_up(len(r0.x), PAD_MULTIPLE)
+            Ly = _round_up(max(len(r0.y), 1), PAD_MULTIPLE)
+            xs = np.zeros((B, Lx), np.int32)
+            ys = np.zeros((B, Ly), np.int32)
+            bs = np.zeros((B, Lx, cfg.bert_dim), np.float32)
+            x_lens = np.ones((B,), np.int32)
+            y_lens = np.ones((B,), np.int32)
+            xs[0, :len(r0.x)] = r0.x
+            ys[0, :len(r0.y)] = r0.y
+            bs[0, :len(r0.x)] = r0.bert
+            x_lens[0] = len(r0.x)
+            y_lens[0] = len(r0.y)
+            prompt_max = len(r0.x) + len(r0.y)
+            S = self._pick_S(B, max(prompt_max, Lx + Ly - 1))
         k_cache, v_cache = eng._alloc_cache(B, S)
+        # fresh key per wave GENERATION: re-creating a drained wave with
+        # the construction-time key would replay the identical gumbel
+        # chain across generations (correlated sampling between clients)
+        wave.rng, sub = jax.random.split(wave.rng)
         state, _ = prefill_batch(
             eng.params, cfg, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(bs),
             jnp.asarray(x_lens), jnp.asarray(y_lens), k_cache, v_cache,
-            wave.rng, wave.sa, False, eng._dtype_name(), eng.attn_impl)
+            sub, wave.sa, False, eng._dtype_name(), eng.attn_impl)
         wave.state = state
         wave.slots = [_Slot(r.handle) for r in reqs] + \
             [_Slot() for _ in range(B - len(reqs))]
@@ -334,8 +384,26 @@ class WaveScheduler:
             step_idx=state.step_idx.at[j].set(0),
             buf_len=state.buf_len.at[j].set(0))
 
-    def _refill(self, wave: _Wave, j: int, req: _Request):
+    def _refill(self, wave: _Wave, j: int, req: _Request) -> bool:
+        """Prefill ``req`` into free slot ``j``.  If the prompt does not
+        fit the wave's CURRENT sequence bucket, escalate the wave to the
+        smallest fitting bucket first; if no bucket at this batch size
+        fits, requeue the request (it is admitted when the wave drains
+        and re-creates at a compatible (B, S)) and return False — an
+        unchecked prefill_slot would shape-error and fail every client
+        in the wave."""
         eng = self.engine
+        need = self._prompt_need(req.x, req.y)
+        S_cur = wave.state.k_cache.shape[2]
+        if need > S_cur:
+            B = len(wave.slots)
+            target = self._pick_S(B, need - 1)
+            if target is None:
+                with self._lock:
+                    wave.pending.appendleft(req)
+                return False
+            wave.state = eng._escalate(wave.state, target)
+            wave.n_resizes += 1
         xp, yp, bp = eng._pad_prompt(req.x, req.y, req.bert)
         state, _ = prefill_slot(
             eng.params, eng.cfg, wave.state, j,
@@ -345,6 +413,7 @@ class WaveScheduler:
         wave.state = state
         wave.slots[j] = _Slot(req.handle)
         wave.n_refills += 1
+        return True
 
     def _resize(self, wave: _Wave, new_B: int) -> bool:
         """Gather live slots into a ``new_B``-slot wave (growth or
@@ -411,7 +480,8 @@ class WaveScheduler:
                 got = self._take_pending(wave, 1)
                 if not got:
                     break
-                self._refill(wave, j, got[0])
+                if not self._refill(wave, j, got[0]):
+                    break  # head request needs a bucket this wave can't reach
 
         live = [j for j, s in enumerate(wave.slots) if s.live]
         if not live:

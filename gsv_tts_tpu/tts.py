@@ -993,7 +993,10 @@ class TTS:
                     req_done = (cur_pos[oi] == len(orig_segments[oi])
                                 and last_final[oi] == s)
                     yield oi, clip(oi, audio, subs), req_done
-                elif audio.size:
+                elif audio.size or subs:
+                    # subs must flush even when the head-trim ate the whole
+                    # chunk's audio: step() already advanced the segment's
+                    # subtitle cursor, so a dropped event loses them forever
                     yield oi, clip(oi, audio, subs), False
 
     def stream_shared(self, spk_audio_path, prompt_audio_path,

@@ -309,3 +309,71 @@ def test_stream_shared_concurrent_clients_use_vocoder_batcher(engine, assets):
     finally:
         engine._vocoder_batcher.close()
         engine._vocoder_batcher = old
+
+
+def test_vocoder_batcher_close_fails_queued_items(engine):
+    """close() must drain and FAIL anything still queued — a stranded
+    item leaves its decode_stream caller blocked forever."""
+    from gsv_tts_tpu.runtime.vocoder_batch import VocoderBatcher, _Item
+
+    b = VocoderBatcher(engine, max_batch=2, window_s=0.01)
+    # stop the worker loop first so the queued item is guaranteed stranded
+    b._closed = True
+    b._q.put(None)
+    b._thread.join(timeout=10)
+    it = _Item(None, np.zeros(3, np.int32), np.zeros(2, np.int32), None,
+               0.0, None, 0, 5)
+    b._q.put(it)
+    b.close()
+    assert it.event.is_set()
+    assert isinstance(it.error, RuntimeError)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        b.decode_stream(None, [1], [1], None, 0.0, None, 0, 5)
+
+
+def test_batched_stream_flushes_subtitles_when_head_trim_eats_audio(
+        engine, assets, monkeypatch):
+    """A chunk whose audio is fully consumed by the head trim must still
+    deliver its subtitles: _SegStream already advanced its subtitle
+    cursor, so a dropped event would lose them permanently."""
+    import gsv_tts_tpu.tts as jtts_mod
+
+    tokens = np.random.RandomState(9).randint(0, 1024, 23).astype(np.int64)
+    chunk = 5
+    gpt = engine.gpt_models[assets["gpt"]]
+
+    def fake_gbs(xs, ys, bs, grouped=False, **kw):
+        def ev():
+            emitted = 0
+            for hi in range(chunk, len(tokens), chunk):
+                yield 0, tokens[emitted:hi], False
+                emitted = hi
+            yield 0, tokens[emitted:], True
+
+        for e in ev():
+            yield [e] if grouped else e
+
+    monkeypatch.setattr(gpt.engine, "generate_batched_stream", fake_gbs)
+    text = "this is a test sentence for subtitle flushing."
+    common = dict(return_subtitles=True, is_cut_text=False,
+                  stream_chunk=chunk, noise_scale=0.0)
+
+    engine._rng = jax.random.PRNGKey(7)
+    normal = list(engine.infer_batched_stream(
+        assets["spk"], assets["prompt"], "hello there.", [text], **common))
+    words_normal = [s["text"] for _, c, _ in normal for s in c.subtitles]
+
+    # make the head trim consume the ENTIRE first chunk's audio
+    real_trim = jtts_mod.dsp.find_head_threshold_offset
+    monkeypatch.setattr(jtts_mod.dsp, "find_head_threshold_offset",
+                        lambda audio: len(audio))
+    engine._rng = jax.random.PRNGKey(7)
+    trimmed = list(engine.infer_batched_stream(
+        assets["spk"], assets["prompt"], "hello there.", [text], **common))
+    monkeypatch.setattr(jtts_mod.dsp, "find_head_threshold_offset", real_trim)
+    words_trimmed = [s["text"] for _, c, _ in trimmed for s in c.subtitles]
+
+    assert words_normal, "fixture produced no subtitles"
+    assert words_trimmed == words_normal

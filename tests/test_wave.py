@@ -219,3 +219,89 @@ def test_close_fails_outstanding_handles(engine):
             if done:
                 # finished before close() landed — acceptable
                 break
+
+
+def test_attach_rejects_prompt_padded_beyond_all_buckets(engine):
+    """The attach guard must account for prefill PADDING: a prompt whose
+    padded [Lx|Ly] block exceeds every bucket is rejected up front."""
+    sched = WaveScheduler(engine, max_batch=2)
+    try:
+        rng = np.random.RandomState(0)
+        x = rng.randint(1, 50, 90).astype(np.int32)   # pads to 96
+        y = rng.randint(0, 100, 40).astype(np.int32)  # pads to 64 -> 160 > 128
+        bert = np.zeros((len(x), engine.cfg.bert_dim), np.float32)
+        with pytest.raises(ValueError, match="bucket"):
+            sched.attach(x, y, bert, top_k=1)
+    finally:
+        sched.close()
+
+
+def test_oversized_prompt_does_not_crash_the_wave():
+    """A prompt that only fits the larger bucket must not shape-crash a
+    wave sitting at a smaller bucket (which would _fail every client):
+    create-fallback opens it in a compatible bucket, and refill escalates
+    the wave instead of blind-prefilling."""
+    cfg = T2SConfig(hidden_dim=64, embedding_dim=64, num_heads=4,
+                    num_layers=2, vocab_size=101, phoneme_vocab_size=50,
+                    eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(1), cfg,
+                                   dtype=jnp.float32)
+    eng = T2SEngine(params, cfg, gpt_cache=[(1, 96), (1, 128), (2, 96)],
+                    dtype=jnp.float32)
+    sched = WaveScheduler(eng, max_batch=2)
+    try:
+        rng = np.random.RandomState(1)
+        # padded need 64+64=128: fits only the (1, 128) bucket
+        xb = rng.randint(1, 50, 40).astype(np.int32)
+        yb = rng.randint(0, 100, 40).astype(np.int32)
+        bb = np.zeros((len(xb), cfg.bert_dim), np.float32)
+        xs = rng.randint(1, 50, 8).astype(np.int32)
+        ys = rng.randint(0, 100, 6).astype(np.int32)
+        bs = np.zeros((len(xs), cfg.bert_dim), np.float32)
+
+        # big first: B=2 has no fitting S -> single-request fallback wave
+        h_big = sched.attach(xb, yb, bb, top_k=1)
+        h_small = sched.attach(xs, ys, bs, top_k=1)
+        t_big = _drain(h_big)
+        t_small = _drain(h_small)
+        assert t_big.size >= 0 and t_small.size >= 0
+
+        # small first: wave at (2, 96); the big request's refill must
+        # requeue/escalate, not crash the live wave
+        h_small2 = sched.attach(xs, ys, bs, top_k=1)
+        h_big2 = sched.attach(xb, yb, bb, top_k=1)
+        t_small2 = _drain(h_small2)
+        t_big2 = _drain(h_big2)
+        # greedy chains are deterministic, but the CAP differs between
+        # scenarios (the big request may run at S=128 solo or be gathered
+        # into a 96-row wave) — assert prefix consistency, not equality
+        for a, b in ((t_small, t_small2), (t_big, t_big2)):
+            n = min(a.size, b.size)
+            np.testing.assert_array_equal(a[:n], b[:n])
+    finally:
+        sched.close()
+
+
+def test_wave_generations_use_fresh_rng(engine):
+    """Re-creating a drained wave must draw a fresh key — reusing the
+    construction-time key would replay the identical gumbel chain across
+    wave generations (correlated sampling between clients)."""
+    from gsv_tts_tpu.runtime import wave as wmod
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs
+
+    sched = WaveScheduler(engine, max_batch=2)
+    try:
+        w = wmod._Wave(SampleArgs(top_k=1, repetition_penalty=1.0,
+                                  use_prev=False),
+                       jax.random.PRNGKey(7))
+        x, y, bert = _inputs(3, engine.cfg)
+        keys = [np.asarray(w.rng).copy()]
+        for _ in range(2):
+            w.pending.append(wmod._Request(x, y, bert, wmod.StreamHandle()))
+            w.state, w.slots = None, []
+            assert sched._create_wave_state(w)
+            keys.append(np.asarray(w.rng).copy())
+        assert not np.array_equal(keys[0], keys[1])
+        assert not np.array_equal(keys[1], keys[2])
+    finally:
+        sched.close()
