@@ -339,9 +339,12 @@ def main():
     ap.add_argument("--models-dir", default=None)
     ap.add_argument("--gpt", default=None)
     ap.add_argument("--sovits", default=None)
+    ap.add_argument("--quant-t2s", action="store_true",
+                    help="int8 weight-streaming GPT decode (see the HTTP "
+                         "server's flag of the same name)")
     args = ap.parse_args()
 
-    tts = TTS(models_dir=args.models_dir)
+    tts = TTS(models_dir=args.models_dir, quant_t2s=args.quant_t2s)
     if args.gpt:
         tts.load_gpt_model(args.gpt)
     if args.sovits:
