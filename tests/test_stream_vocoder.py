@@ -184,3 +184,51 @@ def test_batched_stream_core_matches_solo_rows(setup):
         np.testing.assert_allclose(
             np.asarray(ov_b[i]), np.asarray(ov_s[0]),
             rtol=2e-4, atol=2e-5, err_msg=f"row {i} overlap carry")
+
+
+def test_fused_one_program_matches_split_core_flow(setup):
+    """The fused chunk program (core + bucket pad + flow + HiFi-GAN in one
+    jit — the production solo AND batched path) must reproduce the split
+    core→flow sequence in every row's valid region."""
+    cfg, params = setup
+    from gsv_tts_tpu.runtime.vocoder_batch import _stream_batch_fused_jit
+
+    rng = np.random.RandomState(4)
+    B, n, t = 2, 20, 9
+    Bc, Np, overlap, bucket = 32, 32, 5, 45
+    codes = np.zeros((B, 1, Bc), np.int32)
+    text = np.zeros((B, Np), np.int32)
+    codes[:, 0, :n] = rng.randint(0, 1024, (B, n))
+    text[:, :t] = rng.randint(1, 700, (B, t))
+    ge = jnp.asarray(rng.randn(B, cfg.gin_channels, 1).astype(np.float32) * 0.1)
+    noise = jnp.asarray(rng.randn(B, cfg.inter_channels, 2 * Bc)
+                        .astype(np.float32) * 0.3)
+    y_ov = jnp.zeros((B, cfg.hidden_channels, overlap), jnp.float32)
+    lens = jnp.full((B,), n, jnp.int32)
+    tlens = jnp.full((B,), t, jnp.int32)
+    vsi = jnp.zeros((B,), jnp.int32)
+    blend = jnp.zeros((B,), bool)
+
+    audio_f, attn_f, ov_f = _stream_batch_fused_jit(
+        params, cfg, jnp.asarray(codes), lens, jnp.asarray(text), tlens,
+        ge, noise, y_ov, vsi, blend, overlap, bucket)
+
+    z, m, attn_s, ov_s = jsv.decode_core_stream_padded_batch(
+        params, cfg, jnp.asarray(codes), lens, jnp.asarray(text), tlens,
+        ge, noise, y_ov, vsi, blend, overlap_len=overlap)
+    pad = bucket - z.shape[-1]
+    if pad >= 0:
+        z = jnp.pad(z, [(0, 0), (0, 0), (0, pad)])
+        m = jnp.pad(m, [(0, 0), (0, 0), (0, pad)])
+    else:
+        z, m = z[:, :, :bucket], m[:, :, :bucket]
+    audio_s = jsv.flow_dec(params, cfg, z, m, ge)
+
+    t_valid = 2 * n * cfg.samples_per_frame
+    np.testing.assert_allclose(
+        np.asarray(audio_f[:, :, :t_valid]),
+        np.asarray(audio_s[:, :, :t_valid]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(attn_f), np.asarray(attn_s),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ov_f), np.asarray(ov_s),
+                               rtol=1e-5, atol=1e-6)
