@@ -7,7 +7,7 @@ with an optional C++ fast path (``native/``, loaded via ctypes when built).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -20,10 +20,8 @@ import hashlib
 import io
 import json
 import os
-from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from .config import Config

@@ -11,13 +11,12 @@ Pipeline (reference call stacks ``TTS.py:149-286,288-504,506-868``):
 from __future__ import annotations
 
 import asyncio
-import dataclasses
 import functools
 import logging
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import Dict, List, Literal, Optional, Union
+from typing import Dict, List, Literal, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +32,7 @@ from .loader import (Gpt, Sovits, get_gpt_weights, get_sovits_weights,
 from .models import sovits as sovits_model
 from .ops import stft
 from .player import AudioClip, AudioQueue
-from .utils.timing import Timings, RTFMeter
+from .utils.timing import Timings
 
 logging.basicConfig(
     level=logging.INFO,
