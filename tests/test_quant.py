@@ -166,3 +166,22 @@ def test_decode_chunk_q8_batched_matches_dequant_xla():
         outs[impl] = np.asarray(toks)
     np.testing.assert_array_equal(outs["xla"],
                                   outs["fused_step_q8_interpret"])
+
+
+def test_engine_generate_q8_interpret_end_to_end():
+    """Full T2SEngine.generate through the q8 impl (interpret): prefill,
+    chunked decode, suppression window, EOS/cap termination — the
+    engine-level integration the facade's quant_t2s flag switches on."""
+    from gsv_tts_tpu.runtime.t2s_session import T2SEngine
+
+    cfg, params = _tiny()
+    eng = T2SEngine(params, cfg, gpt_cache=[(1, 128)], dtype=jnp.float32,
+                    attn_impl="fused_step_q8_interpret")
+    rng = np.random.RandomState(13)
+    x = rng.randint(1, 50, 10).astype(np.int32)
+    y = rng.randint(0, 100, 6).astype(np.int32)
+    bert = np.zeros((10, cfg.bert_dim), np.float32)
+    toks = np.asarray(eng.generate(x, y, bert, top_k=5,
+                                   rng=jax.random.PRNGKey(3))).ravel()
+    assert toks.size >= 1
+    assert (toks < cfg.eos).all()  # eos never leaks into the harvest
