@@ -685,6 +685,31 @@ def bench_vocoder_batched(frames25: int = 25, n_text: int = 30,
     return out
 
 
+def _guard_device_reachable(timeout_s: int = 600):
+    """Fail FAST (with a recordable JSON line) instead of hanging forever
+    when the TPU tunnel is dead: with a dead axon relay, jax backend init
+    blocks indefinitely in C (r3 incident — see CLAUDE.md), which would
+    leave the bench artifact empty.  The probe subprocess also absorbs
+    the one-time ~3 min session warm-up."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0:
+            return
+        err = (r.stderr or r.stdout).strip()[-200:]
+    except subprocess.TimeoutExpired:
+        err = f"device probe hung >{timeout_s}s (dead TPU tunnel?)"
+    print(f"# DEVICE UNREACHABLE: {err}", file=sys.stderr)
+    print(json.dumps({"metric": "gpt_decode_tok_s", "value": 0,
+                      "unit": "tok/s", "vs_baseline": 0,
+                      "extra": {"error": err}}))
+    sys.exit(1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tokens", type=int, default=500)
@@ -710,6 +735,7 @@ def main():
                     help="measure the streaming-vocoder chunk phase split "
                          "(ge/core/flow) + flow_dec batch scaling and exit")
     args = ap.parse_args()
+    _guard_device_reachable()
 
     if args.vocoder_breakdown:
         vb = bench_vocoder_breakdown()
