@@ -51,6 +51,7 @@ def make_audio_track():
             self.queue: asyncio.Queue = asyncio.Queue()
             self._buffer = np.zeros(0, np.int16)
             self._timestamp = 0
+            self._start: float = None  # wall-clock origin for pacing
 
         async def put_audio(self, clip):
             audio48 = resample(np.asarray(clip.audio_data, np.float32),
@@ -59,14 +60,32 @@ def make_audio_track():
             await self.queue.put(pcm)
 
         async def recv(self):
+            # real-time pacing (reference ``realtime_api.py:75-119`` sends
+            # one 20 ms frame per 20 ms): without it, queued synthesis
+            # audio is blasted faster than realtime and the receiver's
+            # jitter buffer drops it; idle silence likewise must tick at
+            # the frame rate, not every poll
+            loop = asyncio.get_event_loop()
+            if self._start is None:
+                self._start = loop.time()
+            due = self._start + self._timestamp / OUT_RATE
+            delay = due - loop.time()
+            if delay > 0:
+                await asyncio.sleep(delay)
+
             while len(self._buffer) < SAMPLES_PER_FRAME:
                 try:
-                    pcm = self.queue.get_nowait()
+                    # wait one frame period for more audio, then pad: a
+                    # PARTIAL buffer with an idle queue previously spun
+                    # forever and the final chunk of every utterance was
+                    # never flushed
+                    pcm = await asyncio.wait_for(self.queue.get(),
+                                                 timeout=0.02)
                     self._buffer = np.concatenate([self._buffer, pcm])
-                except asyncio.QueueEmpty:
-                    await asyncio.sleep(0.005)
-                    if len(self._buffer) == 0:
-                        self._buffer = np.zeros(SAMPLES_PER_FRAME, np.int16)
+                except asyncio.TimeoutError:
+                    pad = SAMPLES_PER_FRAME - len(self._buffer)
+                    self._buffer = np.concatenate(
+                        [self._buffer, np.zeros(pad, np.int16)])
 
             chunk = self._buffer[:SAMPLES_PER_FRAME]
             self._buffer = self._buffer[SAMPLES_PER_FRAME:]

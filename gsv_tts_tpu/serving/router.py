@@ -137,6 +137,39 @@ class Router:
         return {k: v for k, v in request.headers.items()
                 if k.lower() not in HOP_HEADERS}
 
+    async def proxy_audio(self, request: web.Request) -> web.StreamResponse:
+        """GET /audio/{filename}: the file lives in the TEMPDIR of whichever
+        backend synthesized it, so least-loaded routing would 404 on
+        (N-1)/N of fetches — try every healthy backend and relay the first
+        200."""
+        last_status = 404
+        for b in [x for x in self.backends if x.healthy] + \
+                [x for x in self.backends if not x.healthy]:
+            try:
+                async with self._session.get(
+                        b.url + request.rel_url.path_qs.split("?")[0],
+                        headers=self._fwd_headers(request)) as upstream:
+                    if upstream.status != 200:
+                        last_status = upstream.status
+                        continue
+                    resp = web.StreamResponse(status=200)
+                    for k, v in upstream.headers.items():
+                        if k.lower() not in HOP_HEADERS:
+                            resp.headers[k] = v
+                    resp.headers["X-GSV-Backend"] = b.url
+                    await resp.prepare(request)
+                    while True:
+                        chunk = await upstream.content.readany()
+                        if not chunk:
+                            break
+                        await resp.write(chunk)
+                    await resp.write_eof()
+                    return resp
+            except (aiohttp.ClientError, ConnectionError, OSError):
+                continue
+        raise web.HTTPNotFound(
+            text=f"audio not found on any backend (last status {last_status})")
+
     async def proxy(self, request: web.Request) -> web.StreamResponse:
         """Forward one request, streaming the body through; fail over to the
         next backend on connection errors (before any byte was relayed)."""
@@ -244,11 +277,12 @@ def create_router_app(backends: List[str], **kw) -> "web.Application":
     app.on_cleanup.append(router.stop)
     app.router.add_get("/", router.root)
     app.router.add_get("/health", router.health)
-    for path in ("/tts/stream", "/tts/batched"):
+    for path in ("/tts/stream", "/tts/stream/batched", "/tts/batched"):
         app.router.add_post(path, router.proxy)
     app.router.add_get("/tts", router.proxy)
     app.router.add_post("/tts", router.proxy)
-    app.router.add_get("/audio/{filename}", router.proxy)
+    # audio files live on the backend that synthesized them — fan out
+    app.router.add_get("/audio/{filename}", router.proxy_audio)
     for path in ("/set_gpt_weights", "/set_sovits_weights"):
         app.router.add_get(path, router.fanout)
         app.router.add_post(path, router.fanout)

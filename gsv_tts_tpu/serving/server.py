@@ -429,6 +429,8 @@ class TTSServer:
             raise web.HTTPBadRequest(text="ref_audio_path is required")
         ref_audio_path = await self._resolve_audio(ref_audio_path)
         aux = req.get("aux_ref_audio_paths") or []
+        if isinstance(aux, str):  # GET query strings arrive unlisted
+            aux = [aux]
         if aux:
             speaker_audio: Any = {p: 1.0 for p in [ref_audio_path] + aux}
         else:
@@ -454,9 +456,10 @@ class TTSServer:
                     "supported": _supported_media_types(),
                 }), content_type="application/json")
 
+        falsy = (False, 0, "0", None, "", "false", "False")
         streaming_mode = req.get("streaming_mode", False)
-        stream_enabled = streaming_mode not in (False, 0, "0", None, "false", "False")
-        batch_infer = bool(req.get("batch_infer", False))
+        stream_enabled = streaming_mode not in falsy
+        batch_infer = req.get("batch_infer", False) not in falsy
         if batch_infer and stream_enabled:
             raise web.HTTPBadRequest(text="batch_infer is not supported with streaming_mode")
 
@@ -482,7 +485,10 @@ class TTSServer:
                                 content_type=f"audio/{media_type}")
 
         if stream_enabled:
-            mode_value = 1 if streaming_mode is True else int(streaming_mode)
+            try:  # "true"/"True"/True all mean mode 1 (api_v2 GET strings)
+                mode_value = int(streaming_mode)
+            except (TypeError, ValueError):
+                mode_value = 1
             return ("stream", speaker_audio, ref_audio_path, prompt_text,
                     text_input, media_type, mode_value, cut_method, kw,
                     float(req.get("fragment_interval", 0.3)),
@@ -506,6 +512,11 @@ class TTSServer:
     async def tts_v2(self, request: web.Request) -> web.StreamResponse:
         if request.method == "GET":
             req = dict(request.query)
+            # repeated keys collapse in dict(); aux refs may legitimately
+            # repeat (api_v2 multi-speaker fusion)
+            aux_all = request.query.getall("aux_ref_audio_paths", [])
+            if len(aux_all) > 1:
+                req["aux_ref_audio_paths"] = list(aux_all)
         else:
             req = await request.json()
         out = await self._handle_api_v2(req)
@@ -540,18 +551,23 @@ class TTSServer:
         path = request.query.get("weights_path")
         if not path:
             raise web.HTTPBadRequest(text="weights_path is required")
-        for model in self.tts.get_gpt_list():
-            self.tts.unload_gpt_model(model)
+        # load FIRST, unload the old models only on success: unload-first
+        # left the server model-less after a bad path / corrupt checkpoint
+        # (and the router fans this out, so one bad switch broke the fleet)
+        old = [m for m in self.tts.get_gpt_list() if str(m) != str(path)]
         self.tts.load_gpt_model(path)
+        for model in old:
+            self.tts.unload_gpt_model(model)
         return web.json_response({"message": "success"})
 
     async def set_sovits_weights(self, request: web.Request) -> web.Response:
         path = request.query.get("weights_path")
         if not path:
             raise web.HTTPBadRequest(text="weights_path is required")
-        for model in self.tts.get_sovits_list():
-            self.tts.unload_sovits_model(model)
+        old = [m for m in self.tts.get_sovits_list() if str(m) != str(path)]
         self.tts.load_sovits_model(path)
+        for model in old:
+            self.tts.unload_sovits_model(model)
         return web.json_response({"message": "success"})
 
 

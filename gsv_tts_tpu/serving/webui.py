@@ -115,18 +115,22 @@ class WebUI:
             spk = preset.get("speaker_audio") or preset["prompt_audio"]
             if isinstance(spk, dict):  # multi-speaker fusion weights
                 spk = {k: float(v) for k, v in spk.items()}
-            clip = self.tts.infer(
-                spk_audio_path=spk,
-                prompt_audio_path=preset["prompt_audio"],
-                prompt_audio_text=preset["prompt_text"],
-                text=segment,
-                top_k=int(params.get("top_k", 15)),
-                top_p=float(params.get("top_p", 1.0)),
-                temperature=float(params.get("temperature", 1.0)),
-                repetition_penalty=float(params.get("repetition_penalty", 1.35)),
-                noise_scale=float(params.get("noise_scale", 0.5)),
-                speed=float(params.get("speed", 1.0)),
-            )
+            # executor threads must serialize device work like the engine's
+            # own *_async wrappers do (concurrent unlocked infer() races
+            # engine state — e.g. infer_vc drops the hubert model mid-use)
+            with self.tts._infer_lock:
+                clip = self.tts.infer(
+                    spk_audio_path=spk,
+                    prompt_audio_path=preset["prompt_audio"],
+                    prompt_audio_text=preset["prompt_text"],
+                    text=segment,
+                    top_k=int(params.get("top_k", 15)),
+                    top_p=float(params.get("top_p", 1.0)),
+                    temperature=float(params.get("temperature", 1.0)),
+                    repetition_penalty=float(params.get("repetition_penalty", 1.35)),
+                    noise_scale=float(params.get("noise_scale", 0.5)),
+                    speed=float(params.get("speed", 1.0)),
+                )
             pieces.append(np.asarray(clip.audio_data, np.float32))
         audio = np.concatenate(pieces) if pieces else np.zeros(0, np.float32)
         if params.get("enhance", False) and audio.size:
@@ -152,7 +156,8 @@ class WebUI:
         found = {"gpt": [], "sovits": []}
         if root.exists():
             for p in root.rglob("*.ckpt"):
-                found["gpt"].append(str(p))
+                if "eres2net" not in p.name:  # the SV checkpoint is a .ckpt
+                    found["gpt"].append(str(p))
             for p in root.rglob("*.pth"):
                 if "eres2net" not in p.name:
                     found["sovits"].append(str(p))
@@ -198,12 +203,16 @@ class WebUI:
     async def vc(self, request):
         body = await request.json()
         loop = __import__("asyncio").get_running_loop()
-        clip = await loop.run_in_executor(None, lambda: self.tts.infer_vc(
-            spk_audio_path=body["speaker_audio"],
-            prompt_audio_path=body["prompt_audio"],
-            prompt_audio_text=body["prompt_text"],
-            noise_scale=float(body.get("noise_scale", 0.5)),
-            speed=float(body.get("speed", 1.0))))
+        def _vc_locked():
+            with self.tts._infer_lock:
+                return self.tts.infer_vc(
+                    spk_audio_path=body["speaker_audio"],
+                    prompt_audio_path=body["prompt_audio"],
+                    prompt_audio_text=body["prompt_text"],
+                    noise_scale=float(body.get("noise_scale", 0.5)),
+                    speed=float(body.get("speed", 1.0)))
+
+        clip = await loop.run_in_executor(None, _vc_locked)
         fname = f"vc_{uuid.uuid4().hex}.wav"
         save_wav(str(self.audio_dir / fname), np.asarray(clip.audio_data),
                  clip.samplerate)
@@ -304,7 +313,8 @@ async function synth(){
 }
 async function loadHist(){
   const h=await (await fetch('/ui/history')).json();
-  hist.innerHTML=h.slice(-12).reverse().map(e=>`<li><a href="/ui/audio/${e.file}">${e.file}</a> — ${e.duration}s, RTF ${e.rtf} — ${e.text.slice(0,60)}</li>`).join('');
+  const esc=s=>String(s).replace(/[&<>"']/g,c=>({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;',"'":'&#39;'}[c]));
+  hist.innerHTML=h.slice(-12).reverse().map(e=>`<li><a href="/ui/audio/${esc(e.file)}">${esc(e.file)}</a> — ${esc(e.duration)}s, RTF ${esc(e.rtf)} — ${esc(e.text.slice(0,60))}</li>`).join('');
 }
 async function vc(){
   const r=await fetch('/ui/vc',{method:'POST',headers:{'Content-Type':'application/json'},

@@ -267,3 +267,75 @@ def test_router_mid_stream_upstream_loss_aborts_not_retries():
             await s2.close()
 
     run_async(go)
+
+
+def test_router_audio_fanout_finds_owning_backend():
+    """/audio/{f} files live only on the backend that synthesized them —
+    the router must try backends until one returns 200 instead of
+    load-balancing into a 404."""
+    async def go():
+        def backend_with_audio(name, has_file):
+            app = make_backend(name)
+
+            async def audio(request):
+                if not has_file or \
+                        request.match_info["filename"] != "batch_x.wav":
+                    raise web.HTTPNotFound(text="nope")
+                return web.Response(body=b"RIFFfake", headers={
+                    "Content-Type": "audio/wav"})
+
+            app.router.add_get("/audio/{filename}", audio)
+            return app
+
+        b1 = backend_with_audio("b1", has_file=False)
+        b2 = backend_with_audio("b2", has_file=True)
+        s1, s2 = TestServer(b1), TestServer(b2)
+        await s1.start_server()
+        await s2.start_server()
+        app = create_router_app([str(s1.make_url("")), str(s2.make_url(""))],
+                                health_interval=3600)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            for _ in range(3):  # every attempt must find b2's copy
+                r = await client.get("/audio/batch_x.wav")
+                assert r.status == 200
+                assert (await r.read()) == b"RIFFfake"
+            r404 = await client.get("/audio/missing_everywhere.wav")
+            assert r404.status == 404
+        finally:
+            await client.close()
+            await s1.close()
+            await s2.close()
+
+    run_async(go)
+
+
+def test_router_proxies_batched_stream_route():
+    """POST /tts/stream/batched must be proxied (it 404'd before r3)."""
+    async def go():
+        b1 = make_backend("b1")
+
+        async def bstream(request):
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream"})
+            await resp.prepare(request)
+            await resp.write(b"event: done\ndata: {}\n\n")
+            await resp.write_eof()
+            return resp
+
+        b1.router.add_post("/tts/stream/batched", bstream)
+        s1 = TestServer(b1)
+        await s1.start_server()
+        app = create_router_app([str(s1.make_url(""))], health_interval=3600)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/tts/stream/batched", json={"texts": ["x"]})
+            assert r.status == 200
+            assert b"event: done" in await r.read()
+        finally:
+            await client.close()
+            await s1.close()
+
+    run_async(go)

@@ -297,3 +297,54 @@ def test_api_v2_media_types(client_factory, assets, media_type, expect):  # noqa
     if status in (400, 415):
         data = json.loads(body)
         assert "supported" in data and "wav" in data["supported"]
+
+
+def test_api_v2_get_string_booleans_and_aux(client_factory, assets):  # noqa: F811
+    """GET query strings arrive as strings: streaming_mode=true must
+    stream (int('true') used to 500), batch_infer=false must NOT route
+    through batch synthesis, and a single aux_ref_audio_paths string must
+    not TypeError against the list concat."""
+    async def go(client):
+        r1 = await client.get("/tts", timeout=LONG, params={
+            "text": "streamed api v2.",
+            "ref_audio_path": assets["prompt"],
+            "prompt_text": "hello there.",
+            "media_type": "wav",
+            "streaming_mode": "true",
+        })
+        b1 = await r1.read()
+        r2 = await client.get("/tts", timeout=LONG, params={
+            "text": "plain api v2.",
+            "ref_audio_path": assets["prompt"],
+            "prompt_text": "hello there.",
+            "media_type": "wav",
+            "streaming_mode": "false",
+            "batch_infer": "false",
+            "aux_ref_audio_paths": assets["spk"],
+        })
+        b2 = await r2.read()
+        return r1.status, b1, r2.status, b2
+
+    s1, b1, s2, b2 = client_factory(go)
+    assert s1 == 200 and b1[:4] == b"RIFF"
+    assert s2 == 200 and b2[:4] == b"RIFF"
+
+
+def test_weight_switch_bad_path_keeps_serving(client_factory, assets):  # noqa: F811
+    """A failed weight switch must leave the previous model loaded (the
+    old unload-first flow left the server model-less and the router
+    fans the switch out fleet-wide)."""
+    async def go(client):
+        r_bad = await client.get("/set_gpt_weights",
+                                 params={"weights_path": "/no/such.ckpt"})
+        r_after = await client.get("/tts", timeout=LONG, params={
+            "text": "still serving after the failed switch.",
+            "ref_audio_path": assets["prompt"],
+            "prompt_text": "hello there.",
+            "media_type": "wav",
+        })
+        return r_bad.status, r_after.status, await r_after.read()
+
+    bad, after, body = client_factory(go)
+    assert bad >= 400
+    assert after == 200 and body[:4] == b"RIFF"
