@@ -239,10 +239,10 @@ class ChineseG2P:
                         # punctuation/pause char
                         phones_list.append(c)
                         word2ph["ph"].append(1)
-                    elif c in ("AA", "EE", "OO") or c:
+                    else:
+                        # split_full_pinyin always yields a non-empty
+                        # initial (AA/EE/OO, y/w, or a consonant); the
+                        # guard is belt-and-braces, not a reachable path
                         phones_list += [c if c else "UNK", v]
                         word2ph["ph"].append(2)
-                    else:
-                        phones_list += ["UNK"]
-                        word2ph["ph"].append(1)
         return phones_list, word2ph

@@ -109,8 +109,10 @@ _UNIT_WORDS = [
     ("cm²", "平方厘米"), ("cm2", "平方厘米"), ("cm³", "立方厘米"),
     ("cm3", "立方厘米"), ("cm", "厘米"), ("db", "分贝"), ("ds", "毫秒"),
     ("kg", "千克"), ("km", "千米"), ("m²", "平方米"), ("m2", "平方米"),
-    ("m³", "立方米"), ("m3", "立方米"), ("ml", "毫升"), ("mm", "毫米"),
-    ("m", "米"), ("s", "秒"),
+    ("m³", "立方米"), ("m3", "立方米"), ("ml", "毫升"),
+    # the reference's measure_dict iterates "m" BEFORE "mm"
+    # (quantifier.py:21-38), so "5mm" reads 五米米 — quirk reproduced
+    ("m", "米"), ("mm", "毫米"), ("s", "秒"),
 ]
 _UNIT_ALT = "|".join(re.escape(u) for u, _ in _UNIT_WORDS) + "|%|°C|℃|度|摄氏度"
 _NUM_PART = r"-?(?:\d+(?:\.\d+)?|\.\d+)"
@@ -137,29 +139,45 @@ _RE_NEG_INT = re.compile(r"-(\d+)")
 _RE_VERSION = re.compile(r"\d+(?:\.\d+){2,}")
 _RE_DECIMAL = re.compile(r"(-?)(?:(\d+)(\.\d+)|\.(\d+))")
 
-# measure words for the cardinal+quantifier rule (behavior — cardinal reading
-# with 二→两 — follows num.py:171-191; membership checked against the
-# reference COM_QUANTIFIERS so 2-readings agree, e.g. 次/遍/点 are NOT
-# quantifiers there: "2次" reads 二次, not 两次)
-_QUANTIFIERS = (
-    "个 只 本 条 张 件 位 名 台 辆 颗 粒 棵 架 间 家 场 趟 回 双 对 杯 瓶 "
-    "碗 盘 箱 层 岁 人 元 块 角 毛 分 斤 两 千克 吨 米 千米 厘米 毫米 "
-    "平方米 升 毫升 秒 分钟 小时 天 日 周 月 年 季 代 世 纪 列 队 批 段 "
-    "篇 页 幅 首 曲 支 枝 根 朵 片 面 道 课 例 处 所 座 栋 幢 户 头 尾 匹 "
-    "艘 枚 口 把 盏 顶 床 封 亩 里 美元 盒 袋 桶 罐 锅 壶 碟 勺 铺 针 管 "
-    "线 贴 跳 脚 身 堂 丝 毫 厘 钱 寸 尺 丈 寻 撮 合 斗 石 笼 盆 钟 簋 篮 "
-    "卮 箩 煲 啖 钵 旬 更 夜 春 夏 秋 冬 伏 辈 丸 泡 堆 群 墙 阵 网 炮 丘 "
-    "壳 窠 腔 砣 客 贯 扎 捆 刀 令 打 手 罗 坡 山 岭 江 溪 单 出 板 注 株 "
-    "项 目 套 阙 袭 挑 担"
-).split()
+# cardinal+quantifier rule (num.py:171-191): the quantifier set is the
+# reference's COM_QUANTIFIERS regex ALTERNATION (num.py:34) — branch ORDER
+# and group structure are behavior ("2万人" reads 两万人 because bare scale
+# words are branches; bare 克 is NOT — only (千|毫|微)克; "2次" stays 二次).
+# Constant linguistic data where exact behavior is the contract, kept as
+# the same branch sequence; the test suite pins it against the reference
+# string (test_frontend: COM_QUANTIFIERS parity).
+_QUANT_BRANCHES = (
+    "处 台 架 枚 趟 幅 平 方 堵 间 床 株 批 项 例 列 篇 栋 注 亩 封 艘 把 "
+    "目 套 段 人 所 朵 匹 张 座 回 场 尾 条 个 首 阙 阵 网 炮 顶 丘 棵 只 "
+    "支 袭 辆 挑 担 颗 壳 窠 曲 墙 群 腔 砣 座 客 贯 扎 捆 刀 令 打 手 罗 "
+    "坡 山 岭 江 溪 钟 队 单 双 对 出 口 头 脚 板 跳 枝 件 贴 针 线 管 名 "
+    "位 身 堂 课 本 页 家 户 层 丝 毫 厘 分 钱 两 斤 担 铢 石 钧 锱 忽"
+).split() + [
+    "(千|毫|微)克", "毫", "厘", "(公)分", "分", "寸", "尺", "丈", "里",
+    "寻", "常", "铺", "程", "(千|分|厘|毫|微)米", "米", "撮", "勺", "合",
+    "升", "斗", "石", "盘", "碗", "碟", "叠", "桶", "笼", "盆", "盒", "杯",
+    "钟", "斛", "锅", "簋", "篮", "盘", "桶", "罐", "瓶", "壶", "卮", "盏",
+    "箩", "箱", "煲", "啖", "袋", "钵", "年", "月", "日", "季", "刻", "时",
+    "周", "天", "秒", "分", "小时", "旬", "纪", "岁", "世", "更", "夜",
+    "春", "夏", "秋", "冬", "代", "伏", "辈", "丸", "泡", "粒", "颗", "幢",
+    "堆", "条", "根", "支", "道", "面", "片", "张", "颗", "块", "元",
+    "(亿|千万|百万|万|千|百)", "(亿|千万|百万|万|千|百|美|)元",
+    "(亿|千万|百万|万|千|百|十|)吨", "(亿|千万|百万|万|千|百|)块",
+    "角", "毛", "分",
+]
 _RE_QUANTIFIER = re.compile(
-    r"(\d+)([多余几+])?(" + "|".join(sorted(set(_QUANTIFIERS),
-                                            key=len, reverse=True)) + ")")
+    r"(\d+)([多余几+])?(" + "|".join(_QUANT_BRANCHES) + ")")
 _RE_CODE_NUM = re.compile(r"\d{3}\d*")
 _RE_NUMBER = re.compile(r"(-?)(\d+(?:\.\d+)?|\.\d+)")
 
+# full-width → half-width for LETTERS, DIGITS and the ideographic space
+# ONLY (constants.py:21-37 + text_normlization.py:112): full-width
+# punctuation like ％/～ stays full-width, so the %/~ number rules never
+# see it — "50％的人" keeps its ％ (later stripped), matching the oracle
 _F2H = str.maketrans(
-    {chr(0xFF01 + i): chr(0x21 + i) for i in range(94)} | {"　": " "})
+    {chr(0xFF10 + i): chr(0x30 + i) for i in range(10)} |
+    {chr(0xFF21 + i): chr(0x41 + i) for i in range(26)} |
+    {chr(0xFF41 + i): chr(0x61 + i) for i in range(26)} | {"　": " "})
 _CIRCLED = str.maketrans("①②③④⑤⑥⑦⑧⑨⑩", "一二三四五六七八九十")
 _GREEK = [
     ("α", "阿尔法"), ("β", "贝塔"), ("γ", "伽玛"), ("Γ", "伽玛"),

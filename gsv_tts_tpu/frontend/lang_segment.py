@@ -100,7 +100,7 @@ class LangSegment:
                                      seg["text"]).strip("-") + " "
         # reference post-pass runs LAST, after tags, and does not re-merge
         merged = cls._post_process_short_cjk(merged)
-        return [s for s in merged if s["text"].strip() or s["text"]]
+        return [s for s in merged if s["text"]]
 
     # short-CJK neighbour smoothing (reference _post_process_short_cjk,
     # LangSegment.py:344-377): zh with kana → ja; short zh (≤6 CJK chars)

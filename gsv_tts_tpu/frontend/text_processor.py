@@ -25,14 +25,23 @@ from .g2p import phonemes_to_ids, text_to_phonemes
 _ABBREV = {"mr", "mrs", "ms", "dr", "st", "jr", "etc", "vs", "no", "e.g", "i.e"}
 
 
+_SEGMENTER = None  # pysbd.Segmenter is expensive to build; cache like the
+_SEG_TRIED = False  # reference's module-level `seg` (TextProcessor.py)
+
+
 def _split_sentences(text: str) -> List[str]:
     """Sentence segmentation (pysbd when installed, else built-in)."""
-    try:
-        import pysbd
+    global _SEGMENTER, _SEG_TRIED
+    if not _SEG_TRIED:
+        _SEG_TRIED = True
+        try:
+            import pysbd
 
-        return pysbd.Segmenter().segment(text)
-    except ImportError:
-        pass
+            _SEGMENTER = pysbd.Segmenter()
+        except ImportError:
+            _SEGMENTER = None
+    if _SEGMENTER is not None:
+        return _SEGMENTER.segment(text)
     return builtin_split_sentences(text)
 
 
@@ -53,7 +62,6 @@ def builtin_split_sentences(text: str) -> List[str]:
                 buf += text[j]
                 j += 1
             # don't split after common abbreviations or decimals
-            tail = re.findall(r"[A-Za-z.]+$", buf[:-1].rstrip(".") + ".")
             last_word = re.findall(r"([A-Za-z]+)\.$", buf)
             is_abbrev = bool(last_word) and last_word[-1].lower() in _ABBREV
             is_decimal = (ch == "." and i + 1 < n and text[i - 1: i].isdigit()

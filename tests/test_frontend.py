@@ -227,6 +227,13 @@ def test_zh_norm_oracle_parity():
         "-42", "v2.4.1", "版本1.0.0.3", "3.14", "3.20", "0.5", ".25",
         "-5.5", "2个人", "3多只", "12个", "2两酒", "200元", "5+个",
         "几百个", "123", "00078", "1234", "56", "9999", "10005",
+        # bare scale words ARE quantifiers (COM_QUANTIFIERS branches) so
+        # 二→两 fires; ％/～ stay full-width (letters/digits-only F2H);
+        # "m" replaces before "mm" (reference measure_dict order) — all
+        # three diverged before r3's review pass
+        "2万人", "2千块", "有2百个", "50％的人", "3～5个", "5mm宽",
+        "3亿元", "2克", "2千克", "2小时", "2美元", "2十吨", "2公分",
+        "ＡＢＣ１２３", "2毫米", "3m", "2次",
         "200000000", "①号②号", "α射线和β射线", "我有3本书和2只猫",
         "他说5%的概率", "电话是123456789", "序号007", "共12345678人",
         "2次会议", "读3遍", "下午2点", "重2公斤", "3.00元", "第10⁵个",
