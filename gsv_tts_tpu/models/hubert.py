@@ -65,12 +65,7 @@ class HubertConfig:
         )
 
 
-def _layer_norm(x, g, b, eps=1e-5):
-    dtype = x.dtype
-    x32 = x.astype(F32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps) * g.astype(F32) + b.astype(F32)).astype(dtype)
+from ..ops.norms import layer_norm as _layer_norm  # noqa: E402
 
 
 def _group_norm(x, g, b, num_groups, eps=1e-5):

@@ -54,12 +54,7 @@ class BertConfig:
         )
 
 
-def _layer_norm(x, g, b, eps):
-    dtype = x.dtype
-    x32 = x.astype(F32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    return ((x32 - mean) * jax.lax.rsqrt(var + eps) * g.astype(F32) + b.astype(F32)).astype(dtype)
+from ..ops.norms import layer_norm as _layer_norm  # noqa: E402
 
 
 def bert_hidden_minus3(p: Dict[str, jnp.ndarray], cfg: BertConfig,
@@ -106,8 +101,13 @@ def bert_hidden_minus3(p: Dict[str, jnp.ndarray], cfg: BertConfig,
 # ---------------------------------------------------------------------------
 
 def _is_cjk(cp: int) -> bool:
+    # BERT's _is_chinese_char ranges, in full: a narrower set mis-merges
+    # rare-plane CJK into a neighbouring word buffer, and the resulting
+    # token count no longer matches word2ph (np.repeat length crash)
     return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
-            or 0x20000 <= cp <= 0x2A6DF or 0xF900 <= cp <= 0xFADF)
+            or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+            or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+            or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
 
 
 class BertTokenizer:
@@ -126,7 +126,13 @@ class BertTokenizer:
         buf = ""
         for ch in text:
             cp = ord(ch)
-            if _is_cjk(cp) or unicodedata.category(ch).startswith("P") or ch in "~`!@#$%^&*()+=|\\/?<>,.:;\"'“”‘’！？。，、：；（）【】《》…~·":
+            cat = unicodedata.category(ch)
+            if (cp == 0 or cp == 0xFFFD
+                    or (cat.startswith("C") and ch not in "\t\n\r")):
+                # BERT _clean_text + _is_control: every category-C char
+                # (control/format/unassigned) is dropped, not tokenized
+                continue
+            if _is_cjk(cp) or cat.startswith("P") or ch in "~`!@#$%^&*()+=|\\/?<>,.:;\"'“”‘’！？。，、：；（）【】《》…~·":
                 if buf:
                     out.append(buf)
                     buf = ""

@@ -383,9 +383,10 @@ def mel_style_encoder(p, cfg: SovitsConfig, x, mask: Optional[jnp.ndarray] = Non
     if key_mask is None:
         w = jnp.mean(x, axis=1)
     else:
-        lens = jnp.sum(~key_mask, axis=1)[:, None]
-        x = jnp.where(key_mask[:, :, None], 0.0, x).astype(F32)
-        w = jnp.sum(x / lens[:, :, None], axis=1).astype(x.dtype)
+        dtype = x.dtype  # pool in f32, return the compute dtype (the old
+        lens = jnp.sum(~key_mask, axis=1)[:, None]  # .astype(x.dtype) was a
+        x = jnp.where(key_mask[:, :, None], 0.0, x).astype(F32)  # no-op on
+        w = jnp.sum(x / lens[:, :, None], axis=1).astype(dtype)  # shadowed x)
     return w[:, :, None]
 
 
@@ -431,8 +432,10 @@ def text_encoder_infer(p, cfg: SovitsConfig, y, text, ge,
     y    [B, 768, T]  upsampled quantized SSL latent (50 Hz)
     text [B, N]       phoneme ids
     ge   [B, 512, 1|T] speaker conditioning (already ge_to512'd for v2Pro)
-    Returns (m, logs, y_mask, mrte_attn, y_latent) — ``y_latent`` is the
-    pre-projection latent used for streaming cross-fade.
+    Returns ``(y_latent, y_mask, attn)`` — ``y_latent`` [B, H, T] is the
+    pre-projection latent used for streaming cross-fade, ``attn``
+    [B, 4, Tq, Tk] the MRTE attention (4 heads; callers slice/viterbi it
+    for subtitles).
     """
     pfx = "enc_p."
     if y_mask is None:
@@ -569,7 +572,7 @@ def decode_core_stream_padded(p, cfg: SovitsConfig, codes_pad, codes_len,
     computation, and attention is masked — so the valid region is
     numerically identical to :func:`decode_core`.
 
-    Returns ``(z_p [1, C, 2*Bc], y_mask_chunk, attn [1, 2*Bc, Np],
+    Returns ``(z_p [1, C, 2*Bc], y_mask_chunk, attn [1, 4, 2*Bc, Np],
     new_overlap [1, hidden, overlap_len])``; the caller slices the valid
     prefix ``2*codes_len - vsi`` (and ``attn``'s valid rows/cols) host-side.
     """
@@ -632,7 +635,7 @@ def decode_core_stream_padded_batch(p, cfg: SovitsConfig, codes_pad,
 
     Shapes: codes_pad [B, 1, Bc], text_pad [B, Np], ge [B, gin, 1],
     noise [B, inter, 2*Bc], y_overlap [B, hidden, overlap_len];
-    returns (z_p [B, C, 2*Bc], mask [B, 1, 2*Bc], attn [B, 2*Bc, Np],
+    returns (z_p [B, C, 2*Bc], mask [B, 1, 2*Bc], attn [B, 4, 2*Bc, Np],
     new_overlap [B, hidden, overlap_len]) — the caller slices each row's
     valid prefix ``2*codes_len[b] - vsi[b]`` host-side.
 

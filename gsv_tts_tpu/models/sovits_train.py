@@ -298,7 +298,11 @@ def train_forward(params, cfg: sv.SovitsConfig, batch, rng):
     tpos = jnp.arange(batch["text"].shape[1])[None, None, :]
     text_mask = (tpos < batch["text_lens"][:, None, None]).astype(spec.dtype)
 
-    ge = sv.get_ge(params, cfg, spec, refer_mask=y_mask)
+    # v2Pro: fuse the per-sample speaker embedding exactly as inference
+    # does (models.py:315-318) — training without it half-wires the sv
+    # branch (ge_to512 trains, sv_emb+prelu never run)
+    ge = sv.get_ge(params, cfg, spec, sv_emb=batch.get("sv_emb"),
+                   refer_mask=y_mask)
 
     # frozen semantic tokens: ssl → codes → codebook rows (50 Hz).
     # extract_latent returns [B, n_q, T]; quantizer_decode expects [n_q, B, T].
@@ -365,7 +369,10 @@ def make_sovits_train_step(cfg: sv.SovitsConfig, g_optimizer, d_optimizer, *,
         return total, dict(mel=l_mel, kl=l_kl, fm=l_fm, adv=l_adv)
 
     def step(g_params, d_params, g_opt_state, d_opt_state, batch, rng):
-        rng_d, rng_g = jax.random.split(rng)
+        # ONE noise stream for both phases: the G loss must rebuild the
+        # exact y_hat the D step scored (upstream single-forward GAN
+        # recipe) — do NOT give G a fresh key
+        rng_d, _ = jax.random.split(rng)
         y_hat, y, _ = synth(g_params, batch, rng_d)
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
             d_params, y, jax.lax.stop_gradient(y_hat))
@@ -393,10 +400,13 @@ def make_sovits_train_step(cfg: sv.SovitsConfig, g_optimizer, d_optimizer, *,
 
 def pad_sovits_batch(cfg: sv.SovitsConfig, samples, hop_length: int,
                      pad_multiple: int = 32):
-    """Collate [(ssl [768, T50], spec [spec_ch, T], wav [T·hop], text), ...]
-    into the padded dict :func:`train_forward` consumes.  Frame counts are
-    aligned to min(ssl·2-rate, spec) per sample by the featurizer; here we
-    just pad to a common bucketed length."""
+    """Collate [(ssl [768, T50], spec [spec_ch, T], wav [T·hop], text
+    [, sv_emb [D]]), ...] into the padded dict :func:`train_forward`
+    consumes.  Frame counts are aligned to min(ssl·2-rate, spec) per
+    sample by the featurizer; here we just pad to a common bucketed
+    length.  v2Pro samples carry a 5th element (their own ERes2NetV2
+    embedding) which becomes ``batch["sv_emb"]`` — required for v2Pro
+    fine-tunes so training sees the fused conditioning inference uses."""
     B = len(samples)
     T = max(s[1].shape[-1] for s in samples)
     T = -(-T // pad_multiple) * pad_multiple
@@ -408,7 +418,9 @@ def pad_sovits_batch(cfg: sv.SovitsConfig, samples, hop_length: int,
     text = np.zeros((B, N), np.int32)
     spec_lens = np.zeros((B,), np.int32)
     text_lens = np.zeros((B,), np.int32)
-    for i, (s, sp, w, t) in enumerate(samples):
+    sv_embs = []
+    for i, sample in enumerate(samples):
+        s, sp, w, t = sample[:4]
         Ls = min(s.shape[-1], T)
         ssl[i, :, :Ls] = s[:, :Ls]
         spec[i, :, : sp.shape[-1]] = sp
@@ -416,6 +428,16 @@ def pad_sovits_batch(cfg: sv.SovitsConfig, samples, hop_length: int,
         spec_lens[i] = sp.shape[-1]
         text[i, : len(t)] = t
         text_lens[i] = len(t)
-    return {"ssl": jnp.asarray(ssl), "spec": jnp.asarray(spec),
-            "wav": jnp.asarray(wav), "text": jnp.asarray(text),
-            "spec_lens": jnp.asarray(spec_lens), "text_lens": jnp.asarray(text_lens)}
+        if len(sample) > 4 and sample[4] is not None:
+            sv_embs.append(np.asarray(sample[4], np.float32))
+    if cfg.is_v2pro and len(sv_embs) != B:
+        raise ValueError(
+            "v2Pro fine-tune needs a per-sample sv_emb (featurize_sovits "
+            "computes it); got " f"{len(sv_embs)}/{B} samples with one")
+    out = {"ssl": jnp.asarray(ssl), "spec": jnp.asarray(spec),
+           "wav": jnp.asarray(wav), "text": jnp.asarray(text),
+           "spec_lens": jnp.asarray(spec_lens),
+           "text_lens": jnp.asarray(text_lens)}
+    if len(sv_embs) == B:
+        out["sv_emb"] = jnp.asarray(np.stack(sv_embs))
+    return out

@@ -150,7 +150,9 @@ def eres2netv2_features(p: Dict[str, jnp.ndarray], feat: jnp.ndarray,
     """feat [B, T, 80] → fused pre-pooling feature map [B, C, F, T']
     (``ERes2NetV2.py:230-240`` before the temporal mean)."""
     x = feat.transpose(0, 2, 1)[:, None]  # [B, 1, F, T]
-    out = _relu20(_bn(p, "bn1.", conv2d(x, p["conv1.weight"], padding=1)))
+    # the STEM uses plain (unbounded) relu — only in-block activations use
+    # the Hardtanh(0, 20) ReLU (``ERes2NetV2.py:233`` is F.relu, :9-11)
+    out = jnp.maximum(_bn(p, "bn1.", conv2d(x, p["conv1.weight"], padding=1)), 0.0)
 
     in_planes = cfg.m_channels
     for li, (planes_mult, n_blocks, use_aff) in enumerate(

@@ -214,14 +214,7 @@ def params_to_torch_state_dict(params: Dict[str, Any],
 # Core math
 # ---------------------------------------------------------------------------
 
-def _layer_norm(x: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """LayerNorm with float32 statistics (cast back to the compute dtype)."""
-    dtype = x.dtype
-    x32 = x.astype(F32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    out = (x32 - mean) * jax.lax.rsqrt(var + eps) * g + b
-    return out.astype(dtype)
+from ..ops.norms import layer_norm as _layer_norm  # noqa: E402
 
 
 def _block_prefill(x, lp, attn_mask, num_heads, lens=None, impl="xla"):

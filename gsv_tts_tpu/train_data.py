@@ -115,8 +115,14 @@ def featurize(tts, items: Iterable[Tuple[str, str, str]],
 def featurize_sovits(tts, items: Iterable[Tuple[str, str, str]],
                      sovits_model: Optional[str] = None):
     """Stage-2 fine-tune featurization: (wav, text, lang) → tuples
-    ``(ssl [768, T], spec [spec_ch, T], wav [T·hop], text_ids)`` for
-    ``models/sovits_train.pad_sovits_batch``.
+    ``(ssl [768, T], spec [spec_ch, T], wav [T·hop], text_ids[, sv_emb])``
+    for ``models/sovits_train.pad_sovits_batch``.  For v2Pro/v2ProPlus
+    models each sample carries its OWN ERes2NetV2 speaker embedding
+    (the sample is its own reference) so training sees the same fused
+    ``ge = style + sv_emb`` conditioning inference applies
+    (``models.py:315-318``) — without it the sv fusion branch is
+    silently skipped and the fine-tuned model is driven at inference
+    with conditioning it never saw.
 
     ssl (50 Hz CNHubert on the 16 kHz mono mix) and the linear spectrogram
     (model-rate STFT, 50 Hz at the v2 hop of 640 @ 32 kHz) are trimmed to a
@@ -140,6 +146,13 @@ def featurize_sovits(tts, items: Iterable[Tuple[str, str, str]],
         from .models.hubert import CNHubert
 
         tts.cnhubert_model = CNHubert(str(tts.cnhubert_path), tts.tts_config)
+    sv_model = None
+    if sovits.cfg.is_v2pro:
+        sv_model = tts.sv_model
+        if sv_model is None:
+            from .models.sv import ERes2Net
+
+            sv_model = ERes2Net(tts.sv_path, tts.tts_config)
 
     out = []
     for wav_path, text, lang in items:
@@ -161,9 +174,13 @@ def featurize_sovits(tts, items: Iterable[Tuple[str, str, str]],
         tag = _LANG_TAGS.get(lang, None)
         tagged = f"<{tag}>{text}</{tag}>" if tag else text
         phones, _w2p, _bert, _norm = get_phones_and_bert(tagged, tts.tts_config)
-        out.append((ssl[:, :T], spec[:, :T],
-                    audio[: T * hop].astype(np.float32),
-                    np.asarray(phones, np.int32)))
+        sample = [ssl[:, :T], spec[:, :T],
+                  audio[: T * hop].astype(np.float32),
+                  np.asarray(phones, np.int32)]
+        if sv_model is not None:
+            sample.append(np.asarray(
+                sv_model.compute_embedding3(wav16k), np.float32).reshape(-1))
+        out.append(tuple(sample))
     if not tts.always_load_cnhubert:
         tts.cnhubert_model = None
     return out

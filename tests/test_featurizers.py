@@ -85,7 +85,12 @@ def test_bert_tokenizer_matches_transformers(tmp_path):
     from transformers import BertTokenizer as HFTok
 
     hf = HFTok(str(vp))
-    for text in ["你好世界", "hello world!", "你好, hello。ab"]:
+    for text in ["你好世界", "hello world!", "你好, hello。ab",
+                 # zero-width/format chars must be CLEANED (not merged into
+                 # a word buffer) and rare-plane CJK split as single chars —
+                 # a divergence desynchronizes token count vs word2ph and
+                 # crashes CNRoberta's np.repeat alignment
+                 "hel​lo", "你​好", "a﫡b", "你\U0002a700好"]:
         assert ours.tokenize(text) == hf.tokenize(text), text
         assert ours.encode(text) == hf.encode(text), text
 

@@ -190,3 +190,56 @@ def test_train_step_updates_and_freezes(setup):
     g3, d3, g_opt, d_opt, metrics2 = jstep(g2, d2, g_opt, d_opt, batch,
                                            jax.random.PRNGKey(6))
     assert np.isfinite(float(metrics2["g_total"]))
+
+
+def test_v2pro_finetune_fuses_sv_emb():
+    """v2Pro fine-tuning must apply the SAME ge fusion inference uses
+    (style + sv_emb linear + prelu, models.py:315-318): the batch carries
+    a per-sample sv_emb, train_forward consumes it, and a v2Pro batch
+    WITHOUT embeddings is rejected instead of silently half-wiring the sv
+    branch."""
+    cfg = jsv.SovitsConfig(
+        spec_channels=129, inter_channels=64, hidden_channels=64,
+        filter_channels=96, n_heads=2, n_layers=2, kernel_size=3,
+        p_dropout=0.0, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3, 5),), upsample_rates=(2, 2),
+        upsample_initial_channel=32, upsample_kernel_sizes=(4, 4),
+        gin_channels=512, ref_enc_in=96, flow_n_layers=2,
+        version="v2Pro")
+    assert cfg.is_v2pro
+    params = jsv.init_params(jax.random.PRNGKey(0), cfg)
+    params.update(svt.init_enc_q_params(jax.random.PRNGKey(1), cfg))
+    sv_dim = params["sv_emb.weight"].shape[-1]
+
+    rng = np.random.RandomState(3)
+    hop = 4
+    samples = []
+    for i in range(2):
+        T = int(rng.randint(20, 28))
+        samples.append((rng.randn(768, T).astype(np.float32) * 0.1,
+                        np.abs(rng.randn(cfg.spec_channels, T)).astype(np.float32),
+                        (rng.randn(T * hop) * 0.1).astype(np.float32),
+                        rng.randint(1, 100, size=(7,)).astype(np.int32),
+                        rng.randn(sv_dim).astype(np.float32) * 0.1))
+
+    batch = svt.pad_sovits_batch(cfg, samples, hop, pad_multiple=8)
+    assert batch["sv_emb"].shape == (2, sv_dim)
+
+    # the fused ge must match inference's get_ge WITH sv_emb (and differ
+    # from the unfused style-only ge the old code trained against)
+    T = batch["spec"].shape[-1]
+    y_mask = (jnp.arange(T)[None, None, :]
+              < batch["spec_lens"][:, None, None]).astype(jnp.float32)
+    ge_fused = jsv.get_ge(params, cfg, batch["spec"],
+                          sv_emb=batch["sv_emb"], refer_mask=y_mask)
+    ge_unfused = jsv.get_ge(params, cfg, batch["spec"], refer_mask=y_mask)
+    assert not np.allclose(np.asarray(ge_fused), np.asarray(ge_unfused))
+
+    out = svt.train_forward(params, cfg, batch, jax.random.PRNGKey(5))
+    for v in jax.tree.leaves(out):
+        assert np.isfinite(np.asarray(v)).all()
+
+    # a v2Pro batch missing the embeddings must be rejected loudly
+    with pytest.raises(ValueError, match="sv_emb"):
+        svt.pad_sovits_batch(cfg, [s[:4] for s in samples], hop,
+                             pad_multiple=8)
