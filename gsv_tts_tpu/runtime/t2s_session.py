@@ -275,6 +275,72 @@ def prefill_slot(params, cfg: T2SConfig, state: DecodeState, slot,
     ), tok
 
 
+@partial(jax.jit, static_argnames=("cfg", "sa", "dtype_name", "attn_impl"),
+         donate_argnames=("state",))
+def prefill_slots(params, cfg: T2SConfig, state: DecodeState, slots,
+                  x_ids, y_ids, bert, x_lens, y_lens, sa: SampleArgs,
+                  dtype_name: str = "float32", attn_impl: str = "xla"):
+    """Batched slot refill: prefill ``k`` requests into cache slots
+    ``slots`` ([k] i32) in ONE dispatch.  Semantically k sequential
+    :func:`prefill_slot` calls (the reference refills one slot at a time,
+    ``t2s_model.py:696-722``), but burst arrivals pay one weight read and
+    one program launch instead of k — the prefill transformer runs batched
+    over the k rows.  Inputs are [k, Lx] / [k, Ly] / [k, Lx, bert_dim]
+    padded to common shape buckets; ``slots`` must be distinct.
+
+    Returns ``(state, toks [k])``.  Sampling draws ONE batched Gumbel
+    tensor (one rng split total, not one per request) — greedy (top_k=1)
+    tokens are rng-independent and match the sequential path exactly."""
+    dtype = jnp.dtype(dtype_name)
+    k, Ly = y_ids.shape
+    xy_lens = (x_lens + y_lens).astype(I32)
+    xy_pos, mask, last_mask = t2s_model.embed_prompt_batch(
+        params, cfg, x_ids, y_ids, bert, x_lens, y_lens, dtype)
+    # padded rows must still attend somewhere to avoid NaN softmax rows
+    # (same guard as prefill_slot)
+    mask = mask | (jnp.arange(mask.shape[-1])[None, None, :] == 0)
+
+    h, ks, vs = t2s_model.transformer_prefill(
+        params, cfg, xy_pos, mask, lens=(x_lens, xy_lens),
+        impl=_prefill_impl(attn_impl))
+    k_cache, v_cache = state.k_cache, state.v_cache
+    for j in range(k):  # k is static; slots[j] is a traced scalar start
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, ks[:, j:j + 1], (0, slots[j], 0, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, vs[:, j:j + 1], (0, slots[j], 0, 0, 0))
+
+    h_last = jnp.sum(h * last_mask[:, :, None].astype(h.dtype), axis=1)  # [k, D]
+    logits = h_last @ params["predict_w"]
+    rng, sub = jax.random.split(state.rng)
+    g = jax.random.gumbel(sub, (k, cfg.vocab_size), F32)
+    toks = _sample_logits(g, logits, None,
+                          dataclasses.replace(sa, use_prev=False),
+                          cfg.vocab_size, True, jnp.zeros((k,), bool), ())
+
+    S = state.k_cache.shape[2]
+    posS = jnp.arange(S)[None, :]
+    y_gather = jnp.take_along_axis(
+        y_ids, jnp.clip(posS, 0, Ly - 1).repeat(k, axis=0), axis=1).astype(I32)
+    row_bufs = jnp.where(posS < y_lens[:, None], y_gather, cfg.vocab_size)
+    row_bufs = row_bufs.at[jnp.arange(k), y_lens].set(toks)
+    tok_buf = state.tok_buf
+    for j in range(k):
+        tok_buf = jax.lax.dynamic_update_slice(
+            tok_buf, row_bufs[j:j + 1], (slots[j], jnp.int32(0)))
+
+    return DecodeState(
+        k_cache=k_cache, v_cache=v_cache,
+        kv_len=state.kv_len.at[slots].set(xy_lens),
+        x_len=state.x_len.at[slots].set(x_lens.astype(I32)),
+        tok_buf=tok_buf,
+        buf_len=state.buf_len.at[slots].set((y_lens + 1).astype(I32)),
+        last_tok=state.last_tok.at[slots].set(toks),
+        step_idx=state.step_idx.at[slots].set(1),
+        rng=rng,
+    ), toks
+
+
 @partial(jax.jit, static_argnames=("cfg", "sa", "n_steps", "suppress_until", "dtype_name",
                                    "attn_impl"),
          donate_argnames=("state",))
@@ -784,6 +850,7 @@ class T2SEngine:
         # are check_interval; slot refills inherit the global phase
         first_chunk = True
         events: List[tuple] = []
+        refill_jobs: List[Tuple[int, int]] = []
         while not all(ignore):
             n_steps = 1 if first_chunk else self.check_interval
             first_chunk = False
@@ -849,8 +916,23 @@ class T2SEngine:
                     yield events.pop()
 
                 if next_req < N:
-                    i = next_req
+                    refill_jobs.append((j, next_req))
                     next_req += 1
+                else:
+                    ignore[j] = True
+                    # freeze the slot: reset kv_len so it stops growing
+                    state = dataclasses.replace(
+                        state, kv_len=state.kv_len.at[j].set(0),
+                        step_idx=state.step_idx.at[j].set(0),
+                        buf_len=state.buf_len.at[j].set(0))
+
+            # refill every slot that finished this chunk in ONE dispatch
+            # (harvests above read the pre-refill state, exactly as the
+            # old one-at-a-time order did — a refill only touches its own
+            # slot's rows)
+            if refill_jobs:
+                if len(refill_jobs) == 1:
+                    j, i = refill_jobs[0]
                     xp, yp, bp = self._pad_prompt(
                         np.asarray(x_list[i], np.int32),
                         np.asarray(y_list[i], np.int32),
@@ -860,21 +942,39 @@ class T2SEngine:
                         jnp.asarray(xp[None]), jnp.asarray(yp[None]), jnp.asarray(bp[None]),
                         jnp.asarray(len(x_list[i]), I32), jnp.asarray(len(y_list[i]), I32),
                         sa, self._dtype_name(), self.attn_impl)
+                else:
+                    k = len(refill_jobs)
+                    idxs = [i for _, i in refill_jobs]
+                    Lxr = _round_up(max(len(x_list[i]) for i in idxs), PAD_MULTIPLE)
+                    Lyr = _round_up(max(max(len(y_list[i]) for i in idxs), 1),
+                                    PAD_MULTIPLE)
+                    xr = np.zeros((k, Lxr), np.int32)
+                    yr = np.zeros((k, Lyr), np.int32)
+                    br = np.zeros((k, Lxr, cfg.bert_dim), np.float32)
+                    xlr = np.ones((k,), np.int32)
+                    ylr = np.ones((k,), np.int32)
+                    for n, i in enumerate(idxs):
+                        xr[n, :len(x_list[i])] = np.asarray(x_list[i], np.int32)
+                        yr[n, :len(y_list[i])] = np.asarray(y_list[i], np.int32)
+                        br[n, :len(x_list[i])] = np.asarray(
+                            bert_list[i], np.float32).reshape(len(x_list[i]), -1)
+                        xlr[n] = len(x_list[i])
+                        ylr[n] = len(y_list[i])
+                    state, _ = prefill_slots(
+                        self.params, cfg, state,
+                        jnp.asarray([j for j, _ in refill_jobs], I32),
+                        jnp.asarray(xr), jnp.asarray(yr), jnp.asarray(br),
+                        jnp.asarray(xlr), jnp.asarray(ylr),
+                        sa, self._dtype_name(), self.attn_impl)
+                for j, i in refill_jobs:
                     slot_orig[j] = i
                     slot_start[j] = len(x_list[i]) + len(y_list[i])
                     slot_steps[j] = 0
                     slot_samples[j] = []
                     slot_emitted[j] = 0
                     slot_eos_seen[j] = False
-                    buf = None
                     self.refills += 1
-                else:
-                    ignore[j] = True
-                    # freeze the slot: reset kv_len so it stops growing
-                    state = dataclasses.replace(
-                        state, kv_len=state.kv_len.at[j].set(0),
-                        step_idx=state.step_idx.at[j].set(0),
-                        buf_len=state.buf_len.at[j].set(0))
+                refill_jobs = []
 
             # tail compaction: once no requests remain to refill and the
             # wave is mostly dead, re-pack survivors into the smallest

@@ -45,7 +45,7 @@ import numpy as np
 
 from .t2s_session import (DecodeState, SampleArgs, T2SEngine, _gather_slots,
                           decode_chunk, prefill_batch, prefill_slot,
-                          PAD_MULTIPLE, _round_up)
+                          prefill_slots, PAD_MULTIPLE, _round_up)
 
 __all__ = ["WaveScheduler", "StreamHandle"]
 
@@ -131,6 +131,7 @@ class _Wave:
         self.n_attached = 0
         self.n_finished = 0
         self.n_refills = 0
+        self.n_batched_refills = 0
         self.n_resizes = 0
 
 
@@ -226,6 +227,7 @@ class WaveScheduler:
                     "attached": w.n_attached,
                     "finished": w.n_finished,
                     "refills": w.n_refills,
+                    "batched_refills": w.n_batched_refills,
                     "resizes": w.n_resizes,
                 })
         return {"waves": waves, "max_batch": self.max_batch}
@@ -384,36 +386,69 @@ class WaveScheduler:
             step_idx=state.step_idx.at[j].set(0),
             buf_len=state.buf_len.at[j].set(0))
 
-    def _refill(self, wave: _Wave, j: int, req: _Request) -> bool:
-        """Prefill ``req`` into free slot ``j``.  If the prompt does not
-        fit the wave's CURRENT sequence bucket, escalate the wave to the
-        smallest fitting bucket first; if no bucket at this batch size
-        fits, requeue the request (it is admitted when the wave drains
-        and re-creates at a compatible (B, S)) and return False — an
-        unchecked prefill_slot would shape-error and fail every client
-        in the wave."""
+    def _refill(self, wave: _Wave, jobs: List[Tuple[int, _Request]]) -> bool:
+        """Prefill each ``(slot, request)`` job — ONE batched dispatch when
+        several arrive together (``prefill_slots``; burst arrivals and
+        wave growth pay one weight read + launch instead of k), the plain
+        ``prefill_slot`` otherwise.  If a prompt does not fit the wave's
+        CURRENT sequence bucket, escalate the wave to the smallest bucket
+        fitting the whole batch first; if no bucket at this batch size
+        fits some request, requeue it and everything behind it (FIFO
+        preserved — they are admitted when the wave drains and re-creates
+        at a compatible (B, S)) and return False — an unchecked prefill
+        would shape-error and fail every client in the wave."""
         eng = self.engine
-        need = self._prompt_need(req.x, req.y)
         S_cur = wave.state.k_cache.shape[2]
+        B = len(wave.slots)
+        S_max = max(eng.buckets[B])
+        admit: List[Tuple[int, _Request]] = []
+        for n, (j, req) in enumerate(jobs):
+            if self._prompt_need(req.x, req.y) > S_max:
+                with self._lock:  # requeue this and everything behind it
+                    for _, r in reversed(jobs[n:]):
+                        wave.pending.appendleft(r)
+                break
+            admit.append((j, req))
+        if not admit:
+            return False
+        need = max(self._prompt_need(r.x, r.y) for _, r in admit)
         if need > S_cur:
-            B = len(wave.slots)
-            target = self._pick_S(B, need - 1)
-            if target is None:
-                with self._lock:
-                    wave.pending.appendleft(req)
-                return False
-            wave.state = eng._escalate(wave.state, target)
+            wave.state = eng._escalate(wave.state, self._pick_S(B, need - 1))
             wave.n_resizes += 1
-        xp, yp, bp = eng._pad_prompt(req.x, req.y, req.bert)
-        state, _ = prefill_slot(
-            eng.params, eng.cfg, wave.state, j,
-            jnp.asarray(xp[None]), jnp.asarray(yp[None]), jnp.asarray(bp[None]),
-            jnp.asarray(len(req.x), I32), jnp.asarray(len(req.y), I32),
-            wave.sa, eng._dtype_name(), eng.attn_impl)
-        wave.state = state
-        wave.slots[j] = _Slot(req.handle)
-        wave.n_refills += 1
-        return True
+        if len(admit) == 1:
+            j, req = admit[0]
+            xp, yp, bp = eng._pad_prompt(req.x, req.y, req.bert)
+            wave.state, _ = prefill_slot(
+                eng.params, eng.cfg, wave.state, j,
+                jnp.asarray(xp[None]), jnp.asarray(yp[None]), jnp.asarray(bp[None]),
+                jnp.asarray(len(req.x), I32), jnp.asarray(len(req.y), I32),
+                wave.sa, eng._dtype_name(), eng.attn_impl)
+        else:
+            k = len(admit)
+            Lx = _round_up(max(len(r.x) for _, r in admit), PAD_MULTIPLE)
+            Ly = _round_up(max(max(len(r.y) for _, r in admit), 1), PAD_MULTIPLE)
+            xs = np.zeros((k, Lx), np.int32)
+            ys = np.zeros((k, Ly), np.int32)
+            bs = np.zeros((k, Lx, eng.cfg.bert_dim), np.float32)
+            x_lens = np.ones((k,), np.int32)
+            y_lens = np.ones((k,), np.int32)
+            for n, (_, r) in enumerate(admit):
+                xs[n, :len(r.x)] = r.x
+                ys[n, :len(r.y)] = r.y
+                bs[n, :len(r.x)] = r.bert
+                x_lens[n] = len(r.x)
+                y_lens[n] = len(r.y)
+            wave.state, _ = prefill_slots(
+                eng.params, eng.cfg, wave.state,
+                jnp.asarray([j for j, _ in admit], I32),
+                jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(bs),
+                jnp.asarray(x_lens), jnp.asarray(y_lens),
+                wave.sa, eng._dtype_name(), eng.attn_impl)
+            wave.n_batched_refills += 1
+        for j, req in admit:
+            wave.slots[j] = _Slot(req.handle)
+            wave.n_refills += 1
+        return len(admit) == len(jobs)
 
     def _resize(self, wave: _Wave, new_B: int) -> bool:
         """Gather live slots into a ``new_B``-slot wave (growth or
@@ -476,12 +511,14 @@ class WaveScheduler:
                 if target > len(wave.slots):
                     self._resize(wave, target)
                     free = [j for j, s in enumerate(wave.slots) if not s.live]
+            jobs: List[Tuple[int, _Request]] = []
             for j in free:
                 got = self._take_pending(wave, 1)
                 if not got:
                     break
-                if not self._refill(wave, j, got[0]):
-                    break  # head request needs a bucket this wave can't reach
+                jobs.append((j, got[0]))
+            if jobs:
+                self._refill(wave, jobs)
 
         live = [j for j, s in enumerate(wave.slots) if s.live]
         if not live:

@@ -282,6 +282,116 @@ def test_oversized_prompt_does_not_crash_the_wave():
         sched.close()
 
 
+def test_prefill_slots_matches_sequential(engine):
+    """One batched ``prefill_slots`` dispatch must be state-equivalent to
+    the k sequential ``prefill_slot`` calls it replaces: identical slot
+    bookkeeping and token buffers, identical valid cache rows, identical
+    greedy first tokens (greedy sampling is rng-independent, so the one
+    rng-split difference cannot show)."""
+    from gsv_tts_tpu.runtime.t2s_session import (SampleArgs, prefill_batch,
+                                                 prefill_slot, prefill_slots)
+    cfg = engine.cfg
+    eng = engine
+    sa = SampleArgs(top_k=1, repetition_penalty=1.0, use_prev=False)
+
+    # open a B=4 wave with one live row, three frozen dummies
+    x0, y0, b0 = _inputs(41, cfg)
+    xp, yp, bp = eng._pad_prompt(x0, y0, b0)
+    B, S = 4, 128
+    kc, vc = eng._alloc_cache(B, S)
+    xs = np.tile(xp, (B, 1)); ys = np.tile(yp, (B, 1))
+    bs = np.tile(bp, (B, 1, 1))
+    lens = np.full((B,), len(x0), np.int32)
+    ylens = np.full((B,), len(y0), np.int32)
+    state0, _ = prefill_batch(
+        eng.params, cfg, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(bs),
+        jnp.asarray(lens), jnp.asarray(ylens), kc, vc,
+        jax.random.PRNGKey(5), sa, False, eng._dtype_name(), eng.attn_impl)
+    reqs = [_inputs(s, cfg) for s in (42, 43, 44)]
+    slots = [1, 2, 3]
+
+    def run_sequential(state):
+        for j, (x, y, b) in zip(slots, reqs):
+            xpj, ypj, bpj = eng._pad_prompt(x, y, b)
+            state, _ = prefill_slot(
+                eng.params, cfg, state, j,
+                jnp.asarray(xpj[None]), jnp.asarray(ypj[None]),
+                jnp.asarray(bpj[None]),
+                jnp.asarray(len(x), jnp.int32), jnp.asarray(len(y), jnp.int32),
+                sa, eng._dtype_name(), eng.attn_impl)
+        return state
+
+    def run_batched(state):
+        k = len(reqs)
+        Lx = max(len(x) for x, _, _ in reqs)
+        Lx = -(-Lx // 32) * 32
+        Ly = -(-max(len(y) for _, y, _ in reqs) // 32) * 32
+        xs = np.zeros((k, Lx), np.int32); ys = np.zeros((k, Ly), np.int32)
+        bs = np.zeros((k, Lx, cfg.bert_dim), np.float32)
+        xl = np.zeros((k,), np.int32); yl = np.zeros((k,), np.int32)
+        for n, (x, y, b) in enumerate(reqs):
+            xs[n, :len(x)] = x; ys[n, :len(y)] = y; bs[n, :len(x)] = b
+            xl[n], yl[n] = len(x), len(y)
+        state, _ = prefill_slots(
+            eng.params, cfg, state, jnp.asarray(slots, jnp.int32),
+            jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(bs),
+            jnp.asarray(xl), jnp.asarray(yl),
+            sa, eng._dtype_name(), eng.attn_impl)
+        return state
+
+    seq = run_sequential(jax.tree.map(jnp.copy, state0))
+    bat = run_batched(jax.tree.map(jnp.copy, state0))
+
+    for field in ("kv_len", "x_len", "buf_len", "last_tok", "step_idx",
+                  "tok_buf"):
+        np.testing.assert_array_equal(np.asarray(getattr(seq, field)),
+                                      np.asarray(getattr(bat, field)), field)
+    kv = np.asarray(seq.kv_len)
+    for j in slots:  # valid cache prefix per refilled row (pad region may
+        n = int(kv[j])  # legitimately differ between padding layouts)
+        np.testing.assert_allclose(
+            np.asarray(seq.k_cache)[:, j, :n], np.asarray(bat.k_cache)[:, j, :n],
+            rtol=1e-6, atol=1e-7, err_msg=f"k_cache slot {j}")
+        np.testing.assert_allclose(
+            np.asarray(seq.v_cache)[:, j, :n], np.asarray(bat.v_cache)[:, j, :n],
+            rtol=1e-6, atol=1e-7, err_msg=f"v_cache slot {j}")
+
+
+def test_burst_arrivals_use_batched_refill(engine):
+    """Requests arriving together while a wave is live must be admitted in
+    ONE batched refill dispatch (prefill_slots) — and still produce the
+    exact solo token streams (greedy)."""
+    cfg = engine.cfg
+    reqs = [_inputs(s, cfg) for s in (51, 52, 53, 54)]
+    solos = [_solo_tokens(engine, *r) for r in reqs]
+
+    sched = WaveScheduler(engine, max_batch=4)
+    seen = {"batched": 0}
+
+    def drain_tracking(h):
+        toks = []
+        for t, done in h:
+            toks.append(t)
+            for w in sched.stats["waves"]:
+                seen["batched"] = max(seen["batched"], w["batched_refills"])
+            if done:
+                break
+        return np.concatenate(toks) if toks else np.zeros(0, np.int64)
+
+    try:
+        h0 = sched.attach(*reqs[0], top_k=1)
+        first, done0 = h0.get(timeout=120.0)  # wave is live now
+        handles = [sched.attach(*r, top_k=1) for r in reqs[1:]]  # burst
+        got0 = first if done0 else np.concatenate([first, drain_tracking(h0)])
+        gots = [got0] + [drain_tracking(h) for h in handles]
+    finally:
+        sched.close()
+
+    for i, (got, want) in enumerate(zip(gots, solos)):
+        _assert_tokens_match(got, want, engine.check_interval, f"client {i}")
+    assert seen["batched"] >= 1, "burst was not admitted via prefill_slots"
+
+
 def test_wave_generations_use_fresh_rng(engine):
     """Re-creating a drained wave must draw a fresh key — reusing the
     construction-time key would replay the identical gumbel chain across
