@@ -164,6 +164,71 @@ def bench_batched_decode(B: int = 4, chunk: int = 25, bucket: int = 512,
             "streams_realtime": agg / 25.0}
 
 
+def bench_batched_refill(bucket: int = 512, k: int = 3, reps: int = 8,
+                         Lx: int = 64, Ly: int = 96):
+    """Burst slot-refill admission: ONE ``prefill_slots`` dispatch vs the k
+    sequential ``prefill_slot`` launches it replaces (the wave scheduler's
+    concurrent-arrival path — each sequential launch pays a program
+    dispatch plus a full weight read).  Amortized behind one host fetch
+    per timing loop, flagship dims."""
+    import jax
+    import jax.numpy as jnp
+
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import (SampleArgs, prefill_batch,
+                                                 prefill_slot, prefill_slots)
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+    dtype_name = jnp.dtype(dtype).name
+    cfg = T2SConfig()
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    params["predict_w"] = params["predict_w"] * 0.05
+    sa = SampleArgs(use_prev=False, repetition_penalty=1.0)
+    rng = np.random.RandomState(0)
+    B = 4
+    x = jnp.asarray(rng.randint(1, 700, (B, Lx)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 1024, (B, Ly)), jnp.int32)
+    bert = jnp.zeros((B, Lx, cfg.bert_dim), jnp.float32)
+    shape = (cfg.num_layers, B, bucket, cfg.num_heads, cfg.head_dim)
+    state, _ = prefill_batch(params, cfg, x, y, bert,
+                             jnp.full((B,), 60, jnp.int32),
+                             jnp.full((B,), 75, jnp.int32),
+                             jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                             jax.random.PRNGKey(1), sa, False, dtype_name)
+    xl1 = jnp.asarray(60, jnp.int32)
+    yl1 = jnp.asarray(75, jnp.int32)
+    slots = jnp.arange(1, 1 + k, dtype=jnp.int32)
+    xlk = jnp.full((k,), 60, jnp.int32)
+    ylk = jnp.full((k,), 75, jnp.int32)
+
+    def seq(state):
+        for j in range(1, 1 + k):
+            state, _ = prefill_slot(params, cfg, state, j,
+                                    x[:1], y[:1], bert[:1], xl1, yl1,
+                                    sa, dtype_name)
+        return state
+
+    def bat(state):
+        state, _ = prefill_slots(params, cfg, state, slots,
+                                 x[:k], y[:k], bert[:k], xlk, ylk,
+                                 sa, dtype_name)
+        return state
+
+    out = {"k": k}
+    for name, fn in (("seq", seq), ("batched", bat)):
+        state = fn(state)  # compile
+        np.asarray(state.kv_len)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state = fn(state)
+        np.asarray(state.kv_len)
+        out[f"refill_{name}_ms"] = (time.perf_counter() - t0) / reps * 1e3
+    out["speedup"] = out["refill_seq_ms"] / out["refill_batched_ms"]
+    return out
+
+
 def bench_breakdown(n_tokens: int = 400, chunk: int = 25, bucket: int = 512,
                     reps: int = 3):
     """B=1 plateau attribution (VERDICT r2 #4): time the whole-step kernel
@@ -813,6 +878,16 @@ def main():
         extra["batched_b4_agg_tok_s"] = round(bt["agg_tok_s"], 0)
     except Exception as e:  # noqa: BLE001
         print(f"# batched bench failed: {e}", file=sys.stderr)
+    try:
+        rf = bench_batched_refill()
+        print(f"# burst refill k={rf['k']}: sequential "
+              f"{rf['refill_seq_ms']:.1f}ms vs one prefill_slots dispatch "
+              f"{rf['refill_batched_ms']:.1f}ms ({rf['speedup']:.2f}x)",
+              file=sys.stderr)
+        extra.update(refill_seq_ms=round(rf["refill_seq_ms"], 1),
+                     refill_batched_ms=round(rf["refill_batched_ms"], 1))
+    except Exception as e:  # noqa: BLE001
+        print(f"# batched refill bench failed: {e}", file=sys.stderr)
     if not args.skip_serving:
         try:
             sv = bench_shared_serving()
@@ -879,6 +954,17 @@ def main():
                         vocoder_b4_per_stream_ms=per_b,
                         vocoder_b1_ms=vb["vb1_ms"],
                         e2e_streams_per_chip_batched_vocoder=round(cap_b, 0))
+                    # honest serving budget: each stream also re-prefills
+                    # once per utterance — charge the amortized on-chip
+                    # prefill against a 10 s utterance
+                    per_pf = (per_stream_b
+                              + stats["prefill_onchip_ms"] / 1e3 / 10.0)
+                    print(f"# e2e stream capacity incl. prefill (10 s "
+                          f"utterances, {stats['prefill_onchip_ms']:.1f}ms "
+                          f"on-chip prefill each): ~{1.0 / per_pf:.0f} "
+                          f"realtime streams/chip", file=sys.stderr)
+                    extra["e2e_streams_per_chip_incl_prefill_10s"] = \
+                        round(1.0 / per_pf, 0)
                     if "q8_b4_agg_tok_s" in extra:
                         per_q8 = (25.0 / extra["q8_b4_agg_tok_s"]
                                   + per_b / 1e3)

@@ -201,7 +201,8 @@ def main() -> int:
                      dtype=dtype, attn_impl=impl)
     sched = WaveScheduler(eng5, max_batch=4)
     t0 = time.time()
-    seen = {"refills": 0, "resizes": 0, "attached": 0, "live": 0}
+    seen = {"refills": 0, "batched_refills": 0, "resizes": 0,
+            "attached": 0, "live": 0}
 
     def snap():
         for w in sched.stats["waves"]:
@@ -227,6 +228,50 @@ def main() -> int:
     assert len(counts) == 6
     assert seen["refills"] + seen["resizes"] >= 1, \
         f"no wave sharing on chip: {seen}"
+
+    # 7b. batched slot refill program (prefill_slots) — deterministic
+    # drive (step 7's burst usually batches too, but EOS timing on a
+    # random model can admit one-at-a-time): freeze 3 of 4 slots, refill
+    # them in ONE dispatch, then decode a chunk over the mixed wave
+    from gsv_tts_tpu.runtime.t2s_session import (SampleArgs, prefill_batch,
+                                                 prefill_slots)
+    t0 = time.time()
+    sa = SampleArgs(top_k=1, repetition_penalty=1.0, use_prev=False)
+    kc, vc = eng5._alloc_cache(4, 512)
+    xp, yp, bp = eng5._pad_prompt(xs7[0], ys7[0], bs7[0])
+    state, _ = prefill_batch(
+        params, cfg, jnp.asarray(np.tile(xp, (4, 1))),
+        jnp.asarray(np.tile(yp, (4, 1))), jnp.asarray(np.tile(bp, (4, 1, 1))),
+        jnp.asarray(np.full(4, len(xs7[0]), np.int32)),
+        jnp.asarray(np.full(4, len(ys7[0]), np.int32)), kc, vc,
+        jax.random.PRNGKey(9), sa, False, eng5._dtype_name(), eng5.attn_impl)
+    k = 3
+    Lx = max(len(xs7[i]) for i in (1, 2, 3))
+    Lx = -(-Lx // 32) * 32
+    Ly = -(-max(len(ys7[i]) for i in (1, 2, 3)) // 32) * 32
+    xr = np.zeros((k, Lx), np.int32)
+    yr = np.zeros((k, Ly), np.int32)
+    br = np.zeros((k, Lx, cfg.bert_dim), np.float32)
+    xl = np.zeros((k,), np.int32)
+    yl = np.zeros((k,), np.int32)
+    for n, i in enumerate((1, 2, 3)):
+        xr[n, :len(xs7[i])] = xs7[i]
+        yr[n, :len(ys7[i])] = ys7[i]
+        br[n, :len(xs7[i])] = bs7[i]
+        xl[n], yl[n] = len(xs7[i]), len(ys7[i])
+    state, toks = prefill_slots(
+        params, cfg, state, jnp.asarray([1, 2, 3], jnp.int32),
+        jnp.asarray(xr), jnp.asarray(yr), jnp.asarray(br),
+        jnp.asarray(xl), jnp.asarray(yl), sa,
+        eng5._dtype_name(), eng5.attn_impl)
+    from gsv_tts_tpu.runtime.t2s_session import decode_chunk
+    state, chunk = decode_chunk(params, cfg, state, 5, sa, 0,
+                                eng5._dtype_name(), eng5.attn_impl)
+    chunk = np.asarray(chunk)
+    kvn = np.asarray(state.kv_len)
+    print(f"7b. batched refill k=3 + decode: first_toks={np.asarray(toks)} "
+          f"kv={kvn.tolist()} ({time.time() - t0:.0f}s)")
+    assert chunk.shape == (5, 4) and (kvn > 0).all()
 
     if args.assets:
         rc = run_facade(args)
