@@ -26,20 +26,21 @@ _ABBREV = {"mr", "mrs", "ms", "dr", "st", "jr", "etc", "vs", "no", "e.g", "i.e"}
 
 
 _SEGMENTER = None  # pysbd.Segmenter is expensive to build; cache like the
-_SEG_TRIED = False  # reference's module-level `seg` (TextProcessor.py)
+_SEG_MOD = False  # reference's module-level `seg` (TextProcessor.py) — but
+# keyed on the live pysbd module so a test swapping in/out a pysbd stub
+# (the oracle-test pattern) never keeps using a stale cached segmenter
 
 
 def _split_sentences(text: str) -> List[str]:
     """Sentence segmentation (pysbd when installed, else built-in)."""
-    global _SEGMENTER, _SEG_TRIED
-    if not _SEG_TRIED:
-        _SEG_TRIED = True
-        try:
-            import pysbd
-
-            _SEGMENTER = pysbd.Segmenter()
-        except ImportError:
-            _SEGMENTER = None
+    global _SEGMENTER, _SEG_MOD
+    try:
+        import pysbd
+    except ImportError:
+        pysbd = None
+    if pysbd is not _SEG_MOD:
+        _SEG_MOD = pysbd
+        _SEGMENTER = pysbd.Segmenter() if pysbd is not None else None
     if _SEGMENTER is not None:
         return _SEGMENTER.segment(text)
     return builtin_split_sentences(text)

@@ -121,7 +121,9 @@ class BertTokenizer:
 
     def _basic(self, text: str) -> List[str]:
         if self.do_lower_case:
-            text = text.lower()
+            # HF BasicTokenizer(do_lower_case=True, strip_accents=None)
+            # lowercases AND strips accents (NFD normalize + drop Mn marks)
+            text = unicodedata.normalize("NFD", text.lower())
         out: List[str] = []
         buf = ""
         for ch in text:
@@ -131,6 +133,8 @@ class BertTokenizer:
                     or (cat.startswith("C") and ch not in "\t\n\r")):
                 # BERT _clean_text + _is_control: every category-C char
                 # (control/format/unassigned) is dropped, not tokenized
+                continue
+            if self.do_lower_case and cat == "Mn":
                 continue
             if _is_cjk(cp) or cat.startswith("P") or ch in "~`!@#$%^&*()+=|\\/?<>,.:;\"'“”‘’！？。，、：；（）【】《》…~·":
                 if buf:

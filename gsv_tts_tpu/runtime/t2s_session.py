@@ -46,6 +46,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def prompt_rows(x, y) -> int:
+    """Cache rows a slot prefill + its first decode step need: the padded
+    ``[Lx|Ly]`` block the prefill writes, or prompt+1, whichever is
+    larger.  For a BATCHED refill the binding number is the GROUP pad
+    (``xs.shape[1] + ys.shape[1]`` from :meth:`T2SEngine._pad_prompts`),
+    which can exceed every per-request value when x/y splits are
+    mismatched across the group."""
+    lxp = _round_up(max(len(x), 1), PAD_MULTIPLE)
+    lyp = _round_up(max(len(y), 1), PAD_MULTIPLE)
+    return max(len(x) + len(y) + 1, lxp + lyp)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DecodeState:
@@ -640,6 +652,47 @@ class T2SEngine:
         bp[: len(x)] = bert
         return xp, yp, bp
 
+    def _pad_prompts(self, items, B: Optional[int] = None):
+        """Stack k prompts padded to common 32-multiple ``(Lx, Ly)`` shapes
+        (the batched analogue of :meth:`_pad_prompt`; one jit
+        specialization per shape pair).  ``items`` is a list of
+        ``(x, y, bert)``; rows past ``len(items)`` (up to ``B``) stay
+        zero with 1/1 dummy lengths for dead slots.  Returns
+        ``(xs, ys, bs, x_lens, y_lens)``.  A batched prefill of this
+        group writes ``xs.shape[1] + ys.shape[1]`` cache rows per slot —
+        callers must check that against the target bucket (the common
+        pad can exceed every per-request :func:`prompt_rows` when x/y
+        splits are mismatched across the group)."""
+        B = len(items) if B is None else B
+        Lx = _round_up(max(max(len(x) for x, _, _ in items), 1), PAD_MULTIPLE)
+        Ly = _round_up(max(max(len(y) for _, y, _ in items), 1), PAD_MULTIPLE)
+        xs = np.zeros((B, Lx), np.int32)
+        ys = np.zeros((B, Ly), np.int32)
+        bs = np.zeros((B, Lx, self.cfg.bert_dim), np.float32)
+        x_lens = np.ones((B,), np.int32)
+        y_lens = np.ones((B,), np.int32)
+        for n, (x, y, bert) in enumerate(items):
+            xs[n, : len(x)] = x
+            ys[n, : len(y)] = y
+            bs[n, : len(x)] = np.asarray(bert, np.float32).reshape(len(x), -1)
+            x_lens[n] = len(x)
+            y_lens[n] = len(y)
+        return xs, ys, bs, x_lens, y_lens
+
+    def _ensure_rows(self, state: DecodeState, B: int,
+                     need: int) -> Optional[DecodeState]:
+        """Escalate ``state`` until its cache holds ``need`` rows.  Returns
+        the (possibly grown) state, or None when no ``gpt_cache`` bucket
+        at this batch size fits — an unchecked prefill would shape-error
+        out of the jit and take every slot in the wave down with it."""
+        S_cur = state.k_cache.shape[2]
+        if need <= S_cur:
+            return state
+        new_S = next((s for s in self.buckets[B] if s >= need), None)
+        if new_S is None:
+            return None
+        return self._escalate(state, new_S)
+
     # -- single-utterance generation (``t2s_model.py:385-464``) ------------
 
     def generate(self, x_ids, y_ids, bert, top_k=15, top_p=1.0, temperature=1.0,
@@ -800,24 +853,12 @@ class T2SEngine:
         B = next((b for b in sizes if b >= N), sizes[-1])
         wave = list(range(min(N, B)))
 
-        # pad the first wave to common (Lx, Ly) shapes
-        Lx = _round_up(max(len(x_list[i]) for i in wave), PAD_MULTIPLE)
-        Ly = _round_up(max(max(len(y_list[i]) for i in wave), 1), PAD_MULTIPLE)
-        xs = np.zeros((B, Lx), np.int32)
-        ys = np.zeros((B, Ly), np.int32)
-        bs = np.zeros((B, Lx, cfg.bert_dim), np.float32)
-        x_lens = np.zeros((B,), np.int32)
-        y_lens = np.zeros((B,), np.int32)
-        for j, i in enumerate(wave):
-            xs[j, : len(x_list[i])] = x_list[i]
-            ys[j, : len(y_list[i])] = y_list[i]
-            bs[j, : len(x_list[i])] = bert_list[i]
-            x_lens[j] = len(x_list[i])
-            y_lens[j] = len(y_list[i])
-        # dead slots get a 1-phoneme dummy prompt
-        for j in range(len(wave), B):
-            x_lens[j] = 1
-            y_lens[j] = 1
+        # pad the first wave to common (Lx, Ly) shapes; dead slots get a
+        # 1-phoneme dummy prompt
+        xs, ys, bs, x_lens, y_lens = self._pad_prompts(
+            [(np.asarray(x_list[i], np.int32), np.asarray(y_list[i], np.int32),
+              np.asarray(bert_list[i], np.float32)) for i in wave], B)
+        Lx, Ly = xs.shape[1], ys.shape[1]
 
         prompt_max = int((x_lens + y_lens).max())
         _, S = self._pick_bucket(B, max(prompt_max + 1, Lx + Ly))
@@ -931,41 +972,52 @@ class T2SEngine:
             # old one-at-a-time order did — a refill only touches its own
             # slot's rows)
             if refill_jobs:
-                if len(refill_jobs) == 1:
-                    j, i = refill_jobs[0]
-                    xp, yp, bp = self._pad_prompt(
-                        np.asarray(x_list[i], np.int32),
-                        np.asarray(y_list[i], np.int32),
-                        np.asarray(bert_list[i], np.float32).reshape(len(x_list[i]), -1))
-                    state, _ = prefill_slot(
-                        self.params, cfg, state, j,
-                        jnp.asarray(xp[None]), jnp.asarray(yp[None]), jnp.asarray(bp[None]),
-                        jnp.asarray(len(x_list[i]), I32), jnp.asarray(len(y_list[i]), I32),
-                        sa, self._dtype_name(), self.attn_impl)
-                else:
-                    k = len(refill_jobs)
-                    idxs = [i for _, i in refill_jobs]
-                    Lxr = _round_up(max(len(x_list[i]) for i in idxs), PAD_MULTIPLE)
-                    Lyr = _round_up(max(max(len(y_list[i]) for i in idxs), 1),
-                                    PAD_MULTIPLE)
-                    xr = np.zeros((k, Lxr), np.int32)
-                    yr = np.zeros((k, Lyr), np.int32)
-                    br = np.zeros((k, Lxr, cfg.bert_dim), np.float32)
-                    xlr = np.ones((k,), np.int32)
-                    ylr = np.ones((k,), np.int32)
-                    for n, i in enumerate(idxs):
-                        xr[n, :len(x_list[i])] = np.asarray(x_list[i], np.int32)
-                        yr[n, :len(y_list[i])] = np.asarray(y_list[i], np.int32)
-                        br[n, :len(x_list[i])] = np.asarray(
-                            bert_list[i], np.float32).reshape(len(x_list[i]), -1)
-                        xlr[n] = len(x_list[i])
-                        ylr[n] = len(y_list[i])
+                items = [(np.asarray(x_list[i], np.int32),
+                          np.asarray(y_list[i], np.int32),
+                          np.asarray(bert_list[i], np.float32))
+                         for _, i in refill_jobs]
+                # fit check BEFORE dispatch: a refill writes its padded
+                # prompt block into the cache, which the initial-wave S
+                # (sized from the FIRST wave only) need not hold
+                group = self._pad_prompts(items) \
+                    if len(refill_jobs) > 1 else None
+                if group is not None:
+                    g_need = max(group[0].shape[1] + group[1].shape[1],
+                                 max(prompt_rows(x, y) for x, y, _ in items))
+                    new_state = self._ensure_rows(state, B, g_need)
+                    if new_state is None:
+                        # mismatched x/y splits pad the GROUP past every
+                        # bucket though each request fits alone — refill
+                        # one at a time instead
+                        group = None
+                    else:
+                        state = new_state
+                if group is not None:
+                    xr, yr, br, xlr, ylr = group
                     state, _ = prefill_slots(
                         self.params, cfg, state,
                         jnp.asarray([j for j, _ in refill_jobs], I32),
                         jnp.asarray(xr), jnp.asarray(yr), jnp.asarray(br),
                         jnp.asarray(xlr), jnp.asarray(ylr),
                         sa, self._dtype_name(), self.attn_impl)
+                else:
+                    for (j, i), (x, y, b) in zip(refill_jobs, items):
+                        new_state = self._ensure_rows(state, B,
+                                                      prompt_rows(x, y))
+                        if new_state is None:
+                            raise ValueError(
+                                f"prompt for request {i} needs "
+                                f"{prompt_rows(x, y)} cache rows; no "
+                                f"gpt_cache bucket at B={B} holds it")
+                        state = new_state
+                        xp, yp, bp = self._pad_prompt(
+                            x, y, b.reshape(len(x), -1))
+                        state, _ = prefill_slot(
+                            self.params, cfg, state, j,
+                            jnp.asarray(xp[None]), jnp.asarray(yp[None]),
+                            jnp.asarray(bp[None]),
+                            jnp.asarray(len(x), I32), jnp.asarray(len(y), I32),
+                            sa, self._dtype_name(), self.attn_impl)
                 for j, i in refill_jobs:
                     slot_orig[j] = i
                     slot_start[j] = len(x_list[i]) + len(y_list[i])

@@ -45,7 +45,7 @@ import numpy as np
 
 from .t2s_session import (DecodeState, SampleArgs, T2SEngine, _gather_slots,
                           decode_chunk, prefill_batch, prefill_slot,
-                          prefill_slots, PAD_MULTIPLE, _round_up)
+                          prefill_slots, prompt_rows)
 
 __all__ = ["WaveScheduler", "StreamHandle"]
 
@@ -283,12 +283,10 @@ class WaveScheduler:
 
     @staticmethod
     def _prompt_need(x, y) -> int:
-        """Cache rows a request's prefill + first decode step need: the
-        padded [Lx|Ly] block the prefill writes, or prompt+1, whichever
-        is larger."""
-        lxp = _round_up(max(len(x), 1), PAD_MULTIPLE)
-        lyp = _round_up(max(len(y), 1), PAD_MULTIPLE)
-        return max(len(x) + len(y) + 1, lxp + lyp)
+        """Cache rows a request's prefill + first decode step need
+        (:func:`prompt_rows`; batched refills must additionally fit the
+        GROUP pad — ``_refill`` checks that)."""
+        return prompt_rows(x, y)
 
     def _take_pending(self, wave: _Wave, k: int) -> List[_Request]:
         out = []
@@ -311,19 +309,9 @@ class WaveScheduler:
         reqs = self._take_pending(wave, B)
         if not reqs:
             return False
-        Lx = _round_up(max(len(r.x) for r in reqs), PAD_MULTIPLE)
-        Ly = _round_up(max(max(len(r.y) for r in reqs), 1), PAD_MULTIPLE)
-        xs = np.zeros((B, Lx), np.int32)
-        ys = np.zeros((B, Ly), np.int32)
-        bs = np.zeros((B, Lx, cfg.bert_dim), np.float32)
-        x_lens = np.ones((B,), np.int32)
-        y_lens = np.ones((B,), np.int32)
-        for j, r in enumerate(reqs):
-            xs[j, :len(r.x)] = r.x
-            ys[j, :len(r.y)] = r.y
-            bs[j, :len(r.x)] = r.bert
-            x_lens[j] = len(r.x)
-            y_lens[j] = len(r.y)
+        xs, ys, bs, x_lens, y_lens = eng._pad_prompts(
+            [(r.x, r.y, r.bert) for r in reqs], B)
+        Lx, Ly = xs.shape[1], ys.shape[1]
         prompt_max = int((x_lens + y_lens).max())
         S = self._pick_S(B, max(prompt_max, Lx + Ly - 1))
         if S is None:
@@ -347,18 +335,9 @@ class WaveScheduler:
                 r0.handle._fail(ValueError("prompt fits no gpt_cache bucket"))
                 return True
             B = fit
-            Lx = _round_up(len(r0.x), PAD_MULTIPLE)
-            Ly = _round_up(max(len(r0.y), 1), PAD_MULTIPLE)
-            xs = np.zeros((B, Lx), np.int32)
-            ys = np.zeros((B, Ly), np.int32)
-            bs = np.zeros((B, Lx, cfg.bert_dim), np.float32)
-            x_lens = np.ones((B,), np.int32)
-            y_lens = np.ones((B,), np.int32)
-            xs[0, :len(r0.x)] = r0.x
-            ys[0, :len(r0.y)] = r0.y
-            bs[0, :len(r0.x)] = r0.bert
-            x_lens[0] = len(r0.x)
-            y_lens[0] = len(r0.y)
+            xs, ys, bs, x_lens, y_lens = eng._pad_prompts(
+                [(r0.x, r0.y, r0.bert)], B)
+            Lx, Ly = xs.shape[1], ys.shape[1]
             prompt_max = len(r0.x) + len(r0.y)
             S = self._pick_S(B, max(prompt_max, Lx + Ly - 1))
         k_cache, v_cache = eng._alloc_cache(B, S)
@@ -412,32 +391,24 @@ class WaveScheduler:
         if not admit:
             return False
         need = max(self._prompt_need(r.x, r.y) for _, r in admit)
+        # a BATCHED refill writes the group-padded [Lx|Ly] block into every
+        # refilled slot, which can exceed each per-request need when x/y
+        # splits are mismatched across the group — size the escalation from
+        # the group pad, and fall back to one-at-a-time refills when the
+        # group pad overflows every bucket though each request fits alone
+        group = eng._pad_prompts([(r.x, r.y, r.bert) for _, r in admit]) \
+            if len(admit) > 1 else None
+        if group is not None:
+            g_need = max(need, group[0].shape[1] + group[1].shape[1])
+            if g_need > S_cur and self._pick_S(B, g_need - 1) is None:
+                group = None
+            else:
+                need = g_need
         if need > S_cur:
             wave.state = eng._escalate(wave.state, self._pick_S(B, need - 1))
             wave.n_resizes += 1
-        if len(admit) == 1:
-            j, req = admit[0]
-            xp, yp, bp = eng._pad_prompt(req.x, req.y, req.bert)
-            wave.state, _ = prefill_slot(
-                eng.params, eng.cfg, wave.state, j,
-                jnp.asarray(xp[None]), jnp.asarray(yp[None]), jnp.asarray(bp[None]),
-                jnp.asarray(len(req.x), I32), jnp.asarray(len(req.y), I32),
-                wave.sa, eng._dtype_name(), eng.attn_impl)
-        else:
-            k = len(admit)
-            Lx = _round_up(max(len(r.x) for _, r in admit), PAD_MULTIPLE)
-            Ly = _round_up(max(max(len(r.y) for _, r in admit), 1), PAD_MULTIPLE)
-            xs = np.zeros((k, Lx), np.int32)
-            ys = np.zeros((k, Ly), np.int32)
-            bs = np.zeros((k, Lx, eng.cfg.bert_dim), np.float32)
-            x_lens = np.ones((k,), np.int32)
-            y_lens = np.ones((k,), np.int32)
-            for n, (_, r) in enumerate(admit):
-                xs[n, :len(r.x)] = r.x
-                ys[n, :len(r.y)] = r.y
-                bs[n, :len(r.x)] = r.bert
-                x_lens[n] = len(r.x)
-                y_lens[n] = len(r.y)
+        if group is not None:
+            xs, ys, bs, x_lens, y_lens = group
             wave.state, _ = prefill_slots(
                 eng.params, eng.cfg, wave.state,
                 jnp.asarray([j for j, _ in admit], I32),
@@ -445,6 +416,15 @@ class WaveScheduler:
                 jnp.asarray(x_lens), jnp.asarray(y_lens),
                 wave.sa, eng._dtype_name(), eng.attn_impl)
             wave.n_batched_refills += 1
+        else:
+            for j, req in admit:
+                xp, yp, bp = eng._pad_prompt(req.x, req.y, req.bert)
+                wave.state, _ = prefill_slot(
+                    eng.params, eng.cfg, wave.state, j,
+                    jnp.asarray(xp[None]), jnp.asarray(yp[None]),
+                    jnp.asarray(bp[None]),
+                    jnp.asarray(len(req.x), I32), jnp.asarray(len(req.y), I32),
+                    wave.sa, eng._dtype_name(), eng.attn_impl)
         for j, req in admit:
             wave.slots[j] = _Slot(req.handle)
             wave.n_refills += 1

@@ -90,7 +90,10 @@ def test_bert_tokenizer_matches_transformers(tmp_path):
                  # a word buffer) and rare-plane CJK split as single chars —
                  # a divergence desynchronizes token count vs word2ph and
                  # crashes CNRoberta's np.repeat alignment
-                 "hel​lo", "你​好", "a﫡b", "你\U0002a700好"]:
+                 "hel​lo", "你​好", "a﫡b", "你\U0002a700好",
+                 # do_lower_case=True implies accent stripping in HF
+                 # (NFD + drop Mn): café -> cafe, noël -> noel
+                 "café hello", "noël，你好", "HÉLLO wörld"]:
         assert ours.tokenize(text) == hf.tokenize(text), text
         assert ours.encode(text) == hf.encode(text), text
 

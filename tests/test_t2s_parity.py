@@ -287,6 +287,76 @@ def test_simultaneous_refills_are_batched_and_token_exact(monkeypatch):
                                       err_msg=f"request {i}")
 
 
+def test_mismatched_refill_group_falls_back_without_overflow(monkeypatch):
+    """Two slots freed on the same chunk whose refill prompts have
+    MISMATCHED x/y splits: each fits the S bucket alone, but the common
+    group pad (max ``round_up(x)`` + max ``round_up(y)`` ACROSS the group)
+    exceeds every bucket — the refill must fall back to per-slot
+    dispatches instead of letting ``prefill_slots`` shape-error out of the
+    jit (which would abort every request in the batch)."""
+    import gsv_tts_tpu.runtime.t2s_session as sess
+    from gsv_tts_tpu.models.t2s import T2SConfig
+
+    cfg = T2SConfig(hidden_dim=64, embedding_dim=64, num_heads=4,
+                    num_layers=2, vocab_size=101, phoneme_vocab_size=50,
+                    eos=100)
+    params = jt2s.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    eng = T2SEngine(params, cfg, gpt_cache=[(1, 160), (2, 160)],
+                    dtype=jnp.float32)
+
+    # identical head requests => both slots finish on the same chunk,
+    # freeing two slots for one refill group (same device as
+    # test_simultaneous_refills_are_batched_and_token_exact)
+    rng = np.random.RandomState(4)
+    x0 = rng.randint(1, 50, 9).astype(np.int32)
+    y0 = rng.randint(0, 100, 6).astype(np.int32)
+    b0 = np.zeros((len(x0), cfg.bert_dim), np.float32)
+    # refill pair: 90/20 and 20/90 -> per-request pad 96+32=128 <= 160,
+    # group pad 96+96=192 > 160 (no bigger bucket exists)
+    ra, rb = np.random.RandomState(7), np.random.RandomState(8)
+    xa = ra.randint(1, 50, 90).astype(np.int32)
+    ya = ra.randint(0, 100, 20).astype(np.int32)
+    xb = rb.randint(1, 50, 20).astype(np.int32)
+    yb = rb.randint(0, 100, 90).astype(np.int32)
+    xs = [x0, x0.copy(), xa, xb]
+    ys = [y0, y0.copy(), ya, yb]
+    bs = [b0, b0.copy(),
+          np.zeros((len(xa), cfg.bert_dim), np.float32),
+          np.zeros((len(xb), cfg.bert_dim), np.float32)]
+
+    slots_calls, slot_calls = [], []
+    real_slots, real_slot = sess.prefill_slots, sess.prefill_slot
+
+    def counting_slots(params_, cfg_, state_, slots_, *a, **kw):
+        slots_calls.append(int(np.asarray(slots_).size))
+        return real_slots(params_, cfg_, state_, slots_, *a, **kw)
+
+    def counting_slot(*a, **kw):
+        slot_calls.append(1)
+        return real_slot(*a, **kw)
+
+    monkeypatch.setattr(sess, "prefill_slots", counting_slots)
+    monkeypatch.setattr(sess, "prefill_slot", counting_slot)
+
+    singles = [np.asarray(eng.generate(x, y, b, top_k=1,
+                                       repetition_penalty=1.0,
+                                       rng=jax.random.PRNGKey(0))).ravel()
+               for x, y, b in zip(xs, ys, bs)]
+    pred, idx = eng.generate_batched(xs, ys, bs, top_k=1,
+                                     rng=jax.random.PRNGKey(0))
+
+    assert not slots_calls, \
+        f"oversized group was dispatched batched: {slots_calls}"
+    assert len(slot_calls) == 2, \
+        f"expected 2 per-slot fallback refills, saw {len(slot_calls)}"
+    assert sorted(idx.tolist()) == [0, 1, 2, 3]
+    for toks, i in zip(pred, idx):
+        toks = np.asarray(toks).ravel()
+        assert len(singles[i]) - len(toks) <= eng.check_interval + 1
+        np.testing.assert_array_equal(toks, singles[i][: len(toks)],
+                                      err_msg=f"request {i}")
+
+
 def test_batched_tail_compaction_is_token_invariant():
     """Tail compaction (dead-slot burn fix): once refills run out and most
     slots are frozen, the wave re-packs into a smaller batch bucket.  The

@@ -392,6 +392,80 @@ def test_burst_arrivals_use_batched_refill(engine):
     assert seen["batched"] >= 1, "burst was not admitted via prefill_slots"
 
 
+def test_mismatched_refill_group_falls_back_in_wave(engine):
+    """A refill group whose x/y splits are mismatched pads past every S
+    bucket even though each request fits alone (per-request 96+32=128 <=
+    128, group 96+96=192): _refill must fall back to per-slot dispatches
+    instead of letting prefill_slots shape-error and fail every client in
+    the wave."""
+    from gsv_tts_tpu.runtime import wave as wmod
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs, decode_chunk
+
+    sched = WaveScheduler(engine, max_batch=4)
+    try:
+        w = wmod._Wave(SampleArgs(top_k=1, repetition_penalty=1.0,
+                                  use_prev=False), jax.random.PRNGKey(5))
+        x, y, bert = _inputs(3, engine.cfg)
+        w.pending.extend([wmod._Request(x, y, bert, wmod.StreamHandle())
+                          for _ in range(4)])
+        assert sched._create_wave_state(w)
+
+        ra, rb = np.random.RandomState(7), np.random.RandomState(8)
+        xa = ra.randint(1, 50, 70).astype(np.int32)
+        ya = ra.randint(0, 100, 20).astype(np.int32)
+        xb = rb.randint(1, 50, 20).astype(np.int32)
+        yb = rb.randint(0, 100, 70).astype(np.int32)
+        jobs = [(1, wmod._Request(xa, ya,
+                                  np.zeros((len(xa), engine.cfg.bert_dim),
+                                           np.float32), wmod.StreamHandle())),
+                (2, wmod._Request(xb, yb,
+                                  np.zeros((len(xb), engine.cfg.bert_dim),
+                                           np.float32), wmod.StreamHandle()))]
+        assert sched._refill(w, jobs)
+        assert w.n_batched_refills == 0, "oversized group went batched"
+        assert w.n_refills == 2
+        kv = np.asarray(w.state.kv_len)
+        assert kv[1] >= len(xa) + len(ya) and kv[2] >= len(xb) + len(yb)
+        # the mixed wave still decodes
+        w.state, chunk = decode_chunk(
+            engine.params, engine.cfg, w.state, 5, w.sa, 0,
+            engine._dtype_name(), engine.attn_impl)
+        assert np.asarray(chunk).shape == (4, 5)  # [B, n_steps]
+    finally:
+        sched.close()
+
+
+def test_churn_many_clients_attach_and_cancel(engine):
+    """Serving-robustness stress: a dozen clients attach at staggered
+    times, a third of them cancel mid-stream — every surviving handle
+    must terminate with the exact solo tokens, nothing deadlocks, and
+    the scheduler closes cleanly.  (Seeded; exercises refill, growth,
+    compaction, and cancellation racing the pump thread.)"""
+    cfg = engine.cfg
+    reqs = [_inputs(100 + s, cfg) for s in range(12)]
+    solos = {i: _solo_tokens(engine, *reqs[i])
+             for i in range(12) if i % 3 != 1}
+
+    sched = WaveScheduler(engine, max_batch=4)
+    rng = np.random.RandomState(0)
+    handles = []
+    try:
+        for i, r in enumerate(reqs):
+            handles.append(sched.attach(*r, top_k=1))
+            if rng.rand() < 0.5:
+                time.sleep(rng.rand() * 0.15)
+        # cancel every third client (some before their first chunk, some
+        # mid-stream depending on thread timing — both must be safe)
+        for i in (1, 4, 7, 10):
+            handles[i].cancel()
+        gots = {i: _drain(handles[i]) for i in solos}
+    finally:
+        sched.close()
+    for i, want in solos.items():
+        _assert_tokens_match(gots[i], want, engine.check_interval,
+                             f"client {i}")
+
+
 def test_wave_generations_use_fresh_rng(engine):
     """Re-creating a drained wave must draw a fresh key — reusing the
     construction-time key would replay the identical gumbel chain across

@@ -271,7 +271,7 @@ def main() -> int:
     kvn = np.asarray(state.kv_len)
     print(f"7b. batched refill k=3 + decode: first_toks={np.asarray(toks)} "
           f"kv={kvn.tolist()} ({time.time() - t0:.0f}s)")
-    assert chunk.shape == (5, 4) and (kvn > 0).all()
+    assert chunk.shape == (4, 5) and (kvn > 0).all()  # [B, n_steps]
 
     if args.assets:
         rc = run_facade(args)
