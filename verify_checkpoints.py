@@ -46,6 +46,13 @@ def main() -> int:
     ap.add_argument("--text", default="the quick brown fox jumps over the lazy dog.")
     ap.add_argument("--mel-threshold", type=float, default=1.0,
                     help="max mean |log-mel| distance (dB-like units)")
+    ap.add_argument("--quant", action="store_true",
+                    help="also synthesize with the int8 weight-streaming "
+                         "t2s decode (TTS(quant_t2s=True), real TPU only) "
+                         "and report mel distance vs this engine's own fp "
+                         "output — the real-weight quality number that "
+                         "gates making q8 (and future int4/kv8) a default")
+    ap.add_argument("--quant-mel-threshold", type=float, default=1.0)
     args = ap.parse_args()
 
     models_dir = os.path.expanduser(args.models_dir) if args.models_dir else ""
@@ -133,6 +140,34 @@ def main() -> int:
         print(f"FAIL: mel distance {dist:.4f} > threshold {args.mel_threshold}")
         return 1
     print("OK: real-checkpoint mel parity holds")
+
+    if args.quant:
+        # int8 t2s quality on REAL weights (tokens shift by the rounding
+        # error, so this is a quality delta vs OUR fp output, not parity)
+        import jax
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            print("QUANT SKIPPED: fused_step_q8 needs a real TPU "
+                  "(interpret mode at flagship dims is impractical)")
+            return 0
+        outs = {}
+        for name, quant in (("bf16", False), ("q8", True)):
+            e = TTS(gpt_cache=[(1, 512), (1, 1024)], sovits_cache=[],
+                    models_dir=models_dir, quant_t2s=quant)
+            e.load_gpt_model(gpt_path)
+            e.load_sovits_model(sovits_path)
+            clip = e.infer(ref_audio, ref_audio, args.prompt_text,
+                           args.text, **kwargs)
+            outs[name] = np.asarray(clip.audio_data, np.float32)
+        fa, qa = outs["bf16"], outs["q8"]
+        nq = min(len(fa), len(qa))
+        qdist = mel_distance(fa[:nq], qa[:nq])
+        print(f"q8: {len(qa) / 32000:.2f}s audio, mel_distance_vs_bf16="
+              f"{qdist:.4f} len_delta={abs(len(fa) - len(qa))}")
+        if qdist > args.quant_mel_threshold:
+            print(f"FAIL: q8 mel distance {qdist:.4f} > threshold "
+                  f"{args.quant_mel_threshold}")
+            return 1
+        print("OK: int8 t2s decode holds mel quality on real weights")
     return 0
 
 
