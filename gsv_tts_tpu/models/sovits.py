@@ -30,6 +30,12 @@ from ..ops.convs import (conv1d, conv_transpose1d, linear, leaky_relu, mish,
 
 F32 = jnp.float32
 LRELU_SLOPE = 0.1
+
+#: codes/text shape-bucket granularity for the padded streaming vocoder
+#: paths (``decode_core_stream_padded(_batch)``) — shared by the solo jit
+#: in ``tts.py`` and the cross-stream batcher so both produce the same
+#: (codes, text) bucket keys
+STREAM_PAD_MULTIPLE = 32
 V2PRO_SET = ("v2Pro", "v2ProPlus")
 
 

@@ -897,11 +897,24 @@ class T2SEngine:
             first_chunk = False
             S_cur = state.k_cache.shape[2]
             kv = np.asarray(state.kv_len)
-            if int(kv.max()) + n_steps >= S_cur:
+            # escalation keyed on ACTIVE slots only — decode_chunk advances
+            # kv_len for frozen slots too, so a long-dead slot's phantom kv
+            # would drive spurious escalations; re-freeze any dead slot
+            # nearing the bucket edge so its K/V append window stays in
+            # bounds (rare: a slot stays dead ~S/n_steps chunks first)
+            kv_active = max((int(kv[j]) for j in range(B) if not ignore[j]),
+                            default=0)
+            if kv_active + n_steps >= S_cur:
                 bigger = [s for s in self.buckets[B] if s > S_cur]
                 if bigger:
                     state = self._escalate(state, bigger[0])
                     S_cur = bigger[0]
+            for j in range(B):
+                if ignore[j] and int(kv[j]) + n_steps >= S_cur:
+                    state = dataclasses.replace(
+                        state, kv_len=state.kv_len.at[j].set(0),
+                        step_idx=state.step_idx.at[j].set(0),
+                        buf_len=state.buf_len.at[j].set(0))
             state, toks = decode_chunk(
                 self.params, cfg, state, n_steps, sa, 0,
                 self._dtype_name(), self.attn_impl)

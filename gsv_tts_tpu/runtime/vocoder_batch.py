@@ -28,17 +28,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import sovits as _sovits_model
+from ..models.sovits import STREAM_PAD_MULTIPLE
+from .t2s_session import _round_up
 
 __all__ = ["VocoderBatcher"]
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 class _Item:
     __slots__ = ("sovits", "codes", "text", "ge", "noise_scale", "y_overlap",
-                 "vsi", "overlap_len", "event", "result", "error")
+                 "vsi", "overlap_len", "event", "result", "error", "picked")
 
     def __init__(self, sovits, codes, text, ge, noise_scale, y_overlap, vsi,
                  overlap_len):
@@ -53,6 +51,7 @@ class _Item:
         self.event = threading.Event()
         self.result = None
         self.error: Optional[BaseException] = None
+        self.picked = False           # dequeued by the worker (in flight)
 
 
 class VocoderBatcher:
@@ -78,6 +77,7 @@ class VocoderBatcher:
         self.window_s = window_s
         self._q: "queue.Queue[_Item]" = queue.Queue()
         self._closed = False
+        self._stats_lock = threading.Lock()
         self.stats = {"batches": 0, "rows": 0, "solo_rows": 0,
                       "max_group": 0}
         self._thread = threading.Thread(target=self._run, daemon=True,
@@ -98,9 +98,14 @@ class VocoderBatcher:
         self._q.put(it)
         # poll-wait so a close() racing this enqueue cannot strand the
         # caller (close drains the queue, but an item put after its drain
-        # would otherwise block forever)
+        # would otherwise block forever).  An item the worker already
+        # PICKED is still in flight — its result lands when the running
+        # group finishes (possibly after close()'s join timeout expires on
+        # a slow first compile), so only give up on it once the worker
+        # thread itself is gone.
         while not it.event.wait(1.0):
-            if self._closed and it.error is None and it.result is None:
+            if (self._closed and it.error is None and it.result is None
+                    and (not it.picked or not self._thread.is_alive())):
                 raise RuntimeError("VocoderBatcher closed mid-request")
         if it.error is not None:
             raise it.error
@@ -133,6 +138,7 @@ class VocoderBatcher:
                 continue
             if first is None:
                 continue
+            first.picked = True
             items = [first]
             deadline = time.monotonic() + self.window_s
             while len(items) < self.max_batch:
@@ -145,6 +151,7 @@ class VocoderBatcher:
                     break
                 if nxt is None:
                     break
+                nxt.picked = True
                 items.append(nxt)
             groups: Dict[Tuple, List[_Item]] = {}
             for it in items:
@@ -171,19 +178,22 @@ class VocoderBatcher:
             groups.setdefault((id(it.sovits), it.overlap_len), []).append(it)
         for group in groups.values():
             for i in range(0, len(group), self.max_batch):
+                # exceptions propagate to the (single, synchronous) caller
+                # directly — nothing else waits on these items' events
                 self._run_group(group[i:i + self.max_batch])
-        for it in items:
-            if it.error is not None:
-                raise it.error
         return [it.result for it in items]
 
     def _run_group(self, items: List[_Item]):
-        self.stats["batches"] += 1
-        self.stats["rows"] += len(items)
-        self.stats["max_group"] = max(self.stats["max_group"], len(items))
+        # both the worker thread (decode_stream path) and decode_many
+        # caller threads run here — guard the read-modify-write counters
+        with self._stats_lock:
+            self.stats["batches"] += 1
+            self.stats["rows"] += len(items)
+            self.stats["max_group"] = max(self.stats["max_group"], len(items))
+            if len(items) == 1:
+                self.stats["solo_rows"] += 1
         if len(items) == 1:
             it = items[0]
-            self.stats["solo_rows"] += 1
             it.result = self.tts._sovits_decode_stream(
                 it.sovits, it.codes[None, None, :], it.text[None, :], it.ge,
                 noise_scale=it.noise_scale, speed=1.0,
@@ -198,7 +208,7 @@ class VocoderBatcher:
         dtype = tts.tts_config.dtype
         overlap_len = items[0].overlap_len
         B = next(b for b in self.B_BUCKETS if b >= len(items))
-        CB = 32
+        CB = STREAM_PAD_MULTIPLE
         Bc = _round_up(max(max(it.codes.size for it in items), 1), CB)
         Np = _round_up(max(max(it.text.size for it in items), 1), CB)
         T50 = 2 * Bc
@@ -248,27 +258,17 @@ class VocoderBatcher:
             jnp.asarray(blend), overlap_len, bucket)
         audio = np.asarray(audio)
         attn = np.asarray(attn)
-        new_ov = np.asarray(new_ov)
         spf = cfg.samples_per_frame
         for i, it in enumerate(items):
             n = it.codes.size
             it.result = (
                 audio[i:i + 1, :, : int(t_valid[i]) * spf],
                 attn[i][..., :2 * n, :it.text.size],
-                jnp.asarray(new_ov[i:i + 1]))
+                # keep the overlap ON DEVICE — it feeds the next chunk's
+                # y_overlap input, so a host round-trip here would add one
+                # upload per stream per chunk that the solo path never pays
+                new_ov[i:i + 1])
             it.event.set()
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "overlap_len"))
-def _stream_core_padded_batch_jit(params, cfg, codes_pad, codes_len,
-                                  text_pad, text_len, ge, noise, y_ov, vsi,
-                                  blend, overlap_len):
-    """One compiled program per (B, codes-bucket, text-bucket) triple; all
-    per-row quantities are traced (see
-    ``models/sovits.py:decode_core_stream_padded_batch``)."""
-    return _sovits_model.decode_core_stream_padded_batch(
-        params, cfg, codes_pad, codes_len, text_pad, text_len, ge, noise,
-        y_ov, vsi, blend, overlap_len=overlap_len)
 
 
 @functools.partial(jax.jit,

@@ -167,21 +167,23 @@ class WaveScheduler:
         """Register one request; returns its :class:`StreamHandle`.
 
         Raises ``ValueError`` immediately if the prompt cannot fit the
-        largest configured cache bucket."""
-        if self._closed:
-            raise RuntimeError("WaveScheduler is closed")
+        largest cache bucket at a batch size this scheduler uses."""
         x = np.asarray(x_ids, np.int32).reshape(-1)
         y = np.asarray(y_ids, np.int32).reshape(-1)
         b = np.asarray(bert, np.float32).reshape(len(x), -1)
         # the prefill writes the PADDED [Lx|Ly] block into the cache and
         # generation needs one step of headroom — guard on that need, not
-        # the raw prompt length (a 500+10 prompt pads to 512+32)
+        # the raw prompt length (a 500+10 prompt pads to 512+32).  Scan
+        # only the batch buckets this scheduler actually uses (<=
+        # max_batch, same set as _bucket_sizes): a bucket the wave can
+        # never run at must not admit the request, else it fails
+        # asynchronously in _create_wave_state instead of here
         need = self._prompt_need(x, y)
-        if not any(s >= need for lens in self.engine.buckets.values()
-                   for s in lens):
+        if not any(self._pick_S(bb, need - 1) is not None
+                   for bb in self._bucket_sizes()):
             raise ValueError(
                 f"prompt length {len(x) + len(y)} (padded cache need {need}) "
-                f"exceeds every configured gpt_cache bucket")
+                f"exceeds every gpt_cache bucket at batch <= {self.max_batch}")
         # batched-mode sampling semantics: wave-wide args, no repetition
         # penalty over generated tokens (reference ``t2s_model.py:651``)
         sa = SampleArgs(top_k=int(top_k), top_p=float(top_p),
@@ -191,6 +193,11 @@ class WaveScheduler:
         handle = StreamHandle()
         sig = (sa.top_k, sa.top_p, sa.temperature, sa.repetition_penalty)
         with self._lock:
+            # checked under the SAME lock close() takes: an attach racing
+            # close() must either fail here or have its request visible to
+            # close()'s pending sweep — never enqueue after the driver died
+            if self._closed:
+                raise RuntimeError("WaveScheduler is closed")
             wave = self._waves.get(sig)
             if wave is None:
                 wave = _Wave(sa, jax.random.PRNGKey(
@@ -202,7 +209,8 @@ class WaveScheduler:
         return handle
 
     def close(self):
-        self._closed = True
+        with self._lock:
+            self._closed = True
         self._work.set()
         self._thread.join(timeout=30.0)
         with self._lock:
@@ -517,16 +525,26 @@ class WaveScheduler:
                 live = [j for j, s in enumerate(wave.slots) if s.live]
                 B = len(wave.slots)
 
-        # 3. sequence-bucket escalation (``t2s_model.py:425-428``)
+        # 3. sequence-bucket escalation (``t2s_model.py:425-428``), keyed
+        #    on LIVE slots only: decode_chunk advances kv_len for frozen
+        #    slots too (+n_steps per chunk after their one-time freeze), so
+        #    a long-dead slot's phantom kv would otherwise drive spurious
+        #    escalations to the largest bucket
         n_steps = 1 if wave.first_chunk else eng.check_interval
         wave.first_chunk = False
         S_cur = wave.state.k_cache.shape[2]
         kv = np.asarray(wave.state.kv_len)
-        if int(kv.max()) + n_steps >= S_cur:
+        if max(int(kv[j]) for j in live) + n_steps >= S_cur:
             bigger = [s for s in eng.buckets[B] if s > S_cur]
             if bigger:
                 wave.state = eng._escalate(wave.state, bigger[0])
                 S_cur = bigger[0]
+        # a dead slot's phantom kv must never reach the bucket edge (its
+        # K/V append window would read out of bounds): re-freeze it when
+        # it gets close — rare, so the per-slot reset dispatches are cheap
+        for j in range(B):
+            if not wave.slots[j].live and int(kv[j]) + n_steps >= S_cur:
+                wave.state = self._freeze(wave.state, j)
 
         # 4. one decode chunk for the whole wave
         wave.state, toks = decode_chunk(

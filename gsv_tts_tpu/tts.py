@@ -1385,7 +1385,7 @@ class TTS:
             # same bucket-padded jitted program as the streaming path
             # (vsi=0, no blend) — one compile per shape bucket instead of
             # eager dispatch + one compile per exact length
-            CB = 32
+            CB = sovits_model.STREAM_PAD_MULTIPLE
             Bc = _round_up(max(n, 1), CB)
             Np = _round_up(max(text.shape[-1], 1), CB)
             codes_pad = np.zeros((1, 1, Bc), np.int32)
@@ -1435,7 +1435,7 @@ class TTS:
             # runtime/vocoder_batch.py).
             from .runtime.vocoder_batch import _stream_batch_fused_jit
 
-            CB = 32
+            CB = sovits_model.STREAM_PAD_MULTIPLE
             Bc = _round_up(max(n, 1), CB)
             Np = _round_up(max(text.shape[-1], 1), CB)
             codes_pad = np.zeros((1, 1, Bc), np.int32)

@@ -466,6 +466,71 @@ def test_churn_many_clients_attach_and_cancel(engine):
                              f"client {i}")
 
 
+def test_dead_slot_phantom_kv_does_not_escalate():
+    """decode_chunk advances kv_len for frozen slots too; a long-dead
+    slot's phantom kv must neither trigger sequence-bucket escalation nor
+    creep toward the bucket edge (its K/V append window would read out of
+    bounds) — the pump keys escalation on LIVE slots and re-freezes dead
+    ones nearing the edge."""
+    from gsv_tts_tpu.runtime import wave as wmod
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs
+
+    cfg = T2SConfig(hidden_dim=64, embedding_dim=64, num_heads=4,
+                    num_layers=2, vocab_size=101, phoneme_vocab_size=50,
+                    eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+    # only B=4 buckets: compaction can never drop the dead slot
+    eng = T2SEngine(params, cfg, gpt_cache=[(4, 128), (4, 256)],
+                    dtype=jnp.float32)
+    sched = WaveScheduler(eng, max_batch=4)
+    try:
+        w = wmod._Wave(SampleArgs(top_k=1, repetition_penalty=1.0,
+                                  use_prev=False), jax.random.PRNGKey(3))
+        x, y, bert = _inputs(5, eng.cfg)
+        w.pending.extend([wmod._Request(x, y, bert, wmod.StreamHandle())
+                          for _ in range(2)])
+        assert sched._create_wave_state(w)
+        # kill slot 1 and give it a phantom kv just under the bucket edge
+        w.slots[1].live = False
+        w.state = sched._freeze(w.state, 1)
+        import dataclasses as _dc
+        w.state = _dc.replace(w.state,
+                              kv_len=w.state.kv_len.at[1].set(127))
+        assert sched._pump(w)  # first chunk: n_steps=1, 127+1 >= 128
+        assert w.state.k_cache.shape[2] == 128, \
+            "dead slot's phantom kv escalated the wave"
+        kv = np.asarray(w.state.kv_len)
+        # re-frozen to 0 before the chunk, then advanced by n_steps only —
+        # it must never reach S (its append window would read OOB)
+        assert kv[1] <= 10, f"dead slot kv not re-frozen: {kv[1]}"
+    finally:
+        sched.close()
+
+
+def test_attach_guard_matches_scheduler_buckets():
+    """A prompt that only fits a batch bucket ABOVE max_batch must be
+    rejected at attach (ValueError) instead of failing asynchronously in
+    _create_wave_state."""
+    cfg = T2SConfig(hidden_dim=64, embedding_dim=64, num_heads=4,
+                    num_layers=2, vocab_size=101, phoneme_vocab_size=50,
+                    eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+    eng = T2SEngine(params, cfg, gpt_cache=[(1, 128), (4, 512)],
+                    dtype=jnp.float32)
+    sched = WaveScheduler(eng, max_batch=1)
+    try:
+        rng = np.random.RandomState(0)
+        x = rng.randint(1, 50, 200).astype(np.int32)  # needs ~256 rows
+        y = rng.randint(0, 100, 8).astype(np.int32)
+        bert = np.zeros((len(x), cfg.bert_dim), np.float32)
+        with pytest.raises(ValueError):
+            sched.attach(x, y, bert, top_k=1)
+    finally:
+        sched.close()
+
+
 def test_wave_generations_use_fresh_rng(engine):
     """Re-creating a drained wave must draw a fresh key — reusing the
     construction-time key would replay the identical gumbel chain across
