@@ -349,6 +349,31 @@ class TTS:
             gpt_to_safetensors(checkpoint_path, output_dir, self.tts_config)
         logging.info(f"Successfully converted and saved to: {output_dir}")
 
+    # -- featurizer accessors (thread-safe: the attribute only CACHES the
+    # instance under always_load_*; callers keep a local reference, so a
+    # concurrent call can never see another call's tear-down publish None
+    # mid-use) ------------------------------------------------------------
+
+    def _get_sv_model(self):
+        sv = self.sv_model
+        if sv is None:
+            from .models.sv import ERes2Net
+
+            sv = ERes2Net(self.sv_path, self.tts_config)
+            if self.always_load_sv:
+                self.sv_model = sv
+        return sv
+
+    def _get_cnhubert(self):
+        hub = self.cnhubert_model
+        if hub is None:
+            from .models.hubert import CNHubert
+
+            hub = CNHubert(str(self.cnhubert_path), self.tts_config)
+            if self.always_load_cnhubert:
+                self.cnhubert_model = hub
+        return hub
+
     # -- caches (reference ``TTS.py:1345-1480``) ------------------------
 
     def cache_spk_audio(self, *spk_audio_paths, sovits_model: Optional[str] = None):
@@ -361,37 +386,29 @@ class TTS:
             logging.error(f"The SoVITS model {sovits_model} is not loaded!")
             return
         model = self.sovits_models[sovits_model]
-        if self.sv_model is None and model.cfg.is_v2pro:
-            from .models.sv import ERes2Net
-
-            self.sv_model = ERes2Net(self.sv_path, self.tts_config)
+        sv = self._get_sv_model() if model.cfg.is_v2pro else None
         for path in spk_audio_paths:
             refers, audio16k = self._get_spec(model.hps, path)
             if path not in self.spk_audio_cache:
-                sv_emb = (self.sv_model.compute_embedding3(audio16k)
+                sv_emb = (sv.compute_embedding3(audio16k)
                           if model.cfg.is_v2pro else None)
                 ge = sovits_model_ge(model, refers, sv_emb)
                 self.spk_audio_cache[path] = {"ge": {sovits_model: ge}, "sv_emb": sv_emb}
             elif sovits_model not in self.spk_audio_cache[path]["ge"]:
                 sv_emb = self.spk_audio_cache[path]["sv_emb"]
                 if model.cfg.is_v2pro and sv_emb is None:
-                    sv_emb = self.sv_model.compute_embedding3(audio16k)
+                    sv_emb = sv.compute_embedding3(audio16k)
                     self.spk_audio_cache[path]["sv_emb"] = sv_emb
                 self.spk_audio_cache[path]["ge"][sovits_model] = sovits_model_ge(
                     model, refers, sv_emb)
             logging.info(f"Cached speaker audio: {path}")
-        if not self.always_load_sv:
-            self.sv_model = None
 
     def cache_prompt_audio(self, prompt_audio_paths, prompt_audio_texts):
         if not self.sovits_models:
             logging.error("No SoVITS models are currently loaded! Cannot cache prompt audio.")
             return
         model = self.sovits_models[next(iter(self.sovits_models))]
-        if self.cnhubert_model is None:
-            from .models.hubert import CNHubert
-
-            self.cnhubert_model = CNHubert(str(self.cnhubert_path), self.tts_config)
+        hub = self._get_cnhubert()
         if isinstance(prompt_audio_paths, (str, Path)):
             prompt_audio_paths = [prompt_audio_paths]
         if isinstance(prompt_audio_texts, str):
@@ -401,13 +418,11 @@ class TTS:
                 raise ValueError(
                     "Prompt audio text is empty. Please provide the text "
                     "transcription for the reference audio.")
-            prompt = self._get_prompt(self.cnhubert_model, model, path)
+            prompt = self._get_prompt(hub, model, path)
             phones1, _, bert1, _ = get_phones_and_bert(text, self.tts_config)
             self.prompt_audio_cache[path] = {
                 "prompt": prompt, "phones1": phones1, "bert1": bert1}
             logging.info(f"Cached prompt audio: {path}")
-        if not self.always_load_cnhubert:
-            self.cnhubert_model = None
 
     def del_spk_audio(self, *spk_audio_list):
         for p in spk_audio_list:
@@ -530,10 +545,9 @@ class TTS:
         gpt, prompt, phones1, bert1 = self._prepare_gpt_resources(
             gpt_model, prompt_audio_path, prompt_audio_text)
 
-        overlap_samples = overlap_len * sovits.cfg.samples_per_frame
-        cur_text_l = 0
         audio_len_s = 0.0
-        last_end_s = 0.0
+        # request-level subtitle chain, threaded through _SegStream.step
+        req_state = {"last_end_s": 0.0, "cur_text_l": 0}
 
         import time as _time
 
@@ -554,76 +568,21 @@ class TTS:
                 temperature=temperature, repetition_penalty=repetition_penalty,
                 rng=self._next_rng(), stream_chunk=stream_chunk,
                 boost_first_chunk=boost_first_chunk if i == 0 else False)
-            phones2_arr = np.asarray(phones2, np.int32)[None]
 
-            last_subtitles_end = 0
-            last_overlap_audio = None
-            y_overlap = None
-            valid_start_idx = 0
-            chunk_idx = 0
-            head_offset = 0
+            # the same incremental state machine as the batched streaming
+            # modes (SOLA, overlap trim, head trim, mute pad, incremental
+            # subtitles) — ONE implementation, so the modes cannot diverge
+            seg = _SegStream(phones2, ge, text_cut, word2ph, norm_text,
+                             want_subtitles=return_subtitles)
             for pred_semantic, is_final in generator:
-                semantic = np.asarray(pred_semantic).reshape(-1)
-                if semantic.size == 0:
+                seg.tokens = list(np.asarray(pred_semantic).reshape(-1))
+                if not seg.tokens and not is_final:
                     continue
-                audio, attn, y_overlap = self._sovits_decode_stream(
-                    sovits, semantic[None, None, :], phones2_arr, ge,
-                    noise_scale=noise_scale, speed=speed, y_overlap=y_overlap,
-                    valid_start_idx=valid_start_idx, overlap_len=overlap_len)
-                audio = np.asarray(audio).reshape(-1)
-                attn = np.asarray(attn)
-
-                if last_overlap_audio is not None:
-                    audio, _ = dsp.sola_align(last_overlap_audio, audio, overlap_samples)
-                last_overlap_audio = audio[-overlap_samples:].copy()
-
-                if not is_final:
-                    audio = audio[:-overlap_samples]
-                    attn = attn[:, :-overlap_len, :]
-                    # cumulative: MRTE attention spans the full decoded
-                    # sequence, so this *is* the next chunk's start
-                    # (``TTS.py:437-441``)
-                    valid_start_idx = attn.shape[1]
-
-                if return_subtitles:
-                    assign = dsp.viterbi_monotonic(attn)
-                    if dsp.is_normal_assign(assign) or is_final:
-                        subtitles = self._get_subtitles(word2ph, assign, speed,
-                                                        last_end_s=last_end_s)
-                    else:
-                        subtitles = []
-                else:
-                    subtitles = []
-
-                if chunk_idx == 0:
-                    head_offset = dsp.find_head_threshold_offset(audio)
-                    audio = audio[head_offset:]
-                if subtitles:
-                    self._increment_subtitle_times(subtitles, -head_offset / self.samplerate)
-                    subtitles[0]["start_s"] = max(last_end_s, subtitles[0]["start_s"])
-
-                if is_final:
-                    cut_mute_scale = self._mute_scale(text_cut, cut_mute_scale_map)
-                    silence = np.zeros(int(cut_mute * cut_mute_scale * self.samplerate),
-                                       audio.dtype)
-                    audio = np.concatenate([audio, silence])
-                    if subtitles:
-                        if not self._check_pause(subtitles[-1]["text"]):
-                            subtitles.append({"text": word2ph["word"][-1],
-                                              "start_s": subtitles[-1]["end_s"],
-                                              "end_s": subtitles[-1]["end_s"]})
-                        subtitles[-1]["end_s"] += cut_mute * cut_mute_scale
-                        last_end_s = subtitles[-1]["end_s"]
-
-                if subtitles:
-                    subtitles = sub2text_index(subtitles, norm_text, text_cut)
-                    self._increment_subtitle_indices(subtitles, cur_text_l)
-                    new_subtitles = subtitles[last_subtitles_end:]
-                    last_subtitles_end = len(subtitles) - 1
-                    if not is_final and new_subtitles:
-                        new_subtitles[-1]["end_s"] = None
-                else:
-                    new_subtitles = []
+                audio, new_subtitles = seg.step(
+                    self, sovits, is_final, req_state,
+                    noise_scale=noise_scale, speed=speed,
+                    overlap_len=overlap_len, cut_mute=cut_mute,
+                    cut_mute_scale_map=cut_mute_scale_map)
 
                 audio_len_s += len(audio) / self.samplerate
                 if _first_yield[0]:
@@ -631,9 +590,6 @@ class TTS:
                     _first_yield[0] = False
                 yield AudioClip(self.audio_queue, audio.astype(np.float32),
                                 self.samplerate, audio_len_s, new_subtitles, text)
-                chunk_idx += 1
-
-            cur_text_l += len(text_cut)
 
         if debug:
             logging.info(f"Stream inference complete. Generated {audio_len_s:.2f}s of audio.")
@@ -796,6 +752,17 @@ class TTS:
                     best_i = self._find_subtitles(subtitles, all_word2ph[int(cur_orig[j])], last_i)
                     subtitle = subtitles[last_i:best_i]
                     last_i = best_i
+                    if not subtitle:
+                        # misaligned attention left this segment unmatched
+                        # (the reference crashes on subtitle[0] here):
+                        # degrade to an empty segment instead of taking the
+                        # whole batch down
+                        logging.warning(
+                            "subtitle alignment failed for a batched "
+                            "segment; emitting it empty")
+                        generated_audios.append(np.zeros(0, np.float32))
+                        generated_subtitles.append([])
+                        continue
                     seg_start = int(subtitle[0]["start_s"] * self.samplerate)
                     seg_end = int(subtitle[-1]["end_s"] * self.samplerate)
                     audio = audio_batch[seg_start:seg_end]
@@ -1101,13 +1068,8 @@ class TTS:
             prompt_audio_text += "."
         _, sovits_model = self._default_models(None, sovits_model)
         sovits, ge = self._prepare_sovits_resources(sovits_model, spk_audio_path)
-        if self.cnhubert_model is None:
-            from .models.hubert import CNHubert
-
-            self.cnhubert_model = CNHubert(str(self.cnhubert_path), self.tts_config)
-        prompt = self._get_prompt(self.cnhubert_model, sovits, prompt_audio_path)
-        if not self.always_load_cnhubert:
-            self.cnhubert_model = None
+        prompt = self._get_prompt(self._get_cnhubert(), sovits,
+                                  prompt_audio_path)
 
         phones, word2ph, _, norm_text = get_phones_and_bert(prompt_audio_text, self.tts_config)
         audio, attn = self._sovits_decode(
@@ -1140,22 +1102,21 @@ class TTS:
             logging.error("No SoVITS models are currently loaded! Cannot verify speaker.")
             return
         model = self.sovits_models[next(iter(self.sovits_models))]
-        if self.sv_model is None:
-            from .models.sv import ERes2Net
-
-            self.sv_model = ERes2Net(self.sv_path, self.tts_config)
+        sv = self._get_sv_model()
 
         def emb(path):
-            if path in self.spk_audio_cache and self.spk_audio_cache[path]["sv_emb"] is not None:
-                return np.asarray(self.spk_audio_cache[path]["sv_emb"], np.float32)
+            ent = self.spk_audio_cache.get(path)
+            if ent is not None and ent["sv_emb"] is not None:
+                return np.asarray(ent["sv_emb"], np.float32)
             _, audio16k = self._get_spec(model.hps, path)
-            return np.asarray(self.sv_model.compute_embedding3(audio16k), np.float32)
+            e = sv.compute_embedding3(audio16k)
+            if ent is not None:  # memoize into the existing cache entry
+                ent["sv_emb"] = e
+            return np.asarray(e, np.float32)
 
         e1, e2 = emb(speaker1_audio), emb(speaker2_audio)
-        sim = float(np.sum(e1 * e2) / (np.linalg.norm(e1) * np.linalg.norm(e2) + 1e-6))
-        if not self.always_load_sv:
-            self.sv_model = None
-        return sim
+        return float(np.sum(e1 * e2)
+                     / (np.linalg.norm(e1) * np.linalg.norm(e2) + 1e-6))
 
     # -- async wrappers (reference ``TTS.py:966-1162``) -----------------
 
@@ -1174,6 +1135,7 @@ class TTS:
                                  **kwargs):
         loop = asyncio.get_running_loop()
         queue: asyncio.Queue = asyncio.Queue()
+        cancel_event = threading.Event()
 
         def run():
             # Exceptions must travel through the queue: the executor future
@@ -1181,21 +1143,34 @@ class TTS:
             # swallowed and the consumer would see a clean (empty) stream.
             try:
                 with self._infer_lock:
-                    for chunk in self.infer_stream(*args, **kwargs):
-                        loop.call_soon_threadsafe(queue.put_nowait, chunk)
+                    gen = self.infer_stream(*args, **kwargs)
+                    try:
+                        for chunk in gen:
+                            # abandoned consumer (client disconnect): stop
+                            # synthesizing — otherwise the worker holds
+                            # _infer_lock to completion while the queue
+                            # grows unread
+                            if cancel_event.is_set():
+                                break
+                            loop.call_soon_threadsafe(queue.put_nowait, chunk)
+                    finally:
+                        gen.close()
             except BaseException as exc:  # noqa: BLE001 — re-raised below
                 loop.call_soon_threadsafe(queue.put_nowait, exc)
             finally:
                 loop.call_soon_threadsafe(queue.put_nowait, None)
 
         loop.run_in_executor(executor, run)
-        while True:
-            chunk = await queue.get()
-            if chunk is None:
-                break
-            if isinstance(chunk, BaseException):
-                raise chunk
-            yield chunk
+        try:
+            while True:
+                chunk = await queue.get()
+                if chunk is None:
+                    break
+                if isinstance(chunk, BaseException):
+                    raise chunk
+                yield chunk
+        finally:
+            cancel_event.set()
 
     async def stream_shared_async(self, *args,
                                   executor: Optional[ThreadPoolExecutor] = None,
@@ -1238,25 +1213,35 @@ class TTS:
         queue so consumers see them instead of a clean empty stream)."""
         loop = asyncio.get_running_loop()
         queue: asyncio.Queue = asyncio.Queue()
+        cancel_event = threading.Event()
 
         def run():
             try:
                 with self._infer_lock:
-                    for ev in self.infer_batched_stream(*args, **kwargs):
-                        loop.call_soon_threadsafe(queue.put_nowait, ev)
+                    gen = self.infer_batched_stream(*args, **kwargs)
+                    try:
+                        for ev in gen:
+                            if cancel_event.is_set():  # abandoned consumer
+                                break
+                            loop.call_soon_threadsafe(queue.put_nowait, ev)
+                    finally:
+                        gen.close()
             except BaseException as exc:  # noqa: BLE001 — re-raised below
                 loop.call_soon_threadsafe(queue.put_nowait, exc)
             finally:
                 loop.call_soon_threadsafe(queue.put_nowait, None)
 
         loop.run_in_executor(executor, run)
-        while True:
-            ev = await queue.get()
-            if ev is None:
-                break
-            if isinstance(ev, BaseException):
-                raise ev
-            yield ev
+        try:
+            while True:
+                ev = await queue.get()
+                if ev is None:
+                    break
+                if isinstance(ev, BaseException):
+                    raise ev
+                yield ev
+        finally:
+            cancel_event.set()
 
     async def infer_batched_async(self, *args,
                                   executor: Optional[ThreadPoolExecutor] = None,
@@ -1499,7 +1484,11 @@ class TTS:
             y_mask = jnp.pad(y_mask, [(0, 0), (0, 0), (0, pad)])
             if ge.shape[-1] != 1:  # packed mode: frame-wise conditioning
                 ge = jnp.pad(ge, [(0, 0), (0, 0), (0, pad)])
-        key = (id(sovits), "flow_dec")
+        # keyed by the (hashable, frozen) cfg — the only value the closure
+        # captures; params are a traced argument, so same-cfg models share
+        # the executable and an id()-reuse after unload can never serve a
+        # stale closure
+        key = (cfg, "flow_dec")
         fn = self._decode_jit_cache.get(key)
         if fn is None:
             fn = jax.jit(lambda p, z, m, g: sovits_model.flow_dec(p, cfg, z, m, g))
@@ -1606,8 +1595,11 @@ class TTS:
             end_s = ph_end_s[idx] + last_end_s
             subtitles.append({"text": word, "start_s": start_s, "end_s": end_s})
         # fallback entry covering the tail (``TTS.py:1697-1705``) — applies
-        # even when the loop broke before appending anything
-        if word and end_s - last_end_s != ph_end_s[-1]:
+        # even when the loop broke before appending anything.  The extra
+        # ``ph_end_s`` guard degrades a fully-degenerate assignment (every
+        # frame on the nullkey: the pop above emptied the list) to empty
+        # subtitles where the reference would crash on ph_end_s[-1]
+        if word and ph_end_s and end_s - last_end_s != ph_end_s[-1]:
             subtitles.append({"text": word, "start_s": end_s,
                               "end_s": ph_end_s[-1] + last_end_s})
         return subtitles

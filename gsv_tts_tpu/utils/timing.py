@@ -97,9 +97,40 @@ class RTFMeter:
         return self.wall / self.audio if self.audio else float("inf")
 
 
+def _host_cache_key() -> str:
+    """Fingerprint of the host CPU feature set + jaxlib version.  XLA:CPU
+    AOT cache entries compiled on a DIFFERENT machine load with
+    machine-feature mismatches — the loader warns 'could lead to execution
+    errors such as SIGILL', and one mid-suite ``Fatal Python error:
+    Aborted`` inside ``device_get`` was traced to a cache shared across
+    boxes.  Keying the cache directory per host makes foreign entries
+    unreachable instead of fatal."""
+    import hashlib
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+
+        feats = platform.processor() or platform.machine()
+    try:
+        import jaxlib
+
+        feats += " jaxlib=" + jaxlib.__version__
+    except Exception:
+        pass
+    return hashlib.sha1(feats.encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str = None):
     """Enable JAX's persistent compilation cache so repeated bench/driver
-    runs skip recompiles (especially valuable over tunneled TPU sessions)."""
+    runs skip recompiles (especially valuable over tunneled TPU sessions).
+    The given ``path`` gets a per-host suffix (see :func:`_host_cache_key`)."""
     import os
 
     import jax
@@ -107,6 +138,7 @@ def enable_compilation_cache(path: str = None):
     if path is None:
         path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
             os.path.expanduser("~"), ".cache", "gsv_jax_cache")
+    path = os.path.join(path, _host_cache_key())
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)

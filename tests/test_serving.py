@@ -243,6 +243,53 @@ def test_stream_async_propagates_errors(engine):  # noqa: F811
         engine.infer_stream = orig
 
 
+def test_stream_async_abandoned_consumer_stops_worker(engine):  # noqa: F811
+    """Closing the async generator mid-stream (client disconnect) must stop
+    the synthesis worker — not leave it holding _infer_lock and pushing
+    every remaining chunk into a queue nobody reads."""
+    import threading
+    import time
+
+    progress = {"yielded": 0, "closed": False}
+    release = threading.Event()
+
+    def slow_stream(*a, **k):
+        try:
+            for _ in range(1000):
+                progress["yielded"] += 1
+                yield np.zeros(10, np.float32)
+                # after the consumer got the first chunk, pace the rest so
+                # the cancel lands mid-stream deterministically
+                release.wait(0.05)
+        finally:
+            progress["closed"] = True
+
+    orig = engine.infer_stream
+    engine.infer_stream = slow_stream
+    try:
+        async def go():
+            agen = engine.infer_stream_async("x")
+            async for _ in agen:
+                break  # consumer walks away after the first chunk
+            await agen.aclose()
+
+        asyncio.run(go())
+        # the worker thread must wind down promptly (lock released,
+        # generator closed) instead of producing all 1000 chunks
+        deadline = time.time() + 10.0
+        while not progress["closed"] and time.time() < deadline:
+            time.sleep(0.05)
+        assert progress["closed"], "worker generator was never closed"
+        assert progress["yielded"] < 1000, \
+            f"worker synthesized to completion: {progress['yielded']}"
+        assert engine._infer_lock.acquire(timeout=10.0), \
+            "_infer_lock still held by the abandoned worker"
+        engine._infer_lock.release()
+    finally:
+        release.set()
+        engine.infer_stream = orig
+
+
 def test_sse_stream_error_event(client_factory, engine, assets):  # noqa: F811
     """A failing stream must surface as `event: error`, not `event: done`."""
     def boom(*a, **k):
