@@ -66,12 +66,21 @@ class Router:
         self._rr = itertools.count()
         self._session: Optional[aiohttp.ClientSession] = None
         self._health_task: Optional[asyncio.Task] = None
+        # desired control-plane state (last weight-switch per endpoint),
+        # re-applied to backends when they recover — a host that was down
+        # during a broadcast must not rejoin serving the OLD model
+        self._control_log: Dict[str, tuple] = {}
 
     # -- lifecycle ----------------------------------------------------------
 
     async def start(self, app=None):
+        # NO total timeout: an SSE stream pacing at realtime legitimately
+        # outlives any fixed total (and aiohttp raises a plain
+        # asyncio.TimeoutError mid-relay for it).  Bound the connect and
+        # the max gap between bytes instead.
         self._session = aiohttp.ClientSession(
-            timeout=aiohttp.ClientTimeout(total=self.request_timeout))
+            timeout=aiohttp.ClientTimeout(total=None, connect=10,
+                                          sock_read=self.request_timeout))
         await self._probe_all()
         self._health_task = asyncio.create_task(self._health_loop())
 
@@ -93,11 +102,29 @@ class Router:
                     b.url + "/health",
                     timeout=aiohttp.ClientTimeout(total=5)) as r:
                 b.last_health = await r.json()
-                b.healthy = r.status == 200
+                ok = r.status == 200
         except Exception:
-            b.healthy = False
+            ok = False
+        if ok and not b.healthy and self._control_log:
+            # recovery: replay the desired weight state before readmitting
+            # the backend, else it rejoins serving whatever model it
+            # restarted with
+            ok = await self._resync(b)
+        b.healthy = ok
         b.last_checked = time.monotonic()
         return b.healthy
+
+    async def _resync(self, b: Backend) -> bool:
+        for path, (method, query, body, headers) in self._control_log.items():
+            try:
+                async with self._session.request(
+                        method, b.url + path, params=query,
+                        data=body or None, headers=headers) as r:
+                    if r.status != 200:
+                        return False
+            except Exception:
+                return False
+        return True
 
     async def _probe_all(self):
         await asyncio.gather(*(self._probe(b) for b in self.backends))
@@ -206,7 +233,11 @@ class Router:
                     await resp.write_eof()
                     return resp
             except (aiohttp.ClientConnectionError, aiohttp.ClientPayloadError,
-                    aiohttp.ServerTimeoutError, ConnectionError):
+                    asyncio.TimeoutError, ConnectionError):
+                # asyncio.TimeoutError covers aiohttp.ServerTimeoutError AND
+                # the plain timeout a ClientTimeout raises mid-read (the
+                # subclassing goes ServerTimeoutError -> asyncio.TimeoutError,
+                # not the other way)
                 b.healthy = False  # re-probed by the health loop
                 if resp is not None and resp.prepared:
                     # Bytes already went to the client: failing over would
@@ -225,16 +256,24 @@ class Router:
 
     async def fanout(self, request: web.Request) -> web.Response:
         """Broadcast a control-plane request (weight switches) to all
-        backends; succeeds only if every healthy backend succeeded."""
+        backends; succeeds only if every healthy backend succeeded.
+        Unhealthy backends are reported as deferred — the desired state is
+        recorded and replayed by the health loop before they rejoin
+        (``_resync``), so a host that was down during the broadcast cannot
+        come back serving the old model."""
         body = await request.read()
+        path = request.rel_url.path_qs.split("?")[0]
+        headers = self._fwd_headers(request)
+        self._control_log[path] = (request.method,
+                                   dict(request.rel_url.query), body, headers)
         results = {}
 
         async def one(b: Backend):
             try:
                 async with self._session.request(
-                        request.method, b.url + request.rel_url.path_qs.split("?")[0],
+                        request.method, b.url + path,
                         params=request.rel_url.query, data=body or None,
-                        headers=self._fwd_headers(request)) as r:
+                        headers=headers) as r:
                     results[b.url] = {"status": r.status,
                                       "body": await r.text()}
             except Exception as e:
@@ -242,18 +281,36 @@ class Router:
                 b.healthy = False
 
         await asyncio.gather(*(one(b) for b in self.backends if b.healthy))
-        ok = all(v["status"] == 200 for v in results.values()) and results
+        for b in self.backends:
+            if b.url not in results:
+                results[b.url] = {"status": 0,
+                                  "body": "deferred: unhealthy, will resync "
+                                          "on recovery"}
+        ok = all(v["status"] in (200,) or "deferred" in v["body"]
+                 for v in results.values()) and any(
+            v["status"] == 200 for v in results.values())
         return web.json_response({"ok": bool(ok), "backends": results},
                                  status=200 if ok else 502)
 
     async def health(self, request: web.Request) -> web.Response:
-        await self._probe_all()
+        """Serves the health loop's CACHED snapshot: a fresh fan-out per
+        poll would multiply probe load on the backends and make the
+        router's own /health block behind a hung backend's 5 s probe
+        timeout.  ``?probe=1`` forces a live sweep; a never-probed state
+        (start racing the first poll) probes once."""
+        if request.query.get("probe") or not any(
+                b.last_checked for b in self.backends):
+            await self._probe_all()
+        now = time.monotonic()
         return web.json_response({
             "status": "ok" if any(b.healthy for b in self.backends)
             else "degraded",
             "backends": [{
                 "url": b.url, "healthy": b.healthy,
-                "outstanding": b.outstanding, "health": b.last_health,
+                "outstanding": b.outstanding,
+                "checked_s_ago": round(now - b.last_checked, 1)
+                if b.last_checked else None,
+                "health": b.last_health,
             } for b in self.backends],
         })
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import asyncio
 import base64
 import functools
+import hashlib
 import io
 import json
 import logging
@@ -50,6 +51,16 @@ CUT_METHOD2MINLEN = {"cut0": 999, "cut1": 50, "cut2": 50, "cut3": 20,
                      "cut4": 20, "cut5": 10}
 
 AUDIO_DIR = Path(tempfile.gettempdir()) / "gsv_tts_tpu_audio"
+
+
+_FALSY = (False, 0, "0", None, "", "false", "False")
+
+
+def truthy(v) -> bool:
+    """JSON bool fields arrive as strings from some clients — treat
+    "false"/"0" as off (same tuple api_v2's GET parsing uses) instead of
+    ``bool("false") is True`` silently enabling the option."""
+    return v not in _FALSY
 
 
 def is_url(path: str) -> bool:
@@ -182,12 +193,37 @@ class TTSServer:
 
     async def _download_audio(self, url: str) -> str:
         suffix = os.path.splitext(url.split("?")[0])[1] or ".wav"
-        out = AUDIO_DIR / f"dl_{uuid.uuid4().hex}{suffix}"
+        # URL-keyed cache: repeated requests for the same reference clip
+        # reuse the file instead of growing AUDIO_DIR unboundedly
+        key = hashlib.sha1(url.encode()).hexdigest()[:24]
+        out = AUDIO_DIR / f"dl_{key}{suffix}"
+        if out.exists():
+            out.touch()  # keep hot entries past the TTL sweep
+            return str(out)
+        self._sweep_audio_dir()
         async with aiohttp.ClientSession() as session:
             async with session.get(url) as resp:
                 resp.raise_for_status()
-                out.write_bytes(await resp.read())
+                tmp = out.with_suffix(out.suffix + f".{uuid.uuid4().hex}.part")
+                tmp.write_bytes(await resp.read())
+                tmp.replace(out)  # atomic: concurrent same-URL requests race safely
         return str(out)
+
+    @staticmethod
+    def _sweep_audio_dir(ttl_s: float = 3600.0):
+        """Drop downloads/batch results older than ``ttl_s`` — without this
+        a long-running server fills the tempdir (one file per URL prompt
+        and per batched text, ~1 MB each, never removed)."""
+        cutoff = time.time() - ttl_s
+        try:
+            for f in AUDIO_DIR.iterdir():
+                try:
+                    if f.stat().st_mtime < cutoff:
+                        f.unlink()
+                except OSError:
+                    pass
+        except OSError:
+            pass
 
     async def _resolve_audio(self, path: str) -> str:
         if is_url(path):
@@ -198,7 +234,10 @@ class TTSServer:
         if prompt_text:
             return prompt_text
         if self.asr_fn is not None:
-            text = self.asr_fn(prompt_audio)
+            # the ASR backend is a blocking network round-trip — off the
+            # event loop, or every concurrent stream stalls for its RTT
+            text = await asyncio.get_running_loop().run_in_executor(
+                None, self.asr_fn, prompt_audio)
             if text:
                 return text
         raise web.HTTPBadRequest(
@@ -253,10 +292,11 @@ class TTSServer:
         t0 = time.perf_counter()
         first = True
         total_len = 0
+        agen = None
         try:
             kw = dict(
-                return_subtitles=bool(req.get("return_subtitles", False)),
-                is_cut_text=bool(req.get("is_cut_text", True)),
+                return_subtitles=truthy(req.get("return_subtitles", False)),
+                is_cut_text=truthy(req.get("is_cut_text", True)),
                 cut_minlen=int(req.get("cut_minlen", 10)),
                 cut_mute=float(req.get("cut_mute", 0.3)),
                 stream_chunk=int(req.get("stream_chunk", 25)),
@@ -269,7 +309,7 @@ class TTSServer:
                 speed=float(req.get("speed", 1.0)),
                 debug=False,
             )
-            if bool(req.get("shared", self.stream_share)):
+            if truthy(req.get("shared", self.stream_share)):
                 # shared wave: concurrent SSE clients decode in one batched
                 # kernel wave (sentence mode maps to a huge chunk as in
                 # infer_stream; boost_first_chunk has no batched analogue)
@@ -287,7 +327,7 @@ class TTSServer:
                     prompt_audio_text=prompt_text,
                     text=req["text"],
                     stream_mode=req.get("stream_mode", "token"),
-                    boost_first_chunk=bool(req.get("boost_first_chunk", True)),
+                    boost_first_chunk=truthy(req.get("boost_first_chunk", True)),
                     **kw)
             async for clip in agen:
                 if first:
@@ -306,10 +346,22 @@ class TTSServer:
                     f"event: audio\ndata: {json.dumps(chunk, ensure_ascii=False)}\n\n".encode())
             done = {"total_duration": total_len / self.tts.samplerate}
             await resp.write(f"event: done\ndata: {json.dumps(done)}\n\n".encode())
+        except (ConnectionResetError, ConnectionError,
+                aiohttp.ClientConnectionError) as e:
+            # routine client disconnect, NOT an inference error: stop the
+            # generator (its cancel_event detaches the synthesis worker)
+            # and don't write to the dead socket again
+            logging.info("client disconnected mid-stream: %s", e)
+            if agen is not None:
+                await agen.aclose()
+            return resp
         except Exception as e:  # noqa: BLE001
             logging.exception("stream inference error")
             err = {"error": str(e)}
-            await resp.write(f"event: error\ndata: {json.dumps(err, ensure_ascii=False)}\n\n".encode())
+            try:
+                await resp.write(f"event: error\ndata: {json.dumps(err, ensure_ascii=False)}\n\n".encode())
+            except (ConnectionResetError, ConnectionError):
+                return resp
         await resp.write_eof()
         return resp
 
@@ -338,8 +390,8 @@ class TTSServer:
                 prompt_audio_paths=prompt_audio,
                 prompt_audio_texts=prompt_text,
                 texts=req["texts"],
-                return_subtitles=bool(req.get("return_subtitles", False)),
-                is_cut_text=bool(req.get("is_cut_text", True)),
+                return_subtitles=truthy(req.get("return_subtitles", False)),
+                is_cut_text=truthy(req.get("is_cut_text", True)),
                 cut_minlen=int(req.get("cut_minlen", 10)),
                 cut_mute=float(req.get("cut_mute", 0.3)),
                 stream_chunk=int(req.get("stream_chunk", 25)),
@@ -368,10 +420,18 @@ class TTSServer:
                 await resp.write(
                     f"event: audio\ndata: {json.dumps(chunk, ensure_ascii=False)}\n\n".encode())
             await resp.write(f"event: done\ndata: {{}}\n\n".encode())
+        except (ConnectionResetError, ConnectionError,
+                aiohttp.ClientConnectionError) as e:
+            logging.info("client disconnected mid-stream: %s", e)
+            await agen.aclose()
+            return resp
         except Exception as e:  # noqa: BLE001
             logging.exception("batched stream inference error")
             err = {"error": str(e)}
-            await resp.write(f"event: error\ndata: {json.dumps(err, ensure_ascii=False)}\n\n".encode())
+            try:
+                await resp.write(f"event: error\ndata: {json.dumps(err, ensure_ascii=False)}\n\n".encode())
+            except (ConnectionResetError, ConnectionError):
+                return resp
         await resp.write_eof()
         return resp
 
@@ -387,8 +447,8 @@ class TTSServer:
             prompt_audio_paths=prompt_audio,
             prompt_audio_texts=prompt_text,
             texts=req["texts"],
-            return_subtitles=bool(req.get("return_subtitles", False)),
-            is_cut_text=bool(req.get("is_cut_text", True)),
+            return_subtitles=truthy(req.get("return_subtitles", False)),
+            is_cut_text=truthy(req.get("is_cut_text", True)),
             cut_minlen=int(req.get("cut_minlen", 10)),
             cut_mute=float(req.get("cut_mute", 0.3)),
             top_k=int(req.get("top_k", 15)),
@@ -401,6 +461,7 @@ class TTSServer:
         self.timings.record("batched_s", time.perf_counter() - t0)
 
         results = []
+        self._sweep_audio_dir()
         for i, clip in enumerate(clips):
             fname = f"batch_{uuid.uuid4().hex}_{i}.wav"
             from ..utils.audio_io import save_wav
@@ -551,23 +612,42 @@ class TTSServer:
         path = request.query.get("weights_path")
         if not path:
             raise web.HTTPBadRequest(text="weights_path is required")
-        # load FIRST, unload the old models only on success: unload-first
-        # left the server model-less after a bad path / corrupt checkpoint
-        # (and the router fans this out, so one bad switch broke the fleet)
-        old = [m for m in self.tts.get_gpt_list() if str(m) != str(path)]
-        self.tts.load_gpt_model(path)
-        for model in old:
-            self.tts.unload_gpt_model(model)
+
+        def switch():
+            # serialize against in-flight inference: a request that just
+            # resolved the default model must not see it vanish mid-call.
+            # (Active SHARED-wave streams on the old model are still
+            # aborted by unload — an explicit weight switch supersedes
+            # them.)  Load FIRST, unload only on success: unload-first
+            # left the server model-less after a corrupt checkpoint, and
+            # the router fans this out fleet-wide.
+            with self.tts._infer_lock:
+                old = [m for m in self.tts.get_gpt_list()
+                       if str(m) != str(path)]
+                self.tts.load_gpt_model(path)
+                for model in old:
+                    self.tts.unload_gpt_model(model)
+
+        # checkpoint load + device upload takes seconds — NEVER on the
+        # event loop (every SSE stream and /health would stall past the
+        # router's probe timeout, fleet-wide since the switch is fanned out)
+        await asyncio.get_running_loop().run_in_executor(None, switch)
         return web.json_response({"message": "success"})
 
     async def set_sovits_weights(self, request: web.Request) -> web.Response:
         path = request.query.get("weights_path")
         if not path:
             raise web.HTTPBadRequest(text="weights_path is required")
-        old = [m for m in self.tts.get_sovits_list() if str(m) != str(path)]
-        self.tts.load_sovits_model(path)
-        for model in old:
-            self.tts.unload_sovits_model(model)
+
+        def switch():
+            with self.tts._infer_lock:
+                old = [m for m in self.tts.get_sovits_list()
+                       if str(m) != str(path)]
+                self.tts.load_sovits_model(path)
+                for model in old:
+                    self.tts.unload_sovits_model(model)
+
+        await asyncio.get_running_loop().run_in_executor(None, switch)
         return web.json_response({"message": "success"})
 
 

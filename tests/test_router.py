@@ -165,6 +165,63 @@ def test_router_fanout_weight_switch():
     run_async(go)
 
 
+def test_router_resyncs_weights_when_backend_recovers():
+    """A backend that is down during a weight-switch broadcast must have
+    the desired weights replayed BEFORE it is re-marked healthy — else it
+    rejoins the fleet serving the old model (the fanout reports it as
+    deferred, not as a failure)."""
+    async def go():
+        state = {"down": True}
+        b_calls = {"weights": 0}
+
+        async def flaky_health(request):
+            if state["down"]:
+                raise web.HTTPInternalServerError(text="restarting")
+            return web.json_response({"status": "ok"})
+
+        async def weights(request):
+            b_calls["weights"] += 1
+            return web.json_response({
+                "message": "success",
+                "path": request.query.get("weights_path")})
+
+        flaky = web.Application()
+        flaky.router.add_get("/health", flaky_health)
+        flaky.router.add_get("/set_gpt_weights", weights)
+
+        ok_b = make_backend("ok")
+        s1, s2 = TestServer(ok_b), TestServer(flaky)
+        await s1.start_server()
+        await s2.start_server()
+        app = create_router_app([str(s1.make_url("")), str(s2.make_url(""))],
+                                health_interval=3600)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            from gsv_tts_tpu.serving.router import ROUTER_KEY
+            router = app[ROUTER_KEY]
+            await router._probe_all()  # marks the flaky backend down
+            r = await client.get("/set_gpt_weights",
+                                 params={"weights_path": "/new.ckpt"})
+            data = await r.json()
+            # broadcast succeeds with the down backend deferred
+            assert r.status == 200 and data["ok"], data
+            assert "deferred" in data["backends"][
+                str(s2.make_url("")).rstrip("/")]["body"]
+            assert b_calls["weights"] == 0
+            # backend comes back: the next probe must replay the switch
+            state["down"] = False
+            await router._probe_all()
+            assert b_calls["weights"] == 1, "desired weights not resynced"
+            assert all(b.healthy for b in router.backends)
+        finally:
+            await client.close()
+            await s1.close()
+            await s2.close()
+
+    run_async(go)
+
+
 def test_router_all_down_returns_503():
     async def go():
         app = create_router_app(["http://127.0.0.1:1", "http://127.0.0.1:2"],
