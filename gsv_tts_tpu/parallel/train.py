@@ -23,7 +23,7 @@ F32 = jnp.float32
 
 
 def t2s_loss(params, cfg: T2SConfig, x_ids, y_ids, bert, x_lens, y_lens,
-             dtype=jnp.bfloat16, remat: bool = False):
+             dtype=jnp.bfloat16, remat: bool = False, seq_mesh=None):
     """Next-semantic-token CE over the audio block (+EOS at the end).
 
     x_ids [B, Lx] phonemes, y_ids [B, Ly] target semantic tokens.
@@ -38,6 +38,17 @@ def t2s_loss(params, cfg: T2SConfig, x_ids, y_ids, bert, x_lens, y_lens,
     B, Ly = y_ids.shape
     xy_pos, mask, _ = t2s_model.embed_prompt_batch(
         params, cfg, x_ids, y_ids, bert, x_lens, y_lens, dtype)
+    if seq_mesh is not None:
+        # sequence parallelism, the GSPMD way: constrain the packed-prompt
+        # activations to shard their TIME axis over ``tp`` (batch stays on
+        # ``dp``) and let XLA place the attention all-gathers on ICI.  For
+        # long-prompt training this bounds the [B, T, D] activation (and
+        # the [B, H, T, T] score block) per chip; a parity test pins
+        # loss/grads against the unsharded step.
+        from jax.sharding import NamedSharding, PartitionSpec as SP
+
+        xy_pos = jax.lax.with_sharding_constraint(
+            xy_pos, NamedSharding(seq_mesh, SP("dp", "tp")))
     fwd = t2s_model.transformer_prefill
     if remat:
         fwd = jax.checkpoint(fwd, static_argnums=(1,))
@@ -63,7 +74,7 @@ def t2s_loss(params, cfg: T2SConfig, x_ids, y_ids, bert, x_lens, y_lens,
 
 
 def make_train_step(cfg: T2SConfig, optimizer: optax.GradientTransformation,
-                    dtype=jnp.bfloat16, remat: bool = False):
+                    dtype=jnp.bfloat16, remat: bool = False, seq_mesh=None):
     """Returns a jittable (params, opt_state, batch) -> (params, opt_state,
     loss) step.  Shard params/batch before jitting (``parallel/mesh.py``);
     GSPMD handles the tp all-reduces and dp gradient psum."""
@@ -72,7 +83,7 @@ def make_train_step(cfg: T2SConfig, optimizer: optax.GradientTransformation,
         loss, grads = jax.value_and_grad(
             lambda p: t2s_loss(p, cfg, batch["x_ids"], batch["y_ids"],
                                batch["bert"], batch["x_lens"], batch["y_lens"],
-                               dtype, remat=remat))(params)
+                               dtype, remat=remat, seq_mesh=seq_mesh))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -220,3 +220,31 @@ def test_remat_grads_match():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_seq_parallel_train_step_matches_single_device():
+    """sp (sequence/context parallelism): the ``seq_mesh`` constraint shards
+    the packed-prompt TIME axis over ``tp`` — loss and updated params must
+    match the unsharded step (GSPMD inserts the attention gathers)."""
+    import optax
+
+    params = t2s_model.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    optimizer = optax.sgd(1.0)
+    batch = _batch(4, Lx=16, Ly=16, seed=3)
+
+    step = jax.jit(make_train_step(CFG, optimizer, dtype=jnp.float32))
+    p1, _, loss1 = step(params, optimizer.init(params), batch)
+
+    mesh = pmesh.make_mesh(8, dp=2, tp=4)
+    sp = pmesh.shard_t2s_params(params, mesh)
+    so = jax.device_put(optimizer.init(params), pmesh.replicated(mesh))
+    sb = {k: jax.device_put(v, pmesh.batch_sharding(mesh))
+          for k, v in batch.items()}
+    step_sp = jax.jit(make_train_step(CFG, optimizer, dtype=jnp.float32,
+                                      seq_mesh=mesh))
+    p2, _, loss2 = step_sp(sp, so, sb)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)
