@@ -663,6 +663,11 @@ def bench_breakdown_b4(B: int = 4, chunk: int = 25, bucket: int = 512,
         ("wblk128", "fused_step:wblk128", base),
         ("q8_wblk128", "fused_step_q8:wblk128", base),
         ("q8_wblk256", "fused_step_q8:wblk256", base),
+        # shared-max online softmax + selector-matmul segment sums (the
+        # per-row VPU bookkeeping residue lever; numerics-adjacent, opt-in)
+        ("shared_sm", "fused_step:shsm", base),
+        ("q8_shared_sm", "fused_step_q8:shsm", base),
+        ("q8_shared_sm128", "fused_step_q8:shsm128", base),
     ]
     out = {}
     for name, impl, sa in modes:

@@ -934,7 +934,7 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
                      w_sem, ws_sem, b_sem, pw_sem, kv_sem, row_sem, win_rsem,
                      win_wsem,
                      *, B, L, S, H, D, M, V, Vp, CHV, block_s, sa, suppressed,
-                     quant=False, ablate=None, eps=1e-5):
+                     quant=False, ablate=None, softmax="rows", eps=1e-5):
     # measurement-only ablations (bench.py --breakdown-b4): same modes as
     # the B=1 kernel — attribute the per-step time between the weight
     # stream, the strided walk, the MXU chain, and the per-row VPU tails
@@ -958,6 +958,30 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
     for b in range(1, B):
         max_len = jnp.maximum(max_len, lengths[b])
     n_blocks = pl.cdiv(max_len, block_s)
+
+    # softmax="shared" (r3 residue lever, opt-in): ONE running max per head
+    # across all B rows kills the per-row [1, H] m/l slice-and-concat loops
+    # — the per-row sums become two selector matmuls on the MXU.  Exact in
+    # ℝ (the stability shift cancels row-wise); in f32 a row whose scores
+    # sit > ~80 below another row's max underflows its exp terms, so tokens
+    # are NOT bit-identical to the per-row path (scores are O(10) in
+    # practice; parity tests bound the probability delta instead).
+    shared_sm = softmax == "shared"
+    if shared_sm:
+        # [B, B·block] 0/1 selector: sel[b, j] = (j // block_s == b) — the
+        # segment-sum over each row's block slice as one MXU contraction
+        sel_bj = (jax.lax.broadcasted_iota(jnp.int32, (B, B * block_s), 1)
+                  // block_s ==
+                  jax.lax.broadcasted_iota(jnp.int32, (B, B * block_s), 0)
+                  ).astype(F32)
+        # per-position row lengths / in-block offsets, stacked b-major to
+        # match the [B, block, D] walk buffer layout
+        len_rep = jnp.concatenate(
+            [jnp.broadcast_to(jnp.reshape(lengths[b], (1, 1)),
+                              (block_s, 1)) for b in range(B)], axis=0)
+        sidx_rep = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (B * block_s, 1), 0),
+            block_s)
 
     def start_layer_load(layer, slot):
         pltpu.make_async_copy(w_packed_ref.at[layer], w_all.at[slot],
@@ -1122,6 +1146,23 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
             vb_all = kv_vmem[slot_b, 1].reshape(B * block_s, D).astype(F32)
             scores_all = jnp.dot(kb_all * q_rep, pool,
                                  preferred_element_type=F32) * scale
+            if shared_sm:
+                # one shared max per head; per-row sums via selector matmuls
+                valid_all = (sidx_rep + start) < len_rep  # [B·block, 1]
+                scores_m = jnp.where(valid_all, scores_all, NEG)
+                m_new = jnp.maximum(m, jnp.max(scores_m, axis=0,
+                                               keepdims=True))  # [1, H]
+                corr = jnp.exp(m - m_new)                       # [1, H]
+                p_all = jnp.where(valid_all,
+                                  jnp.exp(scores_all - m_new), 0.0)
+                l_new = l * corr + jnp.dot(sel_bj, p_all,
+                                           preferred_element_type=F32)
+                pv_all = jnp.dot(p_all, poolT,
+                                 preferred_element_type=F32) * vb_all
+                corr_exp = jnp.dot(corr, poolT, preferred_element_type=F32)
+                acc_new = acc * corr_exp + jnp.dot(
+                    sel_bj, pv_all, preferred_element_type=F32)
+                return (m_new, l_new, acc_new)
             m_rows, corr_rows, p_rows = [], [], []
             for b in range(B):
                 sc = scores_all[b * block_s:(b + 1) * block_s]  # [block, H]
@@ -1148,7 +1189,7 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
                     jnp.concatenate(l_rows, axis=0),
                     jnp.concatenate(acc_rows, axis=0))
 
-        m0 = jnp.full((B, H), NEG, F32)
+        m0 = jnp.full((1 if shared_sm else B, H), NEG, F32)
         l0 = jnp.zeros((B, H), F32)
         acc0 = jnp.zeros((B, D), F32)
         m, l, acc = jax.lax.fori_loop(0, n_blocks, blk, (m0, l0, acc0))
@@ -1156,7 +1197,11 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
         # fold the new token's own K/V (vectorized across rows: (q·k_new)
         # per head via the pooling matmul)
         s_self = jnp.dot(q * k_new, pool, preferred_element_type=F32) * scale
-        m_new = jnp.maximum(m, s_self)
+        if shared_sm:
+            # keep the max shared: reduce s_self over rows before the fold
+            m_new = jnp.maximum(m, jnp.max(s_self, axis=0, keepdims=True))
+        else:
+            m_new = jnp.maximum(m, s_self)
         corr = jnp.exp(m - m_new)
         p_self = jnp.exp(s_self - m_new)
         l = l * corr + p_self  # [B, H]
@@ -1316,7 +1361,8 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
                                      suppress_until: int = 0,
                                      suppressed=(), interpret: bool = False,
                                      quant: bool = False, ablate=None,
-                                     block_s: int = None):
+                                     block_s: int = None,
+                                     softmax: str = "rows"):
     """One FULL batched decode step in a single kernel launch: per-row
     embedding, all layers (weights streamed once, amortized over B), the
     logits head, and per-row sampling.
@@ -1331,6 +1377,13 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
     if ablate in ("wblk128", "wblk256"):
         # DMA-issue-count experiment: fewer, bigger strided walk DMAs
         block_s = int(ablate[4:])
+        ablate = None
+    elif ablate and ablate.startswith("shsm"):
+        # shared-max online softmax (see _kernel_sample_b), optionally with
+        # an explicit walk block: "shsm" / "shsm128"
+        softmax = "shared"
+        if len(ablate) > 4:
+            block_s = int(ablate[4:])
         ablate = None
     L, B, S, H, Dh = k_cache.shape
     # the walk's pl.ds windows and the 128-row tok_buf sweep both
@@ -1405,7 +1458,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
         _kernel_sample_b, B=B, L=L, S=S, H=H, D=D, M=M, V=V, Vp=Vp, CHV=CHV,
         block_s=block_s, sa=sa,
         suppressed=tuple(suppressed) if suppress_until else (),
-        quant=quant, ablate=ablate)
+        quant=quant, ablate=ablate, softmax=softmax)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -601,3 +601,114 @@ def test_prefill_flash_token_parity():
     a, b = outs["xla"], outs["fused_step_interpret"]
     n = min(len(a), len(b), 30)
     np.testing.assert_array_equal(a[:n], b[:n])
+
+def test_fused_batched_shared_softmax_matches_rows():
+    """softmax="shared" (one running max per head across slots + selector
+    matmul segment sums) vs the per-row bookkeeping path AND the XLA+ops
+    oracle: filtered probabilities must agree to f32-reorder tolerance on
+    ragged kv lengths (incl. a frozen kv_len=0 slot)."""
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig, transformer_decode_step
+    from gsv_tts_tpu.ops import sampling
+    from gsv_tts_tpu.ops.fused_step import fused_decode_step_sample_batched
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs
+
+    cfg = T2SConfig(hidden_dim=128, embedding_dim=128, num_heads=4, num_layers=2,
+                    vocab_size=101, phoneme_vocab_size=50, eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(11)
+    L, B, S, H, Dh = 2, 4, 128, 4, 32
+    kc = jnp.asarray(rng.randn(L, B, S, H, Dh).astype(np.float32) * 0.3)
+    vc = jnp.asarray(rng.randn(L, B, S, H, Dh).astype(np.float32) * 0.3)
+    kv_len = jnp.asarray([100, 40, 7, 0], jnp.int32)
+    x_len = jnp.asarray([12, 12, 3, 5], jnp.int32)
+    last_tok = jnp.asarray([17, 55, 99, 0], jnp.int32)
+    tok_buf = np.full((B, S), cfg.vocab_size, np.int32)
+    tok_buf[0, :60] = rng.randint(0, 100, size=(60,))
+    tok_buf[1, :30] = rng.randint(0, 100, size=(30,))
+    buf_len = jnp.asarray([60, 30, 5, 0], jnp.int32)
+    step_idx = jnp.asarray([5, 8, 20, 3], jnp.int32)
+    g = jnp.zeros((B, 128), jnp.float32)
+    sa = SampleArgs(top_k=15, top_p=0.9, temperature=1.0,
+                    repetition_penalty=1.35, use_prev=True)
+
+    outs = {}
+    for mode in ("rows", "shared"):
+        tok, row, kc2, vc2 = fused_decode_step_sample_batched(
+            params, kc, vc, jnp.asarray(tok_buf),
+            kv_len, x_len, last_tok, buf_len, step_idx, g,
+            sa=sa, suppress_until=10,
+            suppressed=cfg.suppressed_tokens + (cfg.eos,),
+            interpret=True, softmax=mode)
+        outs[mode] = (np.asarray(tok), np.asarray(row),
+                      np.asarray(kc2), np.asarray(vc2))
+
+    # caches agree to f32 rounding (layer > 0 rows pass through layer 0's
+    # attention output, which differs by ulps between the two softmax
+    # bookkeeping orders; history rows are untouched either way)
+    np.testing.assert_allclose(outs["rows"][2], outs["shared"][2],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs["rows"][3], outs["shared"][3],
+                               rtol=1e-5, atol=1e-6)
+
+    p_rows = jax.nn.softmax(jnp.asarray(outs["rows"][1][:, :cfg.vocab_size]))
+    p_shared = jax.nn.softmax(jnp.asarray(outs["shared"][1][:, :cfg.vocab_size]))
+    np.testing.assert_allclose(np.asarray(p_shared), np.asarray(p_rows),
+                               rtol=5e-4, atol=5e-6)
+
+    # and against the XLA + ops/sampling oracle
+    pe_idx = jnp.maximum(kv_len - x_len, 0)
+    pe = (params["audio_pos_alpha"] * params["pe"][pe_idx])
+    xin = jnp.take(params["audio_emb"], last_tok, axis=0) + pe
+    h, _, _ = transformer_decode_step(params, cfg, xin, kc, vc, kv_len, "xla")
+    logits = (h @ params["predict_w"]).astype(jnp.float32)
+    sup = jnp.asarray(cfg.suppressed_tokens + (cfg.eos,))
+    neg = jnp.full((len(sup),), -jnp.inf)
+    logits = jnp.where((step_idx < 10)[:, None],
+                       jax.vmap(lambda l: l.at[sup].set(neg))(logits), logits)
+    probs_ref = sampling.logits_to_probs(
+        logits, jnp.asarray(tok_buf), temperature=sa.temperature,
+        top_k=sa.top_k, top_p=sa.top_p,
+        repetition_penalty=sa.repetition_penalty)
+    np.testing.assert_allclose(np.asarray(p_shared), np.asarray(probs_ref),
+                               rtol=5e-4, atol=5e-6)
+
+def test_decode_chunk_shared_softmax_chain():
+    """Full decode_chunk chains under softmax="shared" (impl suffix
+    ":shsm"), bf16-path layout aside: greedy tokens match the per-row
+    kernel on a bounded prefix (near-ties deep in a chain may flip on the
+    shared-max exp reordering — CLAUDE.md cross-impl parity rule), and the
+    q8+shared combination stays consistent with q8 rows."""
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs, decode_chunk, prefill_batch
+
+    cfg = T2SConfig(hidden_dim=128, embedding_dim=128, num_heads=4, num_layers=2,
+                    vocab_size=101, phoneme_vocab_size=50, eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    B = 3
+    x = jnp.asarray(rng.randint(1, 50, (B, 12)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 100, (B, 7)), jnp.int32)
+    bert = jnp.zeros((B, 12, cfg.bert_dim), jnp.float32)
+    x_lens = jnp.asarray([12, 9, 5], jnp.int32)
+    y_lens = jnp.asarray([7, 3, 6], jnp.int32)
+    sa = SampleArgs(top_k=1, repetition_penalty=1.0, use_prev=False)
+
+    def run(impl):
+        shape = (cfg.num_layers, B, 128, cfg.num_heads, cfg.head_dim)
+        st, _ = prefill_batch(params, cfg, x, y, bert, x_lens, y_lens,
+                              jnp.zeros(shape, jnp.float32),
+                              jnp.zeros(shape, jnp.float32),
+                              jax.random.PRNGKey(1), sa, False, "float32")
+        st, toks = decode_chunk(params, cfg, st, 10, sa, 0, "float32", impl)
+        return np.asarray(toks)
+
+    rows = run("fused_step_interpret")
+    shared = run("fused_step_interpret:shsm")
+    assert rows.shape == shared.shape
+    np.testing.assert_array_equal(rows[:, :4], shared[:, :4])
+
+    q8_rows = run("fused_step_q8_interpret")
+    q8_shared = run("fused_step_q8_interpret:shsm")
+    np.testing.assert_array_equal(q8_rows[:, :4], q8_shared[:, :4])
