@@ -619,7 +619,7 @@ def bench_vocoder_breakdown(frames25: int = 25, n_text: int = 30,
 
 
 def bench_breakdown_b4(B: int = 4, chunk: int = 25, bucket: int = 512,
-                       n_chunks: int = 12, reps: int = 3):
+                       n_chunks: int = 12, reps: int = 3, only=None):
     """B=4 step attribution (the serving workhorse): same ablation method
     as the B=1 breakdown, on the batched whole-step kernel.  Attributes
     the ~0.5 ms/step between the packed weight stream (amortized over B),
@@ -670,6 +670,12 @@ def bench_breakdown_b4(B: int = 4, chunk: int = 25, bucket: int = 512,
         ("q8_shared_sm128", "fused_step_q8:shsm128", base),
     ]
     out = {}
+    if only:
+        # compile-risk isolation (CLAUDE.md tunnel-fragility rule): run ONE
+        # novel variant per subprocess with a hard timeout, e.g.
+        #   timeout 600 python -c "from bench import bench_breakdown_b4; \
+        #       print(bench_breakdown_b4(only=['shared_sm']))"
+        modes = [m for m in modes if m[0] in only]
     for name, impl, sa in modes:
         try:
             best = None
@@ -864,6 +870,17 @@ def main():
                      q8_b4_agg_tok_s=round(q4["agg_tok_s"], 0))
     except Exception as e:  # noqa: BLE001
         print(f"# q8 bench failed: {e}", file=sys.stderr)
+    try:
+        # shared-max softmax variants (":shsm"): the B=4 head-to-head and
+        # the B=8 wave the q8+shared combo newly gates (rows/bf16 stop at 6)
+        s4 = bench_batched_decode(impl="fused_step_q8:shsm")
+        s8 = bench_batched_decode(B=8, impl="fused_step_q8:shsm")
+        print(f"# q8+shared_sm: B=4 {s4['agg_tok_s']:.0f} agg tok/s, "
+              f"B=8 {s8['agg_tok_s']:.0f} agg tok/s", file=sys.stderr)
+        extra.update(q8_shsm_b4_agg_tok_s=round(s4["agg_tok_s"], 0),
+                     q8_shsm_b8_agg_tok_s=round(s8["agg_tok_s"], 0))
+    except Exception as e:  # noqa: BLE001
+        print(f"# q8 shared-sm bench failed: {e}", file=sys.stderr)
     if not args.skip_sharded:
         try:
             sh = bench_sharded_decode()

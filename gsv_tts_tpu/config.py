@@ -61,6 +61,11 @@ class Config:
     # shift by the int8 rounding error (opt-in — token streams are NOT
     # bit-identical to the bf16 engine)
     quant_t2s: bool = False
+    # "shared": shared-max online softmax in the batched decode kernel
+    # (":shsm" impl suffix) — kills the per-row VPU bookkeeping and, with
+    # quant_t2s, gates B = 7/8 waves.  Tokens differ from the per-row path
+    # by f32 exp reordering (opt-in, like quant_t2s).
+    t2s_softmax: str = "rows"
     gpt_cache: list = None
     sovits_cache: list = None
     cnroberta: Any = None  # lazily-attached BERT featurizer (see models/roberta.py)

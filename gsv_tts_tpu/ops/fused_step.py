@@ -1390,10 +1390,15 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
     # require a 128-multiple bucket (pl.ds CLAMPS out-of-range starts,
     # silently double-counting rows instead of erroring)
     assert S % 128 == 0, f"cache bucket length {S} must be a multiple of 128"
-    # B = 7/8 exceeds the 16 MiB scoped-vmem budget at flagship dims (the
-    # 2-slot weight scratch alone is 12 MiB) — decode_chunk falls back to
-    # flash+XLA above B = 6, which measured scaling favors anyway
-    assert 1 <= B <= 6, "batched whole-step kernel supports at most 6 slots"
+    # B = 7/8 exceeds the 16 MiB scoped-vmem budget at flagship dims with
+    # bf16 weight pages (the 2-slot scratch alone is 12 MiB) — decode_chunk
+    # falls back to flash+XLA above B = 6.  The q8 + shared-softmax combo
+    # lifts both blockers (6.3 MiB pages; no per-row VPU loops to pad
+    # 6→8 sublanes), so it may gate up to a B = 8 wave.
+    max_b = 8 if (quant and softmax == "shared") else 6
+    assert 1 <= B <= max_b, (
+        f"batched whole-step kernel supports at most {max_b} slots "
+        f"(quant={quant}, softmax={softmax})")
     D = H * Dh
     layers = params["layers"]
     M = layers["mlp1_w"].shape[-1]
@@ -1416,6 +1421,11 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
             # on 128-row walk blocks (fewer strided DMA issues — measured
             # +5% at B=4 on v5e; bf16 B=4 at block 128 OOMs scoped vmem)
             block_s = min(BLOCK_S, S)
+        elif quant:
+            # q8 B = 5..8 (shared softmax): 64-row blocks keep the walk
+            # scratch at ~2 MB so the whole config stays under the 16 MiB
+            # scoped-vmem default
+            block_s = min(64, S)
         else:
             block_s = min(BLOCK_S if B <= 2 else (64 if B <= 4 else
                                                   (32 if B <= 6 else 16)), S)

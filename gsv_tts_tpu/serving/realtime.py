@@ -174,9 +174,14 @@ def main():
     ap.add_argument("--quant-t2s", action="store_true",
                     help="int8 weight-streaming GPT decode (see the HTTP "
                          "server's flag of the same name)")
+    ap.add_argument("--t2s-softmax", choices=("rows", "shared"),
+                    default="rows",
+                    help="batched decode softmax bookkeeping (see the HTTP "
+                         "server's flag of the same name)")
     args = ap.parse_args()
 
-    tts = TTS(models_dir=args.models_dir, quant_t2s=args.quant_t2s)
+    tts = TTS(models_dir=args.models_dir, quant_t2s=args.quant_t2s,
+              t2s_softmax=args.t2s_softmax)
     if args.gpt:
         tts.load_gpt_model(args.gpt)
     if args.sovits:

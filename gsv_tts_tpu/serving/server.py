@@ -700,6 +700,13 @@ def main():
                          " ~+30-40%% B=1 / +10-17%% B=4 decode throughput on"
                          " TPU; sampled tokens shift by the int8 rounding"
                          " error vs the bf16 default")
+    ap.add_argument("--t2s-softmax", choices=("rows", "shared"),
+                    default="rows",
+                    help="batched decode kernel softmax bookkeeping: "
+                         "\"shared\" uses one running max per head across "
+                         "slots (with --quant-t2s it also gates B=7/8 "
+                         "waves); tokens shift by f32 exp reordering vs "
+                         "the per-row default")
     ap.add_argument("--stream-share", action="store_true",
                     help="route /tts/stream through the shared wave "
                          "scheduler by default: N independent SSE clients "
@@ -710,7 +717,7 @@ def main():
     args = ap.parse_args()
 
     tts = TTS(models_dir=args.models_dir, dtype=args.dtype,
-              quant_t2s=args.quant_t2s)
+              quant_t2s=args.quant_t2s, t2s_softmax=args.t2s_softmax)
     if args.gpt:
         tts.load_gpt_model(args.gpt)
     if args.sovits:

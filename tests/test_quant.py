@@ -185,3 +185,78 @@ def test_engine_generate_q8_interpret_end_to_end():
                                    rng=jax.random.PRNGKey(3))).ravel()
     assert toks.size >= 1
     assert (toks < cfg.eos).all()  # eos never leaks into the harvest
+
+
+def test_q8_shared_softmax_b8_wave():
+    """q8 + shared softmax gates a B=8 wave (bf16/rows stop at 6): the
+    one-step kernel probabilities at B=8 must match the XLA+ops oracle on
+    DEQUANTIZED weights, and a decode_chunk chain stays valid with a
+    bounded-prefix match (shared-max exp reorder may flip deep near-ties).
+    """
+    from gsv_tts_tpu.models.t2s import transformer_decode_step
+    from gsv_tts_tpu.ops import sampling
+    from gsv_tts_tpu.ops.fused_step import fused_decode_step_sample_batched
+
+    cfg, params = _tiny()
+    dq = _dequant_params(params)
+    rng = np.random.RandomState(13)
+    L, B, S, H, Dh = 2, 8, 128, 4, 32
+    kc = jnp.asarray(rng.randn(L, B, S, H, Dh).astype(np.float32) * 0.3)
+    vc = jnp.asarray(rng.randn(L, B, S, H, Dh).astype(np.float32) * 0.3)
+    kv_len = jnp.asarray([100, 90, 70, 40, 25, 13, 7, 0], jnp.int32)
+    x_len = jnp.asarray([12, 10, 12, 12, 9, 5, 3, 5], jnp.int32)
+    last_tok = jnp.asarray([17, 4, 55, 31, 88, 12, 99, 0], jnp.int32)
+    tok_buf = np.full((B, S), cfg.vocab_size, np.int32)
+    tok_buf[0, :60] = rng.randint(0, 100, size=(60,))
+    tok_buf[3, :20] = rng.randint(0, 100, size=(20,))
+    buf_len = jnp.asarray([60, 0, 0, 20, 0, 0, 0, 0], jnp.int32)
+    step_idx = jnp.asarray([5, 8, 20, 3, 7, 2, 30, 1], jnp.int32)
+    g = jnp.zeros((B, 128), jnp.float32)
+    sa = SampleArgs(top_k=15, top_p=0.9, temperature=1.0,
+                    repetition_penalty=1.35, use_prev=True)
+
+    tok, row, kc2, vc2 = fused_decode_step_sample_batched(
+        params, kc, vc, jnp.asarray(tok_buf),
+        kv_len, x_len, last_tok, buf_len, step_idx, g,
+        sa=sa, suppress_until=10,
+        suppressed=cfg.suppressed_tokens + (cfg.eos,),
+        interpret=True, quant=True, softmax="shared")
+    p_kernel = jax.nn.softmax(row[:, :cfg.vocab_size], axis=-1)
+
+    pe_idx = jnp.maximum(kv_len - x_len, 0)
+    pe = (dq["audio_pos_alpha"] * dq["pe"][pe_idx])
+    xin = jnp.take(dq["audio_emb"], last_tok, axis=0) + pe
+    h, _, _ = transformer_decode_step(dq, cfg, xin, kc, vc, kv_len, "xla")
+    logits = (h @ dq["predict_w"]).astype(jnp.float32)
+    sup = jnp.asarray(cfg.suppressed_tokens + (cfg.eos,))
+    neg = jnp.full((len(sup),), -jnp.inf)
+    logits = jnp.where((step_idx < 10)[:, None],
+                       jax.vmap(lambda l: l.at[sup].set(neg))(logits), logits)
+    probs_ref = sampling.logits_to_probs(
+        logits, jnp.asarray(tok_buf), temperature=sa.temperature,
+        top_k=sa.top_k, top_p=sa.top_p,
+        repetition_penalty=sa.repetition_penalty)
+    np.testing.assert_allclose(np.asarray(p_kernel), np.asarray(probs_ref),
+                               rtol=5e-4, atol=5e-6)
+
+    # full decode_chunk chain at B=8 through the ":shsm" impl suffix
+    xb = jnp.asarray(rng.randint(1, 50, (B, 12)), jnp.int32)
+    yb = jnp.asarray(rng.randint(0, 100, (B, 7)), jnp.int32)
+    bert = jnp.zeros((B, 12, cfg.bert_dim), jnp.float32)
+    x_lens = jnp.asarray([12, 9, 5, 12, 8, 6, 10, 7], jnp.int32)
+    y_lens = jnp.asarray([7, 3, 6, 2, 7, 4, 5, 3], jnp.int32)
+    sa_g = SampleArgs(top_k=1, repetition_penalty=1.0, use_prev=False)
+    shape = (cfg.num_layers, B, 128, cfg.num_heads, cfg.head_dim)
+
+    def chain(impl, p):
+        st, _ = prefill_batch(dq, cfg, xb, yb, bert, x_lens, y_lens,
+                              jnp.zeros(shape, jnp.float32),
+                              jnp.zeros(shape, jnp.float32),
+                              jax.random.PRNGKey(1), sa_g, False, "float32")
+        st, toks = decode_chunk(p, cfg, st, 8, sa_g, 0, "float32", impl)
+        return np.asarray(toks)
+
+    toks_q8 = chain("fused_step_q8_interpret:shsm", params)
+    toks_ref = chain("xla", dq)
+    assert toks_q8.shape == (B, 8)
+    np.testing.assert_array_equal(toks_q8[:, :3], toks_ref[:, :3])
