@@ -14,6 +14,7 @@ then wall-clock over a fixed decode length, B=1, 512-token KV bucket,
 """
 import argparse
 import dataclasses
+import functools
 import json
 import sys
 import time
@@ -596,6 +597,28 @@ def bench_vocoder_breakdown(frames25: int = 25, n_text: int = 30,
     flow_fn = jax.jit(lambda p, z, m, g: jsv.flow_dec(p, cfg, z, m, g))
     ms_flow, _ = timeit(flow_fn, params, z_pb, y_mb, ge)
 
+    # split flow_dec into its two halves: flow reverse (4 coupling layers
+    # of dilated-conv WN at 192ch) vs the HiFi-GAN generator (the
+    # upsampling transposed-conv stack) — decides which one a conv-layout
+    # or int8 pass should target
+    flowrev_fn = jax.jit(
+        lambda p, z, m, g: jsv.flow_reverse(p, cfg, z, m, g))
+    ms_flowrev, z_rev = timeit(flowrev_fn, params, z_pb, y_mb, ge)
+    gen_fn = jax.jit(lambda p, z, g: jsv.generator(p, cfg, z, g=g))
+    ms_gen, _ = timeit(gen_fn, params, z_rev * y_mb, ge)
+
+    # per-upsample-stage attribution (marginal cost of stage i = prefix
+    # timing difference): which stage a conv-layout/int8 pass should hit
+    gen_stage_ms = []
+    prev = 0.0
+    for ns in range(1, len(cfg.upsample_rates) + 1):
+        fn = jax.jit(functools.partial(
+            lambda p, z, g, n: jsv.generator(p, cfg, z, g=g, n_stages=n),
+            n=ns))
+        ms, _ = timeit(fn, params, z_rev * y_mb, ge)
+        gen_stage_ms.append(round(ms - prev, 2))
+        prev = ms
+
     @jax.jit
     def full(p, c, t, g, n):
         z, m, _, _, g_out = jsv.decode_core(p, cfg, c, t, g, n)
@@ -607,7 +630,11 @@ def bench_vocoder_breakdown(frames25: int = 25, n_text: int = 30,
 
     out = {"platform": platform, "bucket_frames": bucket,
            "ge_ms": round(ms_ge, 2), "core_ms": round(ms_core, 2),
-           "flow_ms": round(ms_flow, 2), "full_ms": round(ms_full, 2)}
+           "flow_ms": round(ms_flow, 2),
+           "flow_reverse_ms": round(ms_flowrev, 2),
+           "generator_ms": round(ms_gen, 2),
+           "gen_stage_marginal_ms": gen_stage_ms,
+           "full_ms": round(ms_full, 2)}
     for B in (2, 4, 8):
         zB = jnp.tile(z_pb, (B, 1, 1))
         mB = jnp.tile(y_mb, (B, 1, 1))

@@ -315,12 +315,18 @@ def resblock1(p, pfx, x, kernel_size: int, dilations: Tuple[int, ...]):
     return x
 
 
-def generator(p, cfg: SovitsConfig, x, g: Optional[jnp.ndarray] = None):
+def generator(p, cfg: SovitsConfig, x, g: Optional[jnp.ndarray] = None,
+              n_stages: Optional[int] = None):
+    """HiFi-GAN vocoder (``models.py:68-128``).  ``n_stages`` truncates
+    after that many upsample stages (bench attribution only — the returned
+    intermediate is NOT audio)."""
     x = conv1d(x, p["dec.conv_pre.weight"], p["dec.conv_pre.bias"], padding=3)
     if g is not None:
         x = x + conv1d(g, p["dec.cond.weight"], p["dec.cond.bias"])
     num_kernels = len(cfg.resblock_kernel_sizes)
     for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        if n_stages is not None and i >= n_stages:
+            return x
         x = leaky_relu(x, LRELU_SLOPE)
         x = conv_transpose1d(x, p[f"dec.ups.{i}.weight"], p[f"dec.ups.{i}.bias"],
                              stride=u, padding=(k - u) // 2)
