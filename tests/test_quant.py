@@ -260,3 +260,42 @@ def test_q8_shared_softmax_b8_wave():
     toks_ref = chain("xla", dq)
     assert toks_q8.shape == (B, 8)
     np.testing.assert_array_equal(toks_q8[:, :3], toks_ref[:, :3])
+
+
+def test_generate_batched_b8_wave_engine_level():
+    """The ENGINE machinery (prefill_batch at B=8, bucket selection,
+    harvest, slot refills with N > B) through the q8+shared kernel: all
+    requests complete with valid tokens, and the run is deterministic
+    (cross-impl token parity is covered at the decode_chunk level — the
+    engines would prefill with different weights here, so token chains are
+    not comparable)."""
+    from gsv_tts_tpu.runtime.t2s_session import T2SEngine
+
+    cfg, params = _tiny()
+    rng = np.random.RandomState(21)
+    N = 10  # > B=8: forces one refill through the wave machinery
+    xs = [rng.randint(1, 50, size=(rng.randint(4, 12),)).astype(np.int64)
+          for _ in range(N)]
+    ys = [rng.randint(0, 100, size=(rng.randint(3, 8),)).astype(np.int64)
+          for _ in range(N)]
+    berts = [(rng.randn(len(x), cfg.bert_dim) * 0.1).astype(np.float32)
+             for x in xs]
+
+    def run():
+        eng = T2SEngine(params, cfg, gpt_cache=[(8, 128)],
+                        dtype=jnp.float32,
+                        attn_impl="fused_step_q8_interpret:shsm")
+        pred, idx = eng.generate_batched(xs, ys, berts, top_k=1,
+                                         repetition_penalty=1.0,
+                                         rng=jax.random.PRNGKey(3))
+        return {int(i): pr for pr, i in zip(pred, idx)}
+
+    out1 = run()
+    assert len(out1) == N
+    for i, pr in out1.items():
+        pr = np.asarray(pr)
+        assert pr.size >= 1
+        assert ((pr >= 0) & (pr <= cfg.vocab_size)).all(), (i, pr)
+    out2 = run()
+    for i in out1:
+        np.testing.assert_array_equal(out1[i], out2[i], err_msg=f"req {i}")
