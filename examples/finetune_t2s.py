@@ -42,6 +42,11 @@ def main():
                          "{out-dir}/t2s_state.npz automatically")
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore an existing checkpoint and start fresh")
+    ap.add_argument("--pp", type=int, default=0,
+                    help="pipeline-parallel stages (GPipe over a "
+                         "('dp','pp') mesh; 0 = dp x tp GSPMD default)")
+    ap.add_argument("--n-micro", type=int, default=2,
+                    help="GPipe microbatches per step (with --pp)")
     ap.add_argument("--max-steps-this-run", type=int, default=None,
                     help="stop after N steps this invocation (time-boxed "
                          "jobs); --steps still parameterizes the schedule")
@@ -70,7 +75,12 @@ def main():
             train_data.save_samples(args.cache, samples)
 
     n_dev = len(jax.devices())
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if args.pp > 1:
+        from gsv_tts_tpu.parallel.pipeline import make_mesh_dp_pp
+
+        mesh = make_mesh_dp_pp(n_dev, pp=args.pp)
+    else:
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
     if mesh is not None:
         print(f"sharding over {n_dev} chips: mesh {dict(mesh.shape)}")
 
@@ -81,7 +91,8 @@ def main():
         total_steps=args.steps, batch_size=args.batch_size,
         init_params=gpt.params, dtype=tts.tts_config.dtype,
         peak_lr=args.lr, warmup_steps=args.warmup, remat=args.remat,
-        mesh=mesh, ckpt_every=args.ckpt_every, resume=not args.no_resume,
+        mesh=mesh, pp_n_micro=args.n_micro,
+        ckpt_every=args.ckpt_every, resume=not args.no_resume,
         max_steps_this_run=args.max_steps_this_run,
         export_config=gpt.config)
     print(f"saved fine-tuned checkpoint to {args.out_dir} — load with "

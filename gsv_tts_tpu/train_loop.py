@@ -109,7 +109,7 @@ def finetune_t2s(samples: Sequence, cfg, out_dir: str, *,
                  total_steps: int, batch_size: int = 8,
                  init_params=None, dtype=jnp.bfloat16,
                  peak_lr: float = 1e-4, warmup_steps: int = 100,
-                 remat: bool = False, mesh=None,
+                 remat: bool = False, mesh=None, pp_n_micro: int = 2,
                  ckpt_every: int = 500, log_every: int = 50,
                  resume: bool = True, seed: int = 0,
                  export: bool = True, export_config: Optional[dict] = None,
@@ -154,29 +154,60 @@ def finetune_t2s(samples: Sequence, cfg, out_dir: str, *,
         step = int(state["step"])
         log_fn(f"resumed from {ckpt_path} at step {step}")
 
-    if mesh is not None:
-        from .parallel.mesh import batch_sharding, replicated, shard_t2s_params
-        params = shard_t2s_params(params, mesh)
-        opt_state = jax.device_put(opt_state, replicated(mesh))
-        bs = batch_sharding(mesh)
-    else:
-        bs = None
+    if mesh is not None and "pp" in mesh.axis_names and mesh.shape["pp"] > 1:
+        # pipeline-parallel (GPipe) path: layer stack sharded across pp
+        # stages, microbatch schedule inside the step (parallel/pipeline.py)
+        from jax.sharding import NamedSharding, PartitionSpec
 
-    step_fn = jax.jit(ptrain.make_train_step(cfg, optimizer, dtype=dtype,
-                                             remat=remat))
+        from .parallel import pipeline as ppl
+        from .parallel.mesh import replicated
+
+        dp = mesh.shape["dp"]
+        if batch_size % (dp * pp_n_micro) != 0:
+            raise ValueError(
+                f"batch_size={batch_size} must divide dp({dp}) * "
+                f"n_micro({pp_n_micro}) for the GPipe schedule")
+        if len(samples) < batch_size:
+            # the GPipe loop drops the ragged epoch tail — with zero full
+            # batches it would spin forever
+            raise ValueError(
+                f"pipeline training needs >= one full batch "
+                f"({len(samples)} samples < batch_size={batch_size})")
+        params = ppl.shard_pp_params(params, mesh)
+        opt_state = jax.device_put(opt_state, replicated(mesh))
+        bs = NamedSharding(mesh, PartitionSpec("dp"))
+        step_fn = jax.jit(ppl.make_pp_train_step(
+            cfg, optimizer, mesh, n_micro=pp_n_micro, dtype=dtype,
+            remat=remat))
+        pp_mode = True
+    else:
+        if mesh is not None:
+            from .parallel.mesh import batch_sharding, replicated, shard_t2s_params
+            params = shard_t2s_params(params, mesh)
+            opt_state = jax.device_put(opt_state, replicated(mesh))
+            bs = batch_sharding(mesh)
+        else:
+            bs = None
+        step_fn = jax.jit(ptrain.make_train_step(cfg, optimizer, dtype=dtype,
+                                                 remat=remat))
+        pp_mode = False
 
     def checkpoint():
         save_train_state(ckpt_path, {
             "params": jax.device_get(params), "opt": jax.device_get(opt_state),
             "step": step})
 
-    bpe = max(1, -(-len(samples) // batch_size))  # batches per epoch
+    # GPipe needs every batch divisible by dp*n_micro — drop the ragged
+    # epoch tail there (and shrink batches-per-epoch to match)
+    bpe = (max(1, len(samples) // batch_size) if pp_mode
+           else max(1, -(-len(samples) // batch_size)))  # batches per epoch
     stop = total_steps if max_steps_this_run is None else \
         min(total_steps, step + max_steps_this_run)
     t0, step0 = time.time(), step
     while step < stop:
         epoch = step // bpe
-        it = train_data.batches(cfg, samples, batch_size, seed=seed + epoch)
+        it = train_data.batches(cfg, samples, batch_size, seed=seed + epoch,
+                                drop_remainder=pp_mode)
         it = itertools.islice(it, step % bpe, None)  # mid-epoch resume
         for batch in it:
             if bs is not None:
