@@ -629,12 +629,25 @@ def bench_vocoder_breakdown(frames25: int = 25, n_text: int = 30,
     ms_full, _ = timeit(full, params, codes, text, ge, noise)
 
     out = {"platform": platform, "bucket_frames": bucket,
+           "conv_impl": jsv.VOCODER_CONV_IMPL,
            "ge_ms": round(ms_ge, 2), "core_ms": round(ms_core, 2),
            "flow_ms": round(ms_flow, 2),
            "flow_reverse_ms": round(ms_flowrev, 2),
            "generator_ms": round(ms_gen, 2),
            "gen_stage_marginal_ms": gen_stage_ms,
            "full_ms": round(ms_full, 2)}
+    # nch control next to the production (nlc) flow path — the r3 conv
+    # rewrite's win in the same tunnel window (tools/flowdec_ab.py for the
+    # full sweep)
+    if jsv.VOCODER_CONV_IMPL == "nlc":
+        try:
+            jsv.VOCODER_CONV_IMPL = "nch"
+            flow_nch = jax.jit(
+                lambda p, z, m, g: jsv.flow_dec(p, cfg, z, m, g))
+            ms_nch, _ = timeit(flow_nch, params, z_pb, y_mb, ge)
+            out["flow_nch_control_ms"] = round(ms_nch, 2)
+        finally:
+            jsv.VOCODER_CONV_IMPL = "nlc"
     for B in (2, 4, 8):
         zB = jnp.tile(z_pb, (B, 1, 1))
         mB = jnp.tile(y_mb, (B, 1, 1))
