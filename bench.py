@@ -231,7 +231,7 @@ def bench_batched_refill(bucket: int = 512, k: int = 3, reps: int = 8,
 
 
 def bench_breakdown(n_tokens: int = 400, chunk: int = 25, bucket: int = 512,
-                    reps: int = 3):
+                    reps: int = 3, only=None):
     """B=1 plateau attribution (VERDICT r2 #4): time the whole-step kernel
     with one phase compile-time-removed per variant (``fused_step:<mode>``,
     ``ops/fused_step.py`` ablations).  The delta full-minus-variant is that
@@ -276,8 +276,14 @@ def bench_breakdown(n_tokens: int = 400, chunk: int = 25, bucket: int = 512,
         ("w_prio0", "fused_step:wprio0", SampleArgs()),
         ("w_split2", "fused_step:wsplit", SampleArgs()),
         ("w_split4", "fused_step:wsplit4", SampleArgs()),
+        # q8 reference + triple-buffered weight pages (two page DMAs in
+        # flight — closes the per-layer issue/wait gap; token-identical)
+        ("q8", "fused_step_q8", SampleArgs()),
+        ("q8_deep3", "fused_step_q8:deep3", SampleArgs()),
     ]
     out = {}
+    if only:
+        modes = [m for m in modes if m[0] in only]
     for label, impl, sa in modes:
         state, _ = prefill_batch(params, cfg, x, y, bert,
                                  jnp.full((1,), 60, jnp.int32),
@@ -296,9 +302,10 @@ def bench_breakdown(n_tokens: int = 400, chunk: int = 25, bucket: int = 512,
             np.asarray(toks)
             best = min(best, (time.perf_counter() - t0) / n_tokens)
         out[label] = best * 1e3  # ms/tok
-    full = out["full"]
+    full = out.get("full")
     out_d = {k: {"ms_per_tok": round(v, 4),
-                 "delta_vs_full_us": round((full - v) * 1e3, 1)}
+                 **({"delta_vs_full_us": round((full - v) * 1e3, 1)}
+                    if full is not None else {})}
              for k, v in out.items()}
     return out_d
 

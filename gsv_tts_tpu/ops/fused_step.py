@@ -357,6 +357,12 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
     n_wsplit = {"wsplit": 2, "wsplit4": 4}.get(ablate, 1)
     w_prio = 0 if ablate == "wprio0" else 1
     halfW = W_total // n_wsplit  # 6144/2/4 stay 128-multiples
+    # "deep3": triple-buffer the weight pages (two page DMAs in flight)
+    # to close the per-layer issue gap — the page for layer i+1 is only
+    # issued when layer i begins, so each layer boundary serializes one
+    # DMA-issue + semaphore-wait latency onto the stream.  q8-only (three
+    # bf16 pages blow the scoped-vmem budget).
+    n_wslots = 3 if ablate == "deep3" else 2
 
     def start_layer_load(layer, slot):
         # background priority: the weight stream must not head-block the
@@ -402,6 +408,8 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
     emb_dma.start()
     pe_dma.start()
     start_layer_load(0, 0)
+    if n_wslots == 3 and L > 1:
+        start_layer_load(1, 1)
 
     # the new K/V rows land inside the aligned 8-row window [al, al+8):
     # Mosaic only slices tiled memrefs at 8-row boundaries, so the kernel
@@ -435,8 +443,8 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
     vwin_read.wait()
 
     def layer_body(i, _):
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
+        slot = jax.lax.rem(i, n_wslots)
+        pf = i + (n_wslots - 1)  # next weight page to issue (i+1 / i+2)
 
         def walk_dma(bi, slot_b):
             kd = pltpu.make_async_copy(
@@ -454,9 +462,9 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
             kd0.start()
             vd0.start()
 
-        @pl.when(i + 1 < L)
+        @pl.when(pf < L)
         def _():
-            start_layer_load(i + 1, nxt)
+            start_layer_load(pf, jax.lax.rem(pf, n_wslots))
 
         if not no_head:
             @pl.when(i + 1 == L)
@@ -805,6 +813,9 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
         suppress.reshape(1),
     ])
 
+    if ablate == "deep3":
+        assert quant, "deep3 triple-buffering is q8-only (bf16 pages OOM vmem)"
+    n_wslots = 3 if ablate == "deep3" else 2
     kernel = functools.partial(
         _kernel_sample, L=L, S=S, H=H, D=D, M=M, V=V, Vp=Vp, CHV=CHV,
         block_s=block_s, sa=sa,
@@ -829,8 +840,8 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
                   any_, any_],                # caches
         out_specs=[smem, vmem, any_, any_],
         scratch_shapes=[
-            pltpu.VMEM((2, D, W), jnp.int8 if quant else dtype),  # packed weights
-            pltpu.VMEM((2, 8, W if quant else 128), F32),  # per-lane scales
+            pltpu.VMEM((n_wslots, D, W), jnp.int8 if quant else dtype),  # packed weights
+            pltpu.VMEM((n_wslots, 8, W if quant else 128), F32),  # per-lane scales
             pltpu.VMEM((2, D, CHV), dtype),      # predict head chunks
             pltpu.VMEM((2, 2, block_s, D), dtype),  # kv walk (2 slots × K/V)
             pltpu.VMEM((1, D), F32),             # activation carry
@@ -839,8 +850,8 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
             pltpu.VMEM((1, Vp), F32),            # logits row
             pltpu.VMEM((L, 8, D), dtype),        # K append windows (all layers)
             pltpu.VMEM((L, 8, D), dtype),        # V append windows
-            pltpu.SemaphoreType.DMA((2, 4)),     # weight stream slots (x split)
-            pltpu.SemaphoreType.DMA((2,)),       # scale-page stream slots
+            pltpu.SemaphoreType.DMA((n_wslots, 4)),  # weight stream slots (x split)
+            pltpu.SemaphoreType.DMA((n_wslots,)),    # scale-page stream slots
             pltpu.SemaphoreType.DMA((2,)),       # predict-head chunks
             pltpu.SemaphoreType.DMA((2, 2)),     # attention kv walk
             pltpu.SemaphoreType.DMA((2,)),       # window reads (K, V)

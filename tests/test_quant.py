@@ -299,3 +299,28 @@ def test_generate_batched_b8_wave_engine_level():
     out2 = run()
     for i in out1:
         np.testing.assert_array_equal(out1[i], out2[i], err_msg=f"req {i}")
+
+
+def test_decode_chunk_q8_deep3_token_identical():
+    """":deep3" (triple-buffered weight pages, two page DMAs in flight)
+    only changes DMA scheduling — the token chain must be bit-identical
+    to the 2-slot q8 kernel."""
+    cfg, params = _tiny()
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randint(1, 50, (1, 12)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 100, (1, 7)), jnp.int32)
+    bert = jnp.zeros((1, 12, cfg.bert_dim), jnp.float32)
+    sa = SampleArgs(top_k=3, repetition_penalty=1.05)
+    outs = {}
+    for impl in ("fused_step_q8_interpret", "fused_step_q8_interpret:deep3"):
+        shape = (cfg.num_layers, 1, 128, cfg.num_heads, cfg.head_dim)
+        st, _ = prefill_batch(params, cfg, x, y, bert,
+                              jnp.full((1,), 12, jnp.int32),
+                              jnp.full((1,), 7, jnp.int32),
+                              jnp.zeros(shape, jnp.float32),
+                              jnp.zeros(shape, jnp.float32),
+                              jax.random.PRNGKey(2), sa, True, "float32")
+        st, toks = decode_chunk(params, cfg, st, 10, sa, 0, "float32", impl)
+        outs[impl] = np.asarray(toks)
+    np.testing.assert_array_equal(outs["fused_step_q8_interpret"],
+                                  outs["fused_step_q8_interpret:deep3"])
