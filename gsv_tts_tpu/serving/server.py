@@ -716,6 +716,13 @@ def main():
                          "semantics)")
     args = ap.parse_args()
 
+    # Persistent XLA compile cache: a restarted server skips recompiling
+    # every decode/prefill/vocoder program it has ever run (bench.py and
+    # tpu_smoke.py already do this; cold flagship start drops minutes).
+    from ..utils.timing import enable_compilation_cache
+
+    enable_compilation_cache()
+
     tts = TTS(models_dir=args.models_dir, dtype=args.dtype,
               quant_t2s=args.quant_t2s, t2s_softmax=args.t2s_softmax)
     if args.gpt:

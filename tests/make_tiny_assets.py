@@ -1,4 +1,11 @@
-"""Generate tiny random checkpoints + audio for driving the real server."""
+"""Generate tiny random checkpoints + audio for driving the real server.
+
+``--flagship`` swaps the stage-1/stage-2 checkpoints to production dims
+(GPT 512/24/16, SoVITS v2 192/512 — the shapes ``T2SConfig``/``SovitsConfig``
+default to, i.e. the reference's s1v3/s2G dims) while keeping the
+featurizers tiny, so `tools/load_test.py` measures real-model serving
+capacity through the actual HTTP server rather than toy-shape overheads.
+"""
 import json
 import os
 import sys
@@ -13,7 +20,10 @@ import torch
 from conftest import import_reference_module
 from gsv_tts_tpu.utils.audio_io import save_wav
 
-ROOT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gsv_assets"
+FLAGSHIP = "--flagship" in sys.argv
+argv = [a for a in sys.argv[1:] if a != "--flagship"]
+ROOT = argv[0] if argv else (
+    "/tmp/gsv_assets_flagship" if FLAGSHIP else "/tmp/gsv_assets")
 os.makedirs(ROOT, exist_ok=True)
 
 TINY_GPT = {
@@ -36,6 +46,19 @@ HPS = {
         "version": "v2",
     },
 }
+if FLAGSHIP:
+    # Production dims (reference s1v3.ckpt / s2Gv2 hps; random weights).
+    TINY_GPT["model"].update(hidden_dim=512, embedding_dim=512, head=16,
+                             n_layer=24)
+    HPS["data"].update(filter_length=2048, hop_length=640, win_length=2048)
+    HPS["train"]["segment_size"] = 20480
+    HPS["model"].update(
+        filter_channels=768, n_layers=6,
+        resblock_kernel_sizes=[3, 7, 11],
+        resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+        upsample_rates=[10, 8, 2, 2, 2], upsample_initial_channel=512,
+        upsample_kernel_sizes=[16, 16, 8, 2, 2],
+    )
 
 import_reference_module("GPT_SoVITS/GPT/embedding.py", "GPT_SoVITS.GPT.embedding")
 import_reference_module("GPT_SoVITS/GPT/utils.py", "GPT_SoVITS.GPT.utils")

@@ -114,7 +114,10 @@ async def run_wave(url: str, n: int, payload: dict, stagger_ms: float,
     import aiohttp
     t0 = time.perf_counter()
     timeout = aiohttp.ClientTimeout(total=timeout_s)
-    async with aiohttp.ClientSession(timeout=timeout) as session:
+    # A 1 s audio event's base64 data: line is ~85 KB at 32 kHz — past
+    # aiohttp's default 64 KB readline limit ("Chunk too big").
+    async with aiohttp.ClientSession(timeout=timeout,
+                                     read_bufsize=2 ** 22) as session:
         results = await asyncio.gather(*[
             run_client(session, url, payload, i * stagger_ms / 1000.0,
                        tolerance_s)
