@@ -237,6 +237,10 @@ def test_infer_vc(assets, engine):
 
 
 def test_caches_and_model_lists(assets, engine):
+    # populate the audio caches explicitly: under pytest-xdist this test can
+    # land on a worker where no earlier infer() primed them
+    engine.cache_prompt_audio(assets["prompt"], "hello there.")
+    engine.cache_spk_audio(assets["spk"])
     assert assets["gpt"] in engine.get_gpt_list()
     assert assets["sovits"] in engine.get_sovits_list()
     assert assets["prompt"] in engine.get_prompt_audio_list()
