@@ -715,6 +715,12 @@ def bench_breakdown_b4(B: int = 4, chunk: int = 25, bucket: int = 512,
         ("shared_sm", "fused_step:shsm", base),
         ("q8_shared_sm", "fused_step_q8:shsm", base),
         ("q8_shared_sm128", "fused_step_q8:shsm128", base),
+        # exact vectorized per-row softmax (r4): kills the per-row VPU
+        # slice/concat loops with bit-identical numerics to "rows"
+        ("vec_sm", "fused_step:vec", base),
+        ("vec_sm128", "fused_step:vec128", base),
+        ("q8_vec_sm", "fused_step_q8:vec", base),
+        ("q8_vec_sm64", "fused_step_q8:vec64", base),
     ]
     out = {}
     if only:

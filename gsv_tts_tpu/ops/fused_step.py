@@ -978,7 +978,17 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
     # are NOT bit-identical to the per-row path (scores are O(10) in
     # practice; parity tests bound the probability delta instead).
     shared_sm = softmax == "shared"
-    if shared_sm:
+    # softmax="vec" (r4 residue lever): per-row max/sum kept EXACT — the
+    # same per-row reduction sets in the same order as the "rows" path —
+    # but vectorized across the B rows so the per-row [1, H] slice/concat
+    # VPU loops disappear.  Uses ONLY constructs the r3 mosaic_probe
+    # cleared on real TPU: a strictly-2D [B·block, 1] validity mask (the
+    # [B, 1, 1] broadcast-compare reshape is the Mosaic pathology), a
+    # leading-dim-split 3D reduce (probe: PASS), and a 0/1 selector
+    # matmul for the segment broadcast (exact: 1·x + Σ 0·y == x in the
+    # MXU's bf16 3-pass f32 decomposition since 1.0 and 0.0 are exact).
+    vec_sm = softmax == "vec"
+    if shared_sm or vec_sm:
         # [B, B·block] 0/1 selector: sel[b, j] = (j // block_s == b) — the
         # segment-sum over each row's block slice as one MXU contraction
         sel_bj = (jax.lax.broadcasted_iota(jnp.int32, (B, B * block_s), 1)
@@ -993,24 +1003,34 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
         sidx_rep = jax.lax.rem(
             jax.lax.broadcasted_iota(jnp.int32, (B * block_s, 1), 0),
             block_s)
+    if vec_sm:
+        # [B·block, B] transpose of the selector, for broadcasting the
+        # per-row running max back over each row's block positions
+        sel_jb = (jax.lax.broadcasted_iota(jnp.int32, (B * block_s, B), 0)
+                  // block_s ==
+                  jax.lax.broadcasted_iota(jnp.int32, (B * block_s, B), 1)
+                  ).astype(F32)
 
     def start_layer_load(layer, slot):
         pltpu.make_async_copy(w_packed_ref.at[layer], w_all.at[slot],
                               w_sem.at[slot]).start(priority=1)
-        pltpu.make_async_copy(bias_ref.at[layer], b_all.at[slot],
-                              b_sem.at[slot]).start(priority=1)
         if quant:
+            # biases ride row 1 of the scale page — no separate bias DMA
             pltpu.make_async_copy(w_scale_ref.at[layer], ws_all.at[slot],
                                   ws_sem.at[slot]).start(priority=1)
+        else:
+            pltpu.make_async_copy(bias_ref.at[layer], b_all.at[slot],
+                                  b_sem.at[slot]).start(priority=1)
 
     def wait_layer_load(slot):
         pltpu.make_async_copy(w_packed_ref.at[0], w_all.at[slot],
                               w_sem.at[slot]).wait()
-        pltpu.make_async_copy(bias_ref.at[0], b_all.at[slot],
-                              b_sem.at[slot]).wait()
         if quant:
             pltpu.make_async_copy(w_scale_ref.at[0], ws_all.at[slot],
                                   ws_sem.at[slot]).wait()
+        else:
+            pltpu.make_async_copy(bias_ref.at[0], b_all.at[slot],
+                                  b_sem.at[slot]).wait()
 
     def pw_dma(c, slot):
         return pltpu.make_async_copy(
@@ -1106,6 +1126,14 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
             w = w_all[slot][:, lo:hi]
             return w.astype(cdtype) if quant else w
 
+        def bias_row(lo, hi):
+            # quant: biases ride row 1 of the streamed scale page (f32
+            # values pre-rounded through the model dtype, so this reads
+            # bit-identically to the bf16 bias page's .astype(F32) chain)
+            if quant:
+                return ws_all[slot][1:2, lo:hi]
+            return b_all[slot][0:1, lo:hi].astype(F32)
+
         xc = x.astype(cdtype)
         if no_attn_mm:
             qkv = jnp.concatenate([xc, xc, xc], axis=1).astype(F32)
@@ -1113,7 +1141,7 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
             qkv = jnp.dot(xc, wslice(0, O_OUT), preferred_element_type=F32)
             if quant:
                 qkv = qkv * ws_row[:, :O_OUT]
-        qkv = qkv + b_all[slot][0:1, :O_OUT].astype(F32)
+        qkv = qkv + bias_row(0, O_OUT)
         q = qkv[:, :D]
         k_new = qkv[:, D:2 * D]
         v_new = qkv[:, 2 * D:]
@@ -1174,6 +1202,27 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
                 acc_new = acc * corr_exp + jnp.dot(
                     sel_bj, pv_all, preferred_element_type=F32)
                 return (m_new, l_new, acc_new)
+            if vec_sm:
+                # exact per-row online softmax, no per-row python loops:
+                # the element values match the "rows" path bit for bit
+                # (masking, exp arguments, and per-segment reduction sets
+                # are identical) — only the loop structure changes
+                valid_all = (sidx_rep + start) < len_rep   # [B·block, 1]
+                scores_m = jnp.where(valid_all, scores_all, NEG)
+                m_seg = jnp.max(scores_m.reshape(B, block_s, H), axis=1)
+                m_new = jnp.maximum(m, m_seg)              # [B, H]
+                corr = jnp.exp(m - m_new)
+                m_rep = jnp.dot(sel_jb, m_new, preferred_element_type=F32)
+                p_all = jnp.where(valid_all,
+                                  jnp.exp(scores_all - m_rep), 0.0)
+                l_new = l * corr + jnp.sum(
+                    p_all.reshape(B, block_s, H), axis=1)
+                pv_all = jnp.dot(p_all, poolT,
+                                 preferred_element_type=F32) * vb_all
+                corr_exp = jnp.dot(corr, poolT, preferred_element_type=F32)
+                acc_new = acc * corr_exp + jnp.sum(
+                    pv_all.reshape(B, block_s, D), axis=1)
+                return (m_new, l_new, acc_new)
             m_rows, corr_rows, p_rows = [], [], []
             for b in range(B):
                 sc = scores_all[b * block_s:(b + 1) * block_s]  # [block, H]
@@ -1228,7 +1277,7 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
                         preferred_element_type=F32)
             if quant:
                 h = h * ws_row[:, O_OUT:O_M1]
-        h = x + h + b_all[slot][0:1, O_OUT:O_M1].astype(F32)
+        h = x + h + bias_row(O_OUT, O_M1)
         mean = jnp.mean(h, axis=-1, keepdims=True)
         var = jnp.mean((h - mean) ** 2, axis=-1, keepdims=True)
         h = (h - mean) * jax.lax.rsqrt(var + eps) \
@@ -1241,14 +1290,14 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
                          preferred_element_type=F32)
             if quant:
                 m1 = m1 * ws_row[:, O_M1:O_M2]
-            m1 = jnp.maximum(m1 + b_all[slot][0:1, O_M1:O_M2].astype(F32), 0.0)
+            m1 = jnp.maximum(m1 + bias_row(O_M1, O_M2), 0.0)
             if quant:
                 m1 = m1 * ws_row[:, O_M2:]
             m2 = jax.lax.dot_general(
                 m1.astype(cdtype), wslice(O_M2, 4 * D + 2 * M),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=F32)
-            h2 = h + m2 + b_all[slot][0:1, O_M2:O_M2 + D].astype(F32)
+            h2 = h + m2 + bias_row(O_M2, O_M2 + D)
         mean = jnp.mean(h2, axis=-1, keepdims=True)
         var = jnp.mean((h2 - mean) ** 2, axis=-1, keepdims=True)
         return (h2 - mean) * jax.lax.rsqrt(var + eps) \
@@ -1396,6 +1445,13 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
         if len(ablate) > 4:
             block_s = int(ablate[4:])
         ablate = None
+    elif ablate and ablate.startswith("vec"):
+        # exact vectorized per-row softmax (see _kernel_sample_b),
+        # optionally with an explicit walk block: "vec" / "vec64"
+        softmax = "vec"
+        if len(ablate) > 3:
+            block_s = int(ablate[3:])
+        ablate = None
     L, B, S, H, Dh = k_cache.shape
     # the walk's pl.ds windows and the 128-row tok_buf sweep both
     # require a 128-multiple bucket (pl.ds CLAMPS out-of-range starts,
@@ -1406,7 +1462,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
     # falls back to flash+XLA above B = 6.  The q8 + shared-softmax combo
     # lifts both blockers (6.3 MiB pages; no per-row VPU loops to pad
     # 6→8 sublanes), so it may gate up to a B = 8 wave.
-    max_b = 8 if (quant and softmax == "shared") else 6
+    max_b = 8 if (quant and softmax in ("shared", "vec")) else 6
     assert 1 <= B <= max_b, (
         f"batched whole-step kernel supports at most {max_b} slots "
         f"(quant={quant}, softmax={softmax})")
@@ -1454,8 +1510,13 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
         w_packed = params["layers_packed"] if "layers_packed" in params else \
             pack_layer_weights(layers)
         w_scale = jnp.zeros((L, 8, 128), F32)  # unused dummy (static gate)
-    bias_page = params["bias_page"] if "bias_page" in params else \
-        pack_bias_page(layers, dtype)
+    if quant:
+        # biases ride row 1 of the scale page — the bias-page operand and
+        # its per-layer DMA disappear (tiny dummy keeps the arity static)
+        bias_page = jnp.zeros((L, 8, 128), dtype)
+    else:
+        bias_page = params["bias_page"] if "bias_page" in params else \
+            pack_bias_page(layers, dtype)
     emb_pad = params["audio_emb_padded"] if "audio_emb_padded" in params \
         else pad_rows8(params["audio_emb"])
 
@@ -1499,7 +1560,8 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
             pltpu.VMEM((2, D, 4 * D + 2 * M),
                        jnp.int8 if quant else dtype),   # packed weights
             pltpu.VMEM((2, 8, (4 * D + 2 * M) if quant else 128), F32),  # scales
-            pltpu.VMEM((2, 8, 4 * D + 2 * M), dtype),   # bias pages
+            pltpu.VMEM((2, 8, 128 if quant else 4 * D + 2 * M),
+                       dtype),                          # bias pages (dummy at q8)
             pltpu.VMEM((2, D, CHV), dtype),             # predict head chunks
             pltpu.VMEM((2, 2, B, block_s, D), dtype),   # kv walk (strided)
             pltpu.VMEM((B, 8, D), dtype),               # emb 8-row stages
@@ -1578,13 +1640,28 @@ def pack_layer_weights_int8(layers):
     transposed mlp2 block (lane = contracted channel, so
     ``dot(m1 * s, q) == dot(m1, q * s)`` exactly in ℝ).  Scales ride row 0
     of an 8-sublane page streamed next to each weight page (same pattern
-    as the batched kernel's bias page)."""
+    as the batched kernel's bias page).
+
+    Row 1 of the scale page carries the per-layer BIAS vectors in the
+    same lane layout as ``pack_bias_page`` (qkv | out | mlp1 | mlp2),
+    rounded through the model dtype so the value chain matches the
+    separate bf16 bias page bit for bit — the batched quant kernel reads
+    biases from here and skips the bias-page DMA entirely (r4: one fewer
+    DMA issue + semaphore wait per layer, zero extra traffic since the
+    f32 scale page already streamed rows 1-7 as zeros)."""
+    wdtype = layers["qkv_b"].dtype
     w = pack_layer_weights(layers).astype(F32)
     s = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0       # [L, 1, W]
     s = jnp.where(s > 0, s, 1.0)
     q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
     L, _, W = w.shape
-    page = jnp.zeros((L, 8, W), F32).at[:, 0].set(s[:, 0])
+    D = layers["out_w"].shape[-1]
+    M = layers["mlp1_w"].shape[-1]
+    bias = jnp.concatenate([
+        layers["qkv_b"], layers["out_b"], layers["mlp1_b"],
+        layers["mlp2_b"], jnp.zeros((L, M - D), wdtype)], axis=-1)
+    page = jnp.zeros((L, 8, W), F32).at[:, 0].set(s[:, 0]) \
+        .at[:, 1].set(bias.astype(wdtype).astype(F32))
     return q, page
 
 

@@ -413,9 +413,11 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
     # pay anyway (B=4: 0.54 ms/step; B=6: 1.07 — the per-row VPU loops and
     # [B, Vp] sampling peels pad 6 rows to 8 sublanes, so two B=4 waves beat
     # any B > 4 config per chip).  EXCEPTION: q8 + shared softmax (":shsm")
-    # drops both blockers (6.3 MiB int8 pages, no per-row loops) and gates
-    # up to B = 8.
-    max_fused_b = 8 if (quant and ablate and ablate.startswith("shsm")) else 6
+    # or the exact vectorized softmax (":vec") drop both blockers (6.3 MiB
+    # int8 pages, no per-row loops) and gate up to B = 8.
+    max_fused_b = 8 if (quant and ablate and
+                        (ablate.startswith("shsm") or
+                         ablate.startswith("vec"))) else 6
     fused_sample_b = attn_impl in fused_impls and 1 < B <= max_fused_b \
         and fused_ok
     if attn_impl in interp_impls and not (fused_sample or fused_sample_b):

@@ -712,3 +712,116 @@ def test_decode_chunk_shared_softmax_chain():
     q8_rows = run("fused_step_q8_interpret")
     q8_shared = run("fused_step_q8_interpret:shsm")
     np.testing.assert_array_equal(q8_rows[:, :4], q8_shared[:, :4])
+
+
+def test_fused_batched_vec_softmax_bit_exact_vs_rows():
+    """softmax="vec" (r4): the per-row online-softmax bookkeeping
+    vectorized across slots with EXACT semantics — the masking, exp
+    arguments, and per-segment reduction sets are identical to the "rows"
+    path, so tokens, filtered rows, and caches must match bit for bit
+    (unlike "shared", which reorders the stability shift)."""
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.ops.fused_step import fused_decode_step_sample_batched
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs
+
+    cfg = T2SConfig(hidden_dim=128, embedding_dim=128, num_heads=4, num_layers=2,
+                    vocab_size=101, phoneme_vocab_size=50, eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(11)
+    L, B, S, H, Dh = 2, 4, 128, 4, 32
+    kc = jnp.asarray(rng.randn(L, B, S, H, Dh).astype(np.float32) * 0.3)
+    vc = jnp.asarray(rng.randn(L, B, S, H, Dh).astype(np.float32) * 0.3)
+    kv_len = jnp.asarray([100, 40, 7, 0], jnp.int32)
+    x_len = jnp.asarray([12, 12, 3, 5], jnp.int32)
+    last_tok = jnp.asarray([17, 55, 99, 0], jnp.int32)
+    tok_buf = np.full((B, S), cfg.vocab_size, np.int32)
+    tok_buf[0, :60] = rng.randint(0, 100, size=(60,))
+    tok_buf[1, :30] = rng.randint(0, 100, size=(30,))
+    buf_len = jnp.asarray([60, 30, 5, 0], jnp.int32)
+    step_idx = jnp.asarray([5, 8, 20, 3], jnp.int32)
+    g = jnp.asarray(rng.gumbel(size=(B, 128)).astype(np.float32))
+    sa = SampleArgs(top_k=15, top_p=0.9, temperature=1.0,
+                    repetition_penalty=1.35, use_prev=True)
+
+    outs = {}
+    for mode in ("rows", "vec"):
+        tok, row, kc2, vc2 = fused_decode_step_sample_batched(
+            params, kc, vc, jnp.asarray(tok_buf),
+            kv_len, x_len, last_tok, buf_len, step_idx, g,
+            sa=sa, suppress_until=10,
+            suppressed=cfg.suppressed_tokens + (cfg.eos,),
+            interpret=True, softmax=mode)
+        outs[mode] = (np.asarray(tok), np.asarray(row),
+                      np.asarray(kc2), np.asarray(vc2))
+
+    np.testing.assert_array_equal(outs["rows"][0], outs["vec"][0])
+    np.testing.assert_array_equal(outs["rows"][1], outs["vec"][1])
+    np.testing.assert_array_equal(outs["rows"][2], outs["vec"][2])
+    np.testing.assert_array_equal(outs["rows"][3], outs["vec"][3])
+
+
+def test_decode_chunk_vec_softmax_chain_token_exact():
+    """Full decode_chunk chains under softmax="vec" (impl suffix ":vec"):
+    token-for-token equal to the per-row kernel over the WHOLE chain —
+    exactness is the mode's contract (no bounded-prefix escape hatch), for
+    bf16-layout float32, the q8 combination, and a q8 B=8 wave (":vec"
+    lifts the B<=6 gate like ":shsm")."""
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs, decode_chunk, prefill_batch
+
+    cfg = T2SConfig(hidden_dim=128, embedding_dim=128, num_heads=4, num_layers=2,
+                    vocab_size=101, phoneme_vocab_size=50, eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    B = 3
+    x = jnp.asarray(rng.randint(1, 50, (B, 12)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 100, (B, 7)), jnp.int32)
+    bert = jnp.zeros((B, 12, cfg.bert_dim), jnp.float32)
+    x_lens = jnp.asarray([12, 9, 5], jnp.int32)
+    y_lens = jnp.asarray([7, 3, 6], jnp.int32)
+    sa = SampleArgs(top_k=5, top_p=0.8, repetition_penalty=1.35, use_prev=True)
+
+    def run(impl, nb=B):
+        shape = (cfg.num_layers, nb, 128, cfg.num_heads, cfg.head_dim)
+        st, _ = prefill_batch(params, cfg, x[:nb], y[:nb], bert[:nb],
+                              x_lens[:nb], y_lens[:nb],
+                              jnp.zeros(shape, jnp.float32),
+                              jnp.zeros(shape, jnp.float32),
+                              jax.random.PRNGKey(1), sa, False, "float32")
+        st, toks = decode_chunk(params, cfg, st, 10, sa, 5, "float32", impl)
+        return np.asarray(toks)
+
+    rows = run("fused_step_interpret")
+    vec = run("fused_step_interpret:vec")
+    np.testing.assert_array_equal(rows, vec)
+
+    q8_rows = run("fused_step_q8_interpret")
+    q8_vec = run("fused_step_q8_interpret:vec")
+    np.testing.assert_array_equal(q8_rows, q8_vec)
+
+    # B=8 wave gates through q8+vec (rows/bf16 stop at 6): the chain must
+    # run and stay token-exact vs the XLA path on DEQUANTIZED weights
+    # (the q8 correctness contract, tests/test_quant.py)
+    from tests.test_quant import _dequant_params
+
+    dq = _dequant_params(params)
+    x8 = jnp.asarray(rng.randint(1, 50, (8, 12)), jnp.int32)
+    y8 = jnp.asarray(rng.randint(0, 100, (8, 7)), jnp.int32)
+    bert8 = jnp.zeros((8, 12, cfg.bert_dim), jnp.float32)
+    x_l8 = jnp.asarray([12, 9, 5, 12, 8, 6, 10, 7], jnp.int32)
+    y_l8 = jnp.asarray([7, 3, 6, 2, 7, 4, 5, 3], jnp.int32)
+
+    def run8(impl, p):
+        shape = (cfg.num_layers, 8, 128, cfg.num_heads, cfg.head_dim)
+        st, _ = prefill_batch(dq, cfg, x8, y8, bert8, x_l8, y_l8,
+                              jnp.zeros(shape, jnp.float32),
+                              jnp.zeros(shape, jnp.float32),
+                              jax.random.PRNGKey(1), sa, False, "float32")
+        st, toks = decode_chunk(p, cfg, st, 8, sa, 5, "float32", impl)
+        return np.asarray(toks)
+
+    t_vec8 = run8("fused_step_q8_interpret:vec", params)
+    t_xla8 = run8("xla", dq)
+    np.testing.assert_array_equal(t_vec8, t_xla8)

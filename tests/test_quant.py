@@ -59,8 +59,19 @@ def test_pack_int8_roundtrip_error_bound():
     assert q8.min() >= -127 and q8.max() <= 127
     err = np.abs(packed - q8 * s)
     assert (err <= s / 2 + 1e-7).all(), err.max()
-    # row 0 carries the scales; rows 1..7 of the page are zero padding
-    assert not np.asarray(page[:, 1:]).any()
+    # row 0 carries the scales; row 1 the per-layer biases in the packed
+    # lane layout (rounded through the model dtype — the batched quant
+    # kernel reads them from here instead of streaming a bias page);
+    # rows 2..7 are zero padding
+    ly = params["layers"]
+    D = ly["out_w"].shape[-1]
+    M = ly["mlp1_w"].shape[-1]
+    bias_ref = np.concatenate([
+        np.asarray(ly["qkv_b"]), np.asarray(ly["out_b"]),
+        np.asarray(ly["mlp1_b"]), np.asarray(ly["mlp2_b"]),
+        np.zeros((q8.shape[0], M - D), np.float32)], axis=-1)
+    np.testing.assert_array_equal(np.asarray(page[:, 1]), bias_ref)
+    assert not np.asarray(page[:, 2:]).any()
 
 
 def test_decode_chunk_q8_interpret_matches_dequant_xla():
