@@ -456,6 +456,158 @@ def bench_shared_serving(n_clients: int = 8, bucket: int = 512):
     }
 
 
+def bench_saturation(ns=(8, 32, 64, 128, 256), bucket: int = 512,
+                     stagger_ms: float = 20.0, tolerance_s: float = 0.10):
+    """Wave-scheduler saturation sweep (VERDICT r3 #4): N synthetic clients
+    attach straight to one WaveScheduler (no HTTP) with per-25-token vocoder
+    chunks on the same chip, N sweeping past the ~200-streams/chip capacity
+    estimate.  Per wave: TTFT p50/p99, realtime_frac (lead accounting at
+    25 tok/s = 1 s audio per vocoded chunk), and agg stream-seconds/second —
+    the knee is where agg plateaus while p99 TTFT keeps growing with N.
+
+    Wall times include tunnel RTT when run through axon; the KNEE POSITION
+    (agg plateau) is a device-capacity property and survives the tunnel —
+    absolute TTFTs read pessimistic (CLAUDE.md tunnel caveats).
+    Reference counterpart: ``API/test_async_performance.py:57-110``."""
+    import queue as _queue
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from gsv_tts_tpu.models import sovits as jsv
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import T2SEngine
+    from gsv_tts_tpu.runtime.wave import WaveScheduler
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+    cfg = T2SConfig()
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    params["predict_w"] = params["predict_w"] * 0.05
+    impl = "fused_step" if platform == "tpu" else "xla"
+    eng = T2SEngine(params, cfg,
+                    gpt_cache=[(1, bucket), (2, bucket), (4, bucket)],
+                    dtype=dtype, attn_impl=impl)
+
+    scfg = jsv.SovitsConfig()
+    sparams = jsv.init_params(jax.random.PRNGKey(1), scfg, dtype=dtype)
+    srng = np.random.RandomState(0)
+    text = jnp.asarray(srng.randint(0, 732, (1, 30)), jnp.int32)
+    refer = jnp.asarray(srng.randn(1, scfg.spec_channels, 100).astype(np.float32), dtype)
+    noise = jnp.zeros((1, scfg.inter_channels, 50), dtype)
+
+    @jax.jit
+    def vocode_chunk(codes):
+        ge = jsv.get_ge(sparams, scfg, refer)
+        z_p, y_mask, _, _, ge_out = jsv.decode_core(sparams, scfg, codes, text,
+                                                    ge, noise)
+        pad = 128 - z_p.shape[-1]
+        z_p = jnp.pad(z_p, [(0, 0), (0, 0), (0, pad)])
+        y_mask = jnp.pad(y_mask, [(0, 0), (0, 0), (0, pad)])
+        return jsv.flow_dec(sparams, scfg, z_p, y_mask, ge_out)
+
+    rng = np.random.RandomState(0)
+    max_n = max(ns)
+    prompts = []
+    for i in range(max_n):
+        x = rng.randint(1, cfg.phoneme_vocab_size, 60).astype(np.int32)
+        y = rng.randint(0, cfg.vocab_size - 1, 75).astype(np.int32)
+        prompts.append((x, y, np.zeros((60, cfg.bert_dim), np.float32)))
+
+    def run_wave(n):
+        sched = WaveScheduler(eng, max_batch=4)
+        out_q = _queue.Queue()
+        t_start = time.perf_counter()
+
+        def client(i):
+            try:
+                t0 = time.perf_counter()
+                h = sched.attach(*prompts[i], top_k=15)
+                toks = []
+                ttft = None
+                t_first = None
+                n_vocoded = 0
+                audio_s = 0.0
+                min_lead = float("inf")
+                for tarr, done in h:
+                    toks.extend(int(t) for t in tarr)
+                    while len(toks) - n_vocoded >= 25:
+                        block = (np.asarray(
+                            toks[n_vocoded:n_vocoded + 25], np.int32) % 1024)
+                        np.asarray(vocode_chunk(
+                            jnp.asarray(block.reshape(1, 1, -1)))[0, 0, :4])
+                        n_vocoded += 25
+                        audio_s += 1.0  # 25 semantic tok = 1 s audio
+                        now = time.perf_counter()
+                        if ttft is None:
+                            ttft = now - t0
+                            t_first = now
+                        else:
+                            min_lead = min(min_lead,
+                                           audio_s - (now - t_first))
+                if min_lead == float("inf"):
+                    min_lead = 0.0
+                out_q.put({"i": i, "toks": len(toks), "ttft": ttft,
+                           "audio_s": audio_s, "min_lead": min_lead,
+                           "t_done": time.perf_counter(), "ok": ttft is not None})
+            except Exception as e:  # noqa: BLE001
+                out_q.put({"i": i, "toks": 0, "ttft": None, "audio_s": 0.0,
+                           "min_lead": 0.0, "t_done": time.perf_counter(),
+                           "ok": False, "error": f"{type(e).__name__}: {e}"})
+
+        threads = []
+        for i in range(n):
+            th = threading.Thread(target=client, args=(i,), daemon=True)
+            th.start()
+            threads.append(th)
+            time.sleep(stagger_ms / 1000.0)
+        for th in threads:
+            th.join(timeout=1800)
+        sched.close()
+        rows = []
+        while not out_q.empty():
+            rows.append(out_q.get())
+        wall = max((r["t_done"] for r in rows), default=t_start) - t_start
+        ok = [r for r in rows if r["ok"]]
+        ttfts = sorted(r["ttft"] for r in ok)
+
+        def pct(q):
+            return round(ttfts[min(len(ttfts) - 1,
+                                   int(round(q * (len(ttfts) - 1))))], 3) \
+                if ttfts else None
+
+        rt = [r for r in ok if r["min_lead"] >= -tolerance_s]
+        return {
+            "n": n, "ok": len(ok),
+            "errors": sorted({r.get("error") for r in rows
+                              if r.get("error")}),
+            "realtime_frac": round(len(rt) / len(ok), 3) if ok else 0.0,
+            "ttft_p50_s": pct(0.5), "ttft_p99_s": pct(0.99),
+            "min_lead_p05_s": round(sorted(
+                r["min_lead"] for r in ok)[max(0, len(ok) // 20)], 3)
+            if ok else None,
+            "audio_s_total": round(sum(r["audio_s"] for r in ok), 1),
+            "wave_wall_s": round(wall, 2),
+            "agg_stream_s_per_s": round(sum(r["audio_s"] for r in ok) / wall, 2)
+            if wall else 0.0,
+        }
+
+    # compile pass (B=1/2/4 wave programs + the vocoder chunk)
+    run_wave(2)
+    waves = []
+    for n in ns:
+        w = run_wave(n)
+        print(f"# saturation n={n}: ok={w['ok']} rt={w['realtime_frac']}"
+              f" ttft_p50={w['ttft_p50_s']} p99={w['ttft_p99_s']}"
+              f" agg={w['agg_stream_s_per_s']}", file=sys.stderr)
+        waves.append(w)
+    sustained = [w["n"] for w in waves
+                 if w["ok"] == w["n"] and w["realtime_frac"] >= 1.0]
+    return {"value": max(sustained) if sustained else 0, "waves": waves}
+
+
 def bench_sharded_decode(bucket: int = 512, n_tokens: int = 250, chunk: int = 25):
     """GSPMD overhead probe (VERDICT r1 item 5): the flagship decode under a
     1×1 jax.sharding.Mesh vs the plain single-chip XLA path.  On multi-chip
@@ -863,8 +1015,23 @@ def main():
     ap.add_argument("--vocoder-breakdown", action="store_true",
                     help="measure the streaming-vocoder chunk phase split "
                          "(ge/core/flow) + flow_dec batch scaling and exit")
+    ap.add_argument("--saturation", action="store_true",
+                    help="run the wave-scheduler saturation sweep (N "
+                         "synthetic clients straight into one scheduler, "
+                         "N past the capacity estimate) and exit")
+    ap.add_argument("--saturation-ns", default="8,32,64,128,256",
+                    help="comma list of wave sizes for --saturation")
     args = ap.parse_args()
     _guard_device_reachable()
+
+    if args.saturation:
+        sat = bench_saturation(
+            ns=tuple(int(x) for x in args.saturation_ns.split(",")))
+        print(json.dumps({"metric": "serving_saturation",
+                          "value": sat["value"],
+                          "unit": "concurrent clients, all realtime",
+                          "vs_baseline": 0, "extra": sat}))
+        return
 
     if args.vocoder_breakdown:
         vb = bench_vocoder_breakdown()

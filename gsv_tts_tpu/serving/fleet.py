@@ -1,0 +1,230 @@
+"""Single-host multi-chip dp serving supervisor.
+
+TPU hosts carry several chips; the practical inference scale-out is **dp
+replicas** — one pinned ``serving.server`` process per chip — NOT a
+tp-sharded engine (measured: GSPMD tp decode runs at ~half the fused
+single-chip rate, BENCH_r03 ``gspmd_1x1``).  This supervisor:
+
+  * spawns one server subprocess per device (``--device i --port base+i``),
+    each pinning its engine to ``jax.devices()[i]`` and sharing the
+    persistent XLA compile cache (so replicas 2..N skip compilation);
+  * waits for every replica's ``/health``;
+  * fronts them with the serving router (least-loaded balancing, health
+    probes, failover, shedding — ``serving/router.py``) in this process;
+  * restarts crashed replicas with bounded backoff (failure recovery the
+    reference lacks entirely; its ``personal_api.py`` serves one GPU from
+    one unsupervised process).
+
+Run: ``python -m gsv_tts_tpu.serving.fleet --models-dir ... --gpt ... \
+         --sovits ... [--devices 0,1,2,3] [--ports-base 9890] [--port 9880]``
+"""
+from __future__ import annotations
+
+import asyncio
+import logging
+import os
+import subprocess
+import sys
+import time
+from typing import Callable, Dict, List, Optional
+
+log = logging.getLogger("gsv.fleet")
+
+
+class FleetSupervisor:
+    """Process supervisor for N pinned server replicas.
+
+    ``cmd_factory(device_index, port) -> argv`` builds each replica's
+    command line (injectable for tests); the default builds the real
+    ``gsv_tts_tpu.serving.server`` invocation from ``server_args``.
+    """
+
+    def __init__(self, devices: List[int], ports_base: int = 9890,
+                 host: str = "127.0.0.1",
+                 cmd_factory: Optional[Callable[[int, int], List[str]]] = None,
+                 server_args: Optional[List[str]] = None,
+                 max_restarts: int = 3, backoff_s: float = 1.0,
+                 env: Optional[dict] = None):
+        self.devices = list(devices)
+        self.ports_base = ports_base
+        self.host = host
+        self.server_args = server_args or []
+        self.cmd_factory = cmd_factory or self._default_cmd
+        self.max_restarts = max_restarts
+        self.backoff_s = backoff_s
+        self.env = env
+        self.procs: Dict[int, subprocess.Popen] = {}
+        self.restarts: Dict[int, int] = {d: 0 for d in self.devices}
+        self.dead: List[int] = []
+
+    # -- replica lifecycle ---------------------------------------------------
+
+    def _default_cmd(self, device: int, port: int) -> List[str]:
+        return [sys.executable, "-m", "gsv_tts_tpu.serving.server",
+                "--host", self.host, "--port", str(port),
+                "--device", str(device)] + self.server_args
+
+    def port_for(self, device: int) -> int:
+        return self.ports_base + self.devices.index(device)
+
+    def backend_urls(self) -> List[str]:
+        return [f"http://{self.host}:{self.port_for(d)}" for d in self.devices]
+
+    def spawn(self, device: int) -> subprocess.Popen:
+        cmd = self.cmd_factory(device, self.port_for(device))
+        env = dict(os.environ if self.env is None else self.env)
+        env.setdefault("PYTHONPATH", os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))))
+        proc = subprocess.Popen(cmd, env=env)
+        self.procs[device] = proc
+        log.info("fleet: replica device=%d port=%d pid=%d", device,
+                 self.port_for(device), proc.pid)
+        return proc
+
+    def spawn_all(self):
+        for d in self.devices:
+            self.spawn(d)
+
+    async def wait_healthy(self, timeout_s: float = 300.0,
+                           interval_s: float = 1.0) -> bool:
+        """Poll every replica's /health until all answer 200 (bounded)."""
+        import aiohttp
+
+        deadline = time.monotonic() + timeout_s
+        pending = set(self.backend_urls())
+        async with aiohttp.ClientSession() as session:
+            while pending and time.monotonic() < deadline:
+                done = set()
+                for url in pending:
+                    try:
+                        async with session.get(
+                                url + "/health",
+                                timeout=aiohttp.ClientTimeout(total=3)) as r:
+                            if r.status == 200:
+                                done.add(url)
+                    except Exception:
+                        pass
+                pending -= done
+                if pending:
+                    await asyncio.sleep(interval_s)
+        return not pending
+
+    async def monitor(self, interval_s: float = 2.0):
+        """Restart crashed replicas with bounded backoff; replicas past the
+        restart budget are left to the router's health checks to route
+        around (marked in ``self.dead``)."""
+        while True:
+            await asyncio.sleep(interval_s)
+            for d, proc in list(self.procs.items()):
+                if proc.poll() is None or d in self.dead:
+                    continue
+                self.restarts[d] += 1
+                if self.restarts[d] > self.max_restarts:
+                    log.error("fleet: replica device=%d exceeded restart "
+                              "budget (%d); leaving down", d, self.max_restarts)
+                    self.dead.append(d)
+                    continue
+                delay = self.backoff_s * (2 ** (self.restarts[d] - 1))
+                log.warning("fleet: replica device=%d exited rc=%s — "
+                            "restart %d/%d in %.1fs", d, proc.returncode,
+                            self.restarts[d], self.max_restarts, delay)
+                await asyncio.sleep(delay)
+                self.spawn(d)
+
+    def shutdown(self, grace_s: float = 10.0):
+        for proc in self.procs.values():
+            if proc.poll() is None:
+                proc.terminate()
+        deadline = time.monotonic() + grace_s
+        for proc in self.procs.values():
+            try:
+                proc.wait(timeout=max(0.1, deadline - time.monotonic()))
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait(timeout=5)
+
+
+def main():  # pragma: no cover - thin CLI over the tested pieces
+    import argparse
+
+    from aiohttp import web
+
+    from .router import create_router_app
+
+    ap = argparse.ArgumentParser(
+        description="gsv-tts-lite-tpu single-host dp fleet: one pinned "
+                    "server per chip + fronting router")
+    ap.add_argument("--host", default="0.0.0.0", help="router bind host")
+    ap.add_argument("--port", type=int, default=9880, help="router port")
+    ap.add_argument("--replica-host", default="127.0.0.1",
+                    help="bind host for the per-chip replicas")
+    ap.add_argument("--ports-base", type=int, default=9890,
+                    help="replica i listens on ports-base + i")
+    ap.add_argument("--devices", default=None,
+                    help="comma list of jax device indices (default: all)")
+    ap.add_argument("--max-outstanding", type=int, default=8,
+                    help="router per-replica in-flight cap")
+    ap.add_argument("--max-restarts", type=int, default=3)
+    # replica passthrough flags
+    ap.add_argument("--models-dir", default=None)
+    ap.add_argument("--gpt", default=None)
+    ap.add_argument("--sovits", default=None)
+    ap.add_argument("--dtype", default=None)
+    ap.add_argument("--quant-t2s", action="store_true")
+    ap.add_argument("--t2s-softmax", choices=("rows", "shared"), default="rows")
+    ap.add_argument("--stream-share", action="store_true")
+    ap.add_argument("--batch-window-ms", type=float, default=0.0)
+    ap.add_argument("--batch-max", type=int, default=4)
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    if args.devices:
+        devices = [int(x) for x in args.devices.split(",")]
+    else:
+        import jax
+
+        devices = list(range(len(jax.devices())))
+
+    passthrough: List[str] = []
+    for flag in ("models_dir", "gpt", "sovits", "dtype"):
+        v = getattr(args, flag)
+        if v:
+            passthrough += ["--" + flag.replace("_", "-"), str(v)]
+    if args.quant_t2s:
+        passthrough.append("--quant-t2s")
+    if args.t2s_softmax != "rows":
+        passthrough += ["--t2s-softmax", args.t2s_softmax]
+    if args.stream_share:
+        passthrough.append("--stream-share")
+    if args.batch_window_ms:
+        passthrough += ["--batch-window-ms", str(args.batch_window_ms)]
+    passthrough += ["--batch-max", str(args.batch_max)]
+
+    fleet = FleetSupervisor(devices, ports_base=args.ports_base,
+                            host=args.replica_host, server_args=passthrough,
+                            max_restarts=args.max_restarts)
+    fleet.spawn_all()
+
+    app = create_router_app(fleet.backend_urls(),
+                            max_outstanding=args.max_outstanding)
+
+    async def _start(app):
+        ok = await fleet.wait_healthy()
+        if not ok:
+            log.error("fleet: not all replicas became healthy; router will "
+                      "route around the missing ones")
+        app["fleet_monitor"] = asyncio.create_task(fleet.monitor())
+
+    async def _stop(app):
+        task = app.get("fleet_monitor")
+        if task is not None:
+            task.cancel()
+        fleet.shutdown()
+
+    app.on_startup.append(_start)
+    app.on_cleanup.append(_stop)
+    web.run_app(app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

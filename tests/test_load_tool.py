@@ -61,3 +61,26 @@ def test_load_tool_pct_and_sse_parse():
     assert load_test._pct([3.0, 1.0, 2.0], 0.5) == 2.0
     assert load_test._pct([], 0.5) is None
     assert load_test._pct([5.0], 0.95) == 5.0
+
+
+def test_saturation_harness_on_cpu(engine, assets):  # noqa: F811
+    """tools/saturation.py sweep end-to-end on the CPU engine: every client
+    of both waves completes with audio, aggregation fields are coherent
+    (the knee itself is a chip-run property — bench.py --saturation)."""
+    import saturation
+
+    out = saturation.sweep(
+        engine, [2, 3], assets["spk"], assets["prompt"], "hello there.",
+        "hello saturation. and a second line.", stream_chunk=10,
+        stagger_ms=20.0, log=lambda s: None)
+    assert out["metric"] == "serving_saturation"
+    assert [w["n"] for w in out["waves"]] == [2, 3]
+    for w in out["waves"]:
+        assert w["ok"] == w["n"], w["errors"]
+        assert w["errors"] == []
+        assert w["audio_s_total"] > 0
+        assert w["agg_stream_s_per_s"] > 0
+        assert w["ttfa_p50_s"] > 0 and w["ttfa_p99_s"] >= w["ttfa_p50_s"]
+        assert 0.0 <= w["realtime_frac"] <= 1.0
+        assert "attached" in w["wave_stats"] or w["wave_stats"] == {} or \
+            isinstance(w["wave_stats"], dict)

@@ -83,7 +83,10 @@ async def run_client(session, url: str, payload: dict, delay_s: float,
                     error = data.get("error", "unknown")
                 elif event == "done":
                     break
-    except (asyncio.TimeoutError, OSError) as e:  # noqa: PERF203
+    except Exception as e:  # noqa: BLE001 — any one client's failure
+        # (aiohttp.ClientError, a ValueError from an oversized SSE line,
+        # a timeout) must be RECORDED as that client's error, never crash
+        # the wave (ADVICE r3)
         error = f"{type(e).__name__}: {e}"
     wall = time.perf_counter() - t0
     if min_lead == float("inf"):
@@ -122,7 +125,12 @@ async def run_wave(url: str, n: int, payload: dict, stagger_ms: float,
             run_client(session, url, payload, i * stagger_ms / 1000.0,
                        tolerance_s)
             for i in range(n)
-        ])
+        ], return_exceptions=True)
+    results = [r if isinstance(r, dict) else
+               {"ok": False, "error": f"{type(r).__name__}: {r}",
+                "ttfa_s": None, "audio_s": 0.0, "wall_s": 0.0,
+                "n_events": 0, "min_lead_s": 0.0, "realtime": False}
+               for r in results]
     wall = time.perf_counter() - t0
     ok = [r for r in results if r["ok"]]
     ttfas = [r["ttfa_s"] for r in ok]
