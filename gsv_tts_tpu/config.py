@@ -66,6 +66,11 @@ class Config:
     # quant_t2s, gates B = 7/8 waves.  Tokens differ from the per-row path
     # by f32 exp reordering (opt-in, like quant_t2s).
     t2s_softmax: str = "rows"
+    # int8 dynamic-quantization BERT featurizer (models/roberta.py):
+    # counterpart of the reference's INT8-ONNX CPU backend
+    # (cnroberta.py:17-98) — ~4× faster linear layers on AVX-512 CPU hosts,
+    # 4× smaller weights; features drift by the int8 rounding (opt-in).
+    quant_bert: bool = False
     gpt_cache: list = None
     sovits_cache: list = None
     cnroberta: Any = None  # lazily-attached BERT featurizer (see models/roberta.py)

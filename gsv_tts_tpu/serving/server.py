@@ -711,6 +711,12 @@ def main():
                          "slots (with --quant-t2s it also gates B=7/8 "
                          "waves); tokens shift by f32 exp reordering vs "
                          "the per-row default")
+    ap.add_argument("--quant-bert", action="store_true",
+                    help="int8 dynamic-quantization BERT featurizer "
+                         "(reference INT8-ONNX CPU backend counterpart): "
+                         "~4x faster linear layers on AVX-512 CPU hosts, "
+                         "4x smaller weights; features drift by the int8 "
+                         "rounding")
     ap.add_argument("--device", type=int, default=None,
                     help="pin this server's engine to jax.devices()[N] — "
                          "the single-host dp scale-out unit: one server "
@@ -741,7 +747,8 @@ def main():
         jax.config.update("jax_default_device", jax.devices()[args.device])
 
     tts = TTS(models_dir=args.models_dir, dtype=args.dtype,
-              quant_t2s=args.quant_t2s, t2s_softmax=args.t2s_softmax)
+              quant_t2s=args.quant_t2s, t2s_softmax=args.t2s_softmax,
+              quant_bert=args.quant_bert)
     if args.gpt:
         tts.load_gpt_model(args.gpt)
     if args.sovits:

@@ -141,3 +141,99 @@ def test_kaldi_fbank_properties():
     silence = np.zeros(16000, np.float32)
     fbs = jsv.kaldi_fbank(silence)
     assert np.all(fbs <= np.log(np.finfo(np.float32).eps) + 1e-3)
+
+
+def test_bert_q8_backend_close_to_f32():
+    """int8 dynamic-quant BERT (VERDICT r3 #9 / reference cnroberta.py:17-98):
+    per-channel int8 weights + dynamic per-row activation quant must track
+    the f32 path closely on realistic magnitudes, and the quantized param
+    dict must actually be int8 (the 4x memory claim)."""
+    from transformers import BertConfig, BertModel
+
+    cfg_t = BertConfig(
+        vocab_size=100, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64)
+    torch.manual_seed(3)
+    ref = BertModel(cfg_t).eval()
+    cfg = jbert.BertConfig(vocab_size=100, hidden_size=32, num_hidden_layers=4,
+                           num_attention_heads=4, intermediate_size=64,
+                           max_position_embeddings=64)
+    params = {k: jnp.asarray(v.numpy()) for k, v in ref.state_dict().items()}
+
+    rng = np.random.RandomState(4)
+    ids = rng.randint(0, 100, size=(2, 13)).astype(np.int32)
+    mask = np.ones_like(ids)
+    mask[0, 10:] = 0
+
+    f32 = np.asarray(jbert.bert_hidden_minus3(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+    qp = jbert.quantize_bert_params(params, cfg)
+    q8 = np.asarray(jbert.bert_hidden_minus3_q8(
+        qp, cfg, jnp.asarray(ids), jnp.asarray(mask)))
+
+    assert q8.shape == f32.shape
+    # int8 rounding drift, not divergence: tight relative error on the
+    # feature vectors that actually condition the GPT stage
+    denom = np.maximum(np.abs(f32), 1e-3)
+    assert np.median(np.abs(q8 - f32) / denom) < 0.02
+    assert np.abs(q8 - f32).max() < 0.25 * np.abs(f32).max()
+
+    # the quantized weights really are int8 [in, out] + f32 [out] scales
+    n_q8 = sum(1 for k, v in qp.items() if k.endswith("::q8"))
+    assert n_q8 == 6 * (cfg.num_hidden_layers)  # q/k/v/attn.out/mlp1/mlp2
+    for k, v in qp.items():
+        if k.endswith("::q8"):
+            assert v.dtype == jnp.int8
+            assert qp[k.replace("::q8", "::scale")].dtype == jnp.float32
+
+
+def test_cnroberta_quant_facade(tmp_path):
+    """CNRoberta(quant=True) end to end on a tiny saved model dir: same
+    phone-feature shapes as the f32 backend, values within the int8 drift
+    band, word2ph repeat alignment intact."""
+    import json as _json
+
+    from transformers import BertConfig, BertModel
+
+    cfg_t = BertConfig(
+        vocab_size=21128, hidden_size=32, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64)
+    torch.manual_seed(5)
+    ref = BertModel(cfg_t).eval()
+    d = tmp_path / "bert"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps({
+        "vocab_size": 21128, "hidden_size": 32, "num_hidden_layers": 4,
+        "num_attention_heads": 4, "intermediate_size": 64,
+        "max_position_embeddings": 64}))
+    from transformers import AutoTokenizer
+
+    try:
+        tok = AutoTokenizer.from_pretrained(
+            "hfl/chinese-roberta-wwm-ext-large")
+        tok.save_vocabulary(str(d))
+    except Exception:
+        # offline: synthesize a minimal vocab covering the test text
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"] + list("你好吗") + ["hello"]
+        (d / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    from safetensors.numpy import save_file
+
+    save_file({k: v.numpy() for k, v in ref.state_dict().items()},
+              str(d / "model.safetensors"))
+
+    from gsv_tts_tpu.config import Config
+
+    tcfg = Config(dtype="float32", platform="cpu")
+    w2p = [{"word": ["你", "好", "吗"], "ph": [2, 2, 1]}]
+
+    feats_f32 = jbert.CNRoberta(str(d), tcfg, quant=False)(w2p)
+    feats_q8 = jbert.CNRoberta(str(d), tcfg, quant=True)(w2p)
+    assert feats_f32[0].shape == feats_q8[0].shape == (5, 32)
+    denom = np.maximum(np.abs(feats_f32[0]), 1e-3)
+    assert np.median(np.abs(feats_q8[0] - feats_f32[0]) / denom) < 0.02
+
+    # quant=None defers to the config flag (TTS(quant_bert=True) plumbing)
+    tcfg.quant_bert = True
+    assert jbert.CNRoberta(str(d), tcfg).quant is True
