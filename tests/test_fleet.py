@@ -35,8 +35,10 @@ def test_supervisor_restart_budget(tmp_path):
 
     async def run():
         task = asyncio.create_task(fleet.monitor(interval_s=0.05))
-        # generous deadline: three python spawns on a loaded box
-        for _ in range(600):
+        # generous deadline: three python spawns on a loaded box (the 30 s
+        # cap flaked under a full -n 4 xdist run; early-break keeps the
+        # normal-case cost at ~14 s)
+        for _ in range(2400):
             await asyncio.sleep(0.05)
             if fleet.dead:
                 break
