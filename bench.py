@@ -457,7 +457,8 @@ def bench_shared_serving(n_clients: int = 8, bucket: int = 512):
 
 
 def bench_saturation(ns=(8, 32, 64, 128, 256), bucket: int = 512,
-                     stagger_ms: float = 20.0, tolerance_s: float = 0.10):
+                     stagger_ms: float = 20.0, tolerance_s: float = 0.10,
+                     vocode: str = "batched"):
     """Wave-scheduler saturation sweep (VERDICT r3 #4): N synthetic clients
     attach straight to one WaveScheduler (no HTTP) with per-25-token vocoder
     chunks on the same chip, N sweeping past the ~200-streams/chip capacity
@@ -465,9 +466,19 @@ def bench_saturation(ns=(8, 32, 64, 128, 256), bucket: int = 512,
     25 tok/s = 1 s audio per vocoded chunk), and agg stream-seconds/second —
     the knee is where agg plateaus while p99 TTFT keeps growing with N.
 
-    Wall times include tunnel RTT when run through axon; the KNEE POSITION
-    (agg plateau) is a device-capacity property and survives the tunnel —
-    absolute TTFTs read pessimistic (CLAUDE.md tunnel caveats).
+    ``vocode`` selects how clients' per-second chunks reach the vocoder:
+      * "batched" (default, the production shape): one collector thread
+        micro-batches ready chunks across clients into {1,2,4,8}-row
+        programs and fetches once per group — exactly what
+        ``runtime/vocoder_batch.py`` does in serving;
+      * "solo": one dispatch + fetch per client per chunk (r4 measurement:
+        over the tunnel this serializes at ~72 round-trips/s ⇒ the agg
+        plateau reads ~14 stream-s/s and is a DISPATCH artifact, not the
+        device knee);
+      * "none": decode-only ablation (isolates the scheduler itself).
+
+    Wall times include tunnel RTT when run through axon — absolute TTFTs
+    read pessimistic (CLAUDE.md tunnel caveats).
     Reference counterpart: ``API/test_async_performance.py:57-110``."""
     import queue as _queue
     import threading
@@ -498,15 +509,20 @@ def bench_saturation(ns=(8, 32, 64, 128, 256), bucket: int = 512,
     refer = jnp.asarray(srng.randn(1, scfg.spec_channels, 100).astype(np.float32), dtype)
     noise = jnp.zeros((1, scfg.inter_channels, 50), dtype)
 
-    @jax.jit
-    def vocode_chunk(codes):
-        ge = jsv.get_ge(sparams, scfg, refer)
-        z_p, y_mask, _, _, ge_out = jsv.decode_core(sparams, scfg, codes, text,
-                                                    ge, noise)
-        pad = 128 - z_p.shape[-1]
-        z_p = jnp.pad(z_p, [(0, 0), (0, 0), (0, pad)])
-        y_mask = jnp.pad(y_mask, [(0, 0), (0, 0), (0, pad)])
-        return jsv.flow_dec(sparams, scfg, z_p, y_mask, ge_out)
+    @functools.lru_cache(maxsize=None)
+    def vocode_b_fn(Bv):
+        @jax.jit
+        def f(codes):  # [Bv, 1, 25]
+            ge = jsv.get_ge(sparams, scfg, jnp.tile(refer, (Bv, 1, 1)))
+            z_p, y_mask, _, _, ge_out = jsv.decode_core(
+                sparams, scfg, codes, jnp.tile(text, (Bv, 1)), ge,
+                jnp.tile(noise, (Bv, 1, 1)))
+            pad = 128 - z_p.shape[-1]
+            z_p = jnp.pad(z_p, [(0, 0), (0, 0), (0, pad)])
+            y_mask = jnp.pad(y_mask, [(0, 0), (0, 0), (0, pad)])
+            return jsv.flow_dec(sparams, scfg, z_p, y_mask, ge_out)
+
+        return f
 
     rng = np.random.RandomState(0)
     max_n = max(ns)
@@ -519,7 +535,51 @@ def bench_saturation(ns=(8, 32, 64, 128, 256), bucket: int = 512,
     def run_wave(n):
         sched = WaveScheduler(eng, max_batch=4)
         out_q = _queue.Queue()
+        vq = _queue.Queue()
+        stop_ev = threading.Event()
+
+        def vocoder_worker():
+            """Cross-client vocoder micro-batching, the production shape
+            (runtime/vocoder_batch.py): drain coincident chunks, pad to a
+            {1,2,4,8} bucket, ONE program + ONE fetch per group."""
+            while not (stop_ev.is_set() and vq.empty()):
+                try:
+                    group = [vq.get(timeout=0.05)]
+                except _queue.Empty:
+                    continue
+                t_close = time.perf_counter() + 0.005
+                while len(group) < 8:
+                    try:
+                        group.append(vq.get(timeout=max(
+                            0.0, t_close - time.perf_counter())))
+                    except _queue.Empty:
+                        break
+                k = len(group)
+                Bv = 1 if k == 1 else (2 if k == 2 else (4 if k <= 4 else 8))
+                codes = np.stack([g[0] for g in group]
+                                 + [group[-1][0]] * (Bv - k))
+                audio = vocode_b_fn(Bv)(jnp.asarray(codes.reshape(Bv, 1, -1)))
+                np.asarray(audio[:k, 0, :4])  # one fetch per group
+                for g in group:
+                    g[1].set()
+
+        vworker = None
+        if vocode == "batched":
+            vworker = threading.Thread(target=vocoder_worker, daemon=True)
+            vworker.start()
         t_start = time.perf_counter()
+
+        def do_vocode(block):
+            if vocode == "none":
+                return
+            if vocode == "solo":
+                np.asarray(vocode_b_fn(1)(
+                    jnp.asarray(block.reshape(1, 1, -1)))[0, 0, :4])
+                return
+            ev = threading.Event()
+            vq.put((block, ev))
+            if not ev.wait(timeout=300):
+                raise RuntimeError("vocoder batch worker stalled")
 
         def client(i):
             try:
@@ -536,8 +596,7 @@ def bench_saturation(ns=(8, 32, 64, 128, 256), bucket: int = 512,
                     while len(toks) - n_vocoded >= 25:
                         block = (np.asarray(
                             toks[n_vocoded:n_vocoded + 25], np.int32) % 1024)
-                        np.asarray(vocode_chunk(
-                            jnp.asarray(block.reshape(1, 1, -1)))[0, 0, :4])
+                        do_vocode(block)
                         n_vocoded += 25
                         audio_s += 1.0  # 25 semantic tok = 1 s audio
                         now = time.perf_counter()
@@ -565,6 +624,9 @@ def bench_saturation(ns=(8, 32, 64, 128, 256), bucket: int = 512,
             time.sleep(stagger_ms / 1000.0)
         for th in threads:
             th.join(timeout=1800)
+        stop_ev.set()
+        if vworker is not None:
+            vworker.join(timeout=60)
         sched.close()
         rows = []
         while not out_q.empty():
@@ -594,7 +656,11 @@ def bench_saturation(ns=(8, 32, 64, 128, 256), bucket: int = 512,
             if wall else 0.0,
         }
 
-    # compile pass (B=1/2/4 wave programs + the vocoder chunk)
+    # compile pass (B=1/2/4 wave programs + every vocoder bucket)
+    if vocode != "none":
+        for Bv in (1, 2, 4, 8):
+            np.asarray(vocode_b_fn(Bv)(
+                jnp.zeros((Bv, 1, 25), jnp.int32))[..., 0, :4])
     run_wave(2)
     waves = []
     for n in ns:
@@ -1021,12 +1087,19 @@ def main():
                          "N past the capacity estimate) and exit")
     ap.add_argument("--saturation-ns", default="8,32,64,128,256",
                     help="comma list of wave sizes for --saturation")
+    ap.add_argument("--saturation-vocode", default="batched",
+                    choices=("batched", "solo", "none"),
+                    help="vocoder path for --saturation: cross-client "
+                         "micro-batched (production), per-client solo "
+                         "(dispatch-bound over the tunnel), or none")
     args = ap.parse_args()
     _guard_device_reachable()
 
     if args.saturation:
         sat = bench_saturation(
-            ns=tuple(int(x) for x in args.saturation_ns.split(",")))
+            ns=tuple(int(x) for x in args.saturation_ns.split(",")),
+            vocode=args.saturation_vocode)
+        sat["vocode"] = args.saturation_vocode
         print(json.dumps({"metric": "serving_saturation",
                           "value": sat["value"],
                           "unit": "concurrent clients, all realtime",
