@@ -509,18 +509,27 @@ def bench_saturation(ns=(8, 32, 64, 128, 256), bucket: int = 512,
     refer = jnp.asarray(srng.randn(1, scfg.spec_channels, 100).astype(np.float32), dtype)
     noise = jnp.zeros((1, scfg.inter_channels, 50), dtype)
 
+    # speaker conditioning is cached per speaker in serving — precompute once
+    ge1 = jax.jit(lambda p, r: jsv.get_ge(p, scfg, r))(sparams, refer)
+    from gsv_tts_tpu.runtime.vocoder_batch import _stream_batch_fused_jit
+    OV = 5  # facade streaming default overlap_len
+
     @functools.lru_cache(maxsize=None)
     def vocode_b_fn(Bv):
-        @jax.jit
-        def f(codes):  # [Bv, 1, 25]
-            ge = jsv.get_ge(sparams, scfg, jnp.tile(refer, (Bv, 1, 1)))
-            z_p, y_mask, _, _, ge_out = jsv.decode_core(
-                sparams, scfg, codes, jnp.tile(text, (Bv, 1)), ge,
-                jnp.tile(noise, (Bv, 1, 1)))
-            pad = 128 - z_p.shape[-1]
-            z_p = jnp.pad(z_p, [(0, 0), (0, 0), (0, pad)])
-            y_mask = jnp.pad(y_mask, [(0, 0), (0, 0), (0, pad)])
-            return jsv.flow_dec(sparams, scfg, z_p, y_mask, ge_out)
+        ge_b = jnp.tile(jnp.asarray(ge1, dtype), (Bv, 1, 1))
+        text_b = jnp.tile(text, (Bv, 1))
+        noise_b = jnp.tile(noise, (Bv, 1, 1))
+        yov_b = jnp.zeros((Bv, scfg.hidden_channels, OV), dtype)
+        lens = jnp.full((Bv,), 25, jnp.int32)
+        tlens = jnp.full((Bv,), text.shape[-1], jnp.int32)
+        vsi = jnp.zeros((Bv,), jnp.int32)
+        blend = jnp.zeros((Bv,), bool)
+
+        def f(codes):  # [Bv, 1, 25] — the PRODUCTION fused batched program
+            audio, _, _ = _stream_batch_fused_jit(
+                sparams, scfg, codes, lens, text_b, tlens, ge_b, noise_b,
+                yov_b, vsi, blend, OV, 55)
+            return audio
 
         return f
 
