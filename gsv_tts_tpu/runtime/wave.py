@@ -47,9 +47,18 @@ from .t2s_session import (DecodeState, SampleArgs, T2SEngine, _gather_slots,
                           decode_chunk, prefill_batch, prefill_slot,
                           prefill_slots, prompt_rows)
 
-__all__ = ["WaveScheduler", "StreamHandle"]
+__all__ = ["WaveScheduler", "StreamHandle", "WaveOverloadedError"]
 
 I32 = jnp.int32
+
+
+class WaveOverloadedError(RuntimeError):
+    """Raised by :meth:`WaveScheduler.acquire_client` when the scheduler
+    already serves ``max_clients`` concurrent streaming clients.  Serving
+    maps this to HTTP 503 + ``Retry-After`` so direct-connect clients see
+    bounded TTFT instead of unbounded queueing past the saturation knee
+    (``bench.py --saturation``); the multi-host analogue is the router's
+    ``--max-outstanding`` shedding."""
 
 
 class StreamHandle:
@@ -144,10 +153,15 @@ class WaveScheduler:
     (B<=4 on v5e — two B=4 waves beat any B>4 config, see PLAN.md)."""
 
     def __init__(self, engine: T2SEngine, max_batch: int = 4,
-                 seed: int = 0):
+                 seed: int = 0, max_clients: Optional[int] = None):
         self.engine = engine
         bucket_sizes = sorted(engine.buckets.keys())
         self.max_batch = min(max_batch, bucket_sizes[-1])
+        #: admission cap on concurrent streaming CLIENTS (a client may
+        #: attach many segment requests over its life — the cap is on
+        #: clients, so an admitted stream never gets rejected mid-utterance)
+        self.max_clients = max_clients
+        self._n_clients = 0
         self._waves: Dict[Tuple, _Wave] = {}
         self._lock = threading.Lock()
         self._work = threading.Event()
@@ -208,6 +222,33 @@ class WaveScheduler:
         self._work.set()
         return handle
 
+    def acquire_client(self) -> None:
+        """Admission control: claim one concurrent-client slot (call once
+        per streaming CLIENT, not per attach — ``TTS.stream_shared`` holds
+        it for the client's whole multi-segment life).  Raises
+        :class:`WaveOverloadedError` at the ``max_clients`` cap."""
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("WaveScheduler is closed")
+            if (self.max_clients is not None
+                    and self._n_clients >= self.max_clients):
+                raise WaveOverloadedError(
+                    f"{self._n_clients} active streaming clients "
+                    f"(max_clients={self.max_clients})")
+            self._n_clients += 1
+
+    def release_client(self) -> None:
+        with self._lock:
+            self._n_clients = max(0, self._n_clients - 1)
+
+    @property
+    def overloaded(self) -> bool:
+        """True when a new :meth:`acquire_client` would be rejected
+        (advisory — the authoritative check is acquire itself)."""
+        with self._lock:
+            return (self.max_clients is not None
+                    and self._n_clients >= self.max_clients)
+
     def close(self):
         with self._lock:
             self._closed = True
@@ -238,7 +279,9 @@ class WaveScheduler:
                     "batched_refills": w.n_batched_refills,
                     "resizes": w.n_resizes,
                 })
-        return {"waves": waves, "max_batch": self.max_batch}
+            clients = self._n_clients
+        return {"waves": waves, "max_batch": self.max_batch,
+                "clients": clients, "max_clients": self.max_clients}
 
     # ------------------------------------------------------------------
     # driver thread

@@ -173,6 +173,10 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
     ap.add_argument("--quant-t2s", action="store_true")
     ap.add_argument("--t2s-softmax", choices=("rows", "shared"), default="rows")
     ap.add_argument("--stream-share", action="store_true")
+    ap.add_argument("--max-streams", type=int, default=None,
+                    help="per-replica admission cap on concurrent shared "
+                         "streaming clients (server --max-streams): past it"
+                         " a replica 503s and the router fails over/sheds")
     ap.add_argument("--batch-window-ms", type=float, default=0.0)
     ap.add_argument("--batch-max", type=int, default=4)
     args = ap.parse_args()
@@ -196,6 +200,8 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
         passthrough += ["--t2s-softmax", args.t2s_softmax]
     if args.stream_share:
         passthrough.append("--stream-share")
+    if args.max_streams is not None:
+        passthrough += ["--max-streams", str(args.max_streams)]
     if args.batch_window_ms:
         passthrough += ["--batch-window-ms", str(args.batch_window_ms)]
     passthrough += ["--batch-max", str(args.batch_max)]

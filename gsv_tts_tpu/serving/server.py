@@ -281,6 +281,18 @@ class TTSServer:
     async def tts_stream(self, request: web.Request) -> web.StreamResponse:
         """SSE streaming: audio / subtitle / done / error events."""
         req = await request.json()
+        shared = truthy(req.get("shared", self.stream_share))
+        if (shared and hasattr(self.tts, "shared_stream_overloaded")
+                and self.tts.shared_stream_overloaded()):
+            # admission control (--max-streams / TTS wave_max_clients):
+            # shed BEFORE the SSE response starts so direct-connect
+            # clients see a clean, retryable 503 instead of unbounded
+            # queueing past the saturation knee.  A client that races the
+            # check still gets WaveOverloadedError as an SSE error event.
+            return web.json_response(
+                {"error": "server at capacity (max concurrent shared "
+                          "streams reached)"},
+                status=503, headers={"Retry-After": "1"})
         speaker_audio = await self._resolve_audio(req["speaker_audio"])
         prompt_audio = await self._resolve_audio(req["prompt_audio"])
         prompt_text = await self._resolve_prompt(prompt_audio, req.get("prompt_text"))
@@ -313,7 +325,7 @@ class TTSServer:
                 speed=float(req.get("speed", 1.0)),
                 debug=False,
             )
-            if truthy(req.get("shared", self.stream_share)):
+            if shared:
                 # shared wave: concurrent SSE clients decode in one batched
                 # kernel wave (sentence mode maps to a huge chunk as in
                 # infer_stream; boost_first_chunk has no batched analogue)
@@ -729,6 +741,12 @@ def main():
                          "(per-request override via \"shared\": true/false; "
                          "shared streams use batched-mode sampling "
                          "semantics)")
+    ap.add_argument("--max-streams", type=int, default=None,
+                    help="admission cap on concurrent shared streaming "
+                         "clients: past it /tts/stream returns 503 + "
+                         "Retry-After instead of queueing (set it at the "
+                         "chip's saturation knee, bench.py --saturation; "
+                         "default unbounded)")
     args = ap.parse_args()
 
     # Persistent XLA compile cache: a restarted server skips recompiling
@@ -748,7 +766,7 @@ def main():
 
     tts = TTS(models_dir=args.models_dir, dtype=args.dtype,
               quant_t2s=args.quant_t2s, t2s_softmax=args.t2s_softmax,
-              quant_bert=args.quant_bert)
+              quant_bert=args.quant_bert, wave_max_clients=args.max_streams)
     if args.gpt:
         tts.load_gpt_model(args.gpt)
     if args.sovits:

@@ -205,6 +205,7 @@ class TTS:
         always_load_cnhubert: bool = False,
         always_load_sv: bool = False,
         wave_max_batch: int = 4,
+        wave_max_clients: Optional[int] = None,
         stream_vocoder: str = "bucketed",
         vocoder_batch: bool = True,
         quant_t2s: bool = False,
@@ -265,6 +266,11 @@ class TTS:
         # model, created lazily; concurrent clients bypass _infer_lock, so
         # the rng chain and the featurize caches get their own locks
         self.wave_max_batch = wave_max_batch
+        # admission cap on concurrent ``stream_shared`` clients per GPT
+        # model (None = unbounded): past the chip's saturation knee
+        # (``bench.py --saturation``) extra clients raise
+        # ``WaveOverloadedError`` up front instead of degrading everyone
+        self.wave_max_clients = wave_max_clients
         # "bucketed": streaming vocode chunks run as ONE jitted program per
         # (codes, text) shape bucket (lengths traced — no per-chunk
         # recompiles, no eager per-op dispatch); "exact" keeps the
@@ -1009,61 +1015,69 @@ class TTS:
             gpt, prompt, phones1, bert1 = self._prepare_gpt_resources(
                 gpt_model, prompt_audio_path, prompt_audio_text)
         sched = self._get_wave_scheduler(gpt_model)
-        # concurrent shared streams hit chunk boundaries together (same
-        # wave step) — micro-batch their vocoder chunks into one program
-        batcher = self._get_vocoder_batcher() if speed == 1 else None
+        # admission control: claim one client slot for this stream's WHOLE
+        # multi-segment life — raises WaveOverloadedError at the
+        # ``wave_max_clients`` cap (serving maps it to 503 + Retry-After),
+        # so an admitted stream is never rejected mid-utterance
+        sched.acquire_client()
+        try:
+            # concurrent shared streams hit chunk boundaries together (same
+            # wave step) — micro-batch their vocoder chunks into one program
+            batcher = self._get_vocoder_batcher() if speed == 1 else None
 
-        import time as _time
+            import time as _time
 
-        _t_start = _time.perf_counter()
-        first_yield = True
-        req_state = {"last_end_s": 0.0, "cur_text_l": 0}
-        audio_len_s = 0.0
-        text_cuts = cut_text(text, cut_minlen)
-        for i, text_cut in enumerate(text_cuts):
-            if debug:
-                logging.info(f"Shared-stream segment {i + 1}/{len(text_cuts)}: {text_cut!r}")
-            with self._prep_lock:
-                phones2, word2ph, bert2, norm_text = get_phones_and_bert(
-                    text_cut, self.tts_config)
-            x = np.asarray(phones1 + phones2, np.int32)
-            bert = np.concatenate([np.asarray(bert1, np.float32),
-                                   np.asarray(bert2, np.float32)], axis=0)
-            handle = sched.attach(
-                x, np.asarray(prompt, np.int32).reshape(-1), bert,
-                top_k=top_k, top_p=top_p, temperature=temperature,
-                repetition_penalty=repetition_penalty)
-            seg = _SegStream(phones2, ge, text_cut, word2ph=word2ph,
-                             norm_text=norm_text,
-                             want_subtitles=return_subtitles)
-            try:
-                for toks, done in handle:
-                    if cancel_event is not None and cancel_event.is_set():
+            _t_start = _time.perf_counter()
+            first_yield = True
+            req_state = {"last_end_s": 0.0, "cur_text_l": 0}
+            audio_len_s = 0.0
+            text_cuts = cut_text(text, cut_minlen)
+            for i, text_cut in enumerate(text_cuts):
+                if debug:
+                    logging.info(f"Shared-stream segment {i + 1}/{len(text_cuts)}: {text_cut!r}")
+                with self._prep_lock:
+                    phones2, word2ph, bert2, norm_text = get_phones_and_bert(
+                        text_cut, self.tts_config)
+                x = np.asarray(phones1 + phones2, np.int32)
+                bert = np.concatenate([np.asarray(bert1, np.float32),
+                                       np.asarray(bert2, np.float32)], axis=0)
+                handle = sched.attach(
+                    x, np.asarray(prompt, np.int32).reshape(-1), bert,
+                    top_k=top_k, top_p=top_p, temperature=temperature,
+                    repetition_penalty=repetition_penalty)
+                seg = _SegStream(phones2, ge, text_cut, word2ph=word2ph,
+                                 norm_text=norm_text,
+                                 want_subtitles=return_subtitles)
+                try:
+                    for toks, done in handle:
+                        if cancel_event is not None and cancel_event.is_set():
+                            handle.cancel()
+                            return
+                        seg.tokens.extend(int(t) for t in toks)
+                        if not done and len(seg.tokens) - seg.vocoded < stream_chunk:
+                            continue
+                        audio, subs = seg.step(
+                            self, sovits, done, req_state,
+                            noise_scale=noise_scale, speed=speed,
+                            overlap_len=overlap_len, cut_mute=cut_mute,
+                            cut_mute_scale_map=cut_mute_scale_map,
+                            batcher=batcher)
+                        if audio.size or subs or done:
+                            audio_len_s += len(audio) / self.samplerate
+                            if first_yield:
+                                self.timings.record(
+                                    "ttfa_s", _time.perf_counter() - _t_start)
+                                first_yield = False
+                            yield AudioClip(self.audio_queue, audio,
+                                            self.samplerate, audio_len_s, subs,
+                                            text)
+                finally:
+                    if not handle.done:
                         handle.cancel()
-                        return
-                    seg.tokens.extend(int(t) for t in toks)
-                    if not done and len(seg.tokens) - seg.vocoded < stream_chunk:
-                        continue
-                    audio, subs = seg.step(
-                        self, sovits, done, req_state,
-                        noise_scale=noise_scale, speed=speed,
-                        overlap_len=overlap_len, cut_mute=cut_mute,
-                        cut_mute_scale_map=cut_mute_scale_map,
-                        batcher=batcher)
-                    if audio.size or subs or done:
-                        audio_len_s += len(audio) / self.samplerate
-                        if first_yield:
-                            self.timings.record(
-                                "ttfa_s", _time.perf_counter() - _t_start)
-                            first_yield = False
-                        yield AudioClip(self.audio_queue, audio,
-                                        self.samplerate, audio_len_s, subs,
-                                        text)
-            finally:
-                if not handle.done:
-                    handle.cancel()
-        if debug:
-            logging.info(f"Shared-stream inference complete. Generated {audio_len_s:.2f}s of audio.")
+            if debug:
+                logging.info(f"Shared-stream inference complete. Generated {audio_len_s:.2f}s of audio.")
+        finally:
+            sched.release_client()
 
     def infer_vc(self, spk_audio_path, prompt_audio_path, prompt_audio_text,
                  noise_scale: float = 0.5, speed: float = 1.0, sovits_model=None):
@@ -1284,7 +1298,8 @@ class TTS:
             sched = self._wave_schedulers.get(gpt_model)
             if sched is None:
                 sched = WaveScheduler(self.gpt_models[gpt_model].engine,
-                                      max_batch=self.wave_max_batch)
+                                      max_batch=self.wave_max_batch,
+                                      max_clients=self.wave_max_clients)
                 self._wave_schedulers[gpt_model] = sched
             return sched
 
@@ -1301,6 +1316,19 @@ class TTS:
                 self._vocoder_batcher = VocoderBatcher(
                     self, max_batch=self.wave_max_batch)
             return self._vocoder_batcher
+
+    def shared_stream_overloaded(self, gpt_model=None) -> bool:
+        """Advisory pre-check for serving: True when a new
+        ``stream_shared`` client would be rejected (``wave_max_clients``
+        reached for the model's scheduler).  The authoritative check is
+        the ``acquire_client`` inside ``stream_shared`` — a raced client
+        still gets ``WaveOverloadedError`` there."""
+        if self.wave_max_clients is None:
+            return False
+        gpt_model, _ = self._default_models(gpt_model, None)
+        if gpt_model not in self.gpt_models:
+            return False  # not loaded yet ⇒ no clients on it
+        return self._get_wave_scheduler(gpt_model).overloaded
 
     def wave_stats(self) -> Dict:
         """Shared-wave scheduler state per GPT model (serving /health).

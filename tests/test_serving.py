@@ -395,3 +395,35 @@ def test_weight_switch_bad_path_keeps_serving(client_factory, assets):  # noqa: 
     bad, after, body = client_factory(go)
     assert bad >= 400
     assert after == 200 and body[:4] == b"RIFF"
+
+
+def test_stream_shared_sheds_503_at_capacity(client_factory, engine, assets):  # noqa: F811
+    """--max-streams admission: past the cap, a shared /tts/stream request
+    gets a clean retryable 503 + Retry-After BEFORE the SSE response
+    starts (reference has no admission control at all — its clients queue
+    on _infer_lock forever)."""
+    gpt_model, _ = engine._default_models(None, None)
+    sched = engine._get_wave_scheduler(gpt_model)
+    old_cap, old_tts = sched.max_clients, engine.wave_max_clients
+    engine.wave_max_clients = 0
+    sched.max_clients = 0
+
+    async def go(client):
+        r = await client.post("/tts/stream", json={
+            "text": "too many clients.",
+            "speaker_audio": assets["spk"],
+            "prompt_audio": assets["prompt"],
+            "prompt_text": "hello there.",
+            "shared": True,
+        })
+        body = await r.json()
+        return r.status, r.headers.get("Retry-After"), body
+
+    try:
+        status, retry_after, body = client_factory(go)
+    finally:
+        engine.wave_max_clients = old_tts
+        sched.max_clients = old_cap
+    assert status == 503
+    assert retry_after == "1"
+    assert "capacity" in body["error"]

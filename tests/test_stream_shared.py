@@ -377,3 +377,29 @@ def test_batched_stream_flushes_subtitles_when_head_trim_eats_audio(
 
     assert words_normal, "fixture produced no subtitles"
     assert words_trimmed == words_normal
+
+
+def test_stream_shared_admission_cap(engine, assets):
+    """``wave_max_clients`` admission: a saturated scheduler rejects a NEW
+    client up front (WaveOverloadedError before any device work), an
+    admitted client holds its slot for its whole multi-segment life, and
+    finishing releases it (sequential clients fit a cap of 1)."""
+    from gsv_tts_tpu.runtime.wave import WaveOverloadedError
+
+    gpt_model, _ = engine._default_models(None, None)
+    sched = engine._get_wave_scheduler(gpt_model)
+    old = sched.max_clients
+    kw = dict(top_k=1, noise_scale=0.0, stream_chunk=10, is_cut_text=False)
+    try:
+        sched.max_clients = 0
+        with pytest.raises(WaveOverloadedError):
+            list(engine.stream_shared(assets["spk"], assets["prompt"],
+                                      "hello there.", "shed me.",
+                                      debug=False, **kw))
+        sched.max_clients = 1
+        for text in ("first capped client.", "second capped client."):
+            clips = _collect_shared(engine, assets, text, **kw)
+            assert sum(len(c.audio_data) for c in clips) > 0
+        assert sched.stats["clients"] == 0
+    finally:
+        sched.max_clients = old

@@ -554,3 +554,42 @@ def test_wave_generations_use_fresh_rng(engine):
         assert not np.array_equal(keys[1], keys[2])
     finally:
         sched.close()
+
+
+def test_max_clients_admission_and_release(engine):
+    """Admission control (serving --max-streams): the max_clients-th
+    concurrent client is the last one admitted; a release re-opens the
+    door.  attach() itself is never gated — the cap is per CLIENT, so an
+    admitted multi-segment stream cannot be rejected mid-utterance."""
+    from gsv_tts_tpu.runtime.wave import WaveOverloadedError
+
+    sched = WaveScheduler(engine, max_batch=2, max_clients=2)
+    try:
+        sched.acquire_client()
+        sched.acquire_client()
+        assert sched.overloaded
+        with pytest.raises(WaveOverloadedError):
+            sched.acquire_client()
+        st = sched.stats
+        assert st["clients"] == 2 and st["max_clients"] == 2
+        # an already-admitted client's attach still works at the cap
+        x, y, bert = _inputs(11, engine.cfg)
+        got = _drain(sched.attach(x, y, bert, top_k=1))
+        assert got.size >= 0
+        sched.release_client()
+        assert not sched.overloaded
+        sched.acquire_client()  # re-admitted after a release
+    finally:
+        sched.close()
+
+
+def test_uncapped_scheduler_never_sheds(engine):
+    sched = WaveScheduler(engine, max_batch=2)
+    try:
+        for _ in range(64):
+            sched.acquire_client()
+        assert not sched.overloaded
+        assert sched.stats["max_clients"] is None
+        assert sched.stats["clients"] == 64
+    finally:
+        sched.close()
