@@ -478,7 +478,14 @@ def bench_saturation(ns=(8, 32, 64, 128, 256), bucket: int = 512,
       * "none": decode-only ablation (isolates the scheduler itself).
 
     Wall times include tunnel RTT when run through axon — absolute TTFTs
-    read pessimistic (CLAUDE.md tunnel caveats).
+    read pessimistic (CLAUDE.md tunnel caveats).  r4 chip sweep
+    (SATURATION_r04.json): over the tunnel the agg plateau (~12
+    stream-s/s) is the DISPATCH-ROUND rate of the synchronous driver
+    loop (~0.33 s wall per 4-stream-second wave round vs ~21 ms device),
+    NOT the device knee — read the sweep as a scheduler-robustness +
+    queueing-shape certificate (ok=N, realtime_frac 1.0 once admitted,
+    TTFT ∝ N ⇒ shed via --max-streams), and take capacity from the
+    device-time model (``e2e_streams_per_chip``).
     Reference counterpart: ``API/test_async_performance.py:57-110``."""
     import queue as _queue
     import threading
