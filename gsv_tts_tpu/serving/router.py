@@ -14,7 +14,9 @@ fans requests out across hosts over DCN:
     (mid-stream upstream loss aborts the response instead);
   * **load shedding** — each backend carries at most ``max_outstanding``
     in-flight requests; when every healthy backend is saturated the router
-    answers 503 + ``Retry-After`` rather than queueing unboundedly;
+    answers 503 + ``Retry-After`` rather than queueing unboundedly; a
+    backend's OWN capacity 503 (server ``--max-streams`` admission) fails
+    over to the next backend and is relayed only when every candidate shed;
   * **fan-out control plane** — ``/set_gpt_weights`` / ``/set_sovits_weights``
     broadcast to every backend so the fleet stays consistent;
   * streaming (SSE and chunked audio) is proxied incrementally, preserving
@@ -27,7 +29,7 @@ from __future__ import annotations
 import asyncio
 import itertools
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 try:
     import aiohttp
@@ -202,6 +204,7 @@ class Router:
         next backend on connection errors (before any byte was relayed)."""
         body = await request.read()
         tried: List[Backend] = []
+        shed_503: Optional[Tuple[bytes, Dict[str, str]]] = None
         for _ in range(self.max_retries + 1):
             b = self._pick(exclude=tried)
             if b is None:
@@ -214,6 +217,15 @@ class Router:
                         request.method, b.url + request.rel_url.path_qs.split("?")[0],
                         params=request.rel_url.query, data=body or None,
                         headers=self._fwd_headers(request)) as upstream:
+                    if upstream.status == 503:
+                        # backend at capacity (server --max-streams
+                        # admission): it is HEALTHY, just full — fail over
+                        # to the next backend, and relay the 503 (with its
+                        # Retry-After) only when every candidate shed
+                        shed_503 = (await upstream.read(),
+                                    {k: v for k, v in upstream.headers.items()
+                                     if k.lower() not in HOP_HEADERS})
+                        continue
                     resp = web.StreamResponse(status=upstream.status)
                     for k, v in upstream.headers.items():
                         if k.lower() not in HOP_HEADERS:
@@ -252,6 +264,9 @@ class Router:
                 continue
             finally:
                 b.outstanding -= 1
+        if shed_503 is not None:
+            body503, hdrs = shed_503
+            return web.Response(status=503, body=body503, headers=hdrs)
         raise web.HTTPServiceUnavailable(text="no healthy backend")
 
     async def fanout(self, request: web.Request) -> web.Response:

@@ -396,3 +396,97 @@ def test_router_proxies_batched_stream_route():
             await s1.close()
 
     run_async(go)
+
+
+def test_router_fails_over_on_capacity_503():
+    """A backend's OWN capacity 503 (server --max-streams admission) must
+    fail over to a backend with room; only when EVERY candidate sheds is
+    the 503 (with its Retry-After) relayed to the client."""
+    def make_shedding_backend(name, shed):
+        calls = {"tts": 0}
+
+        async def health(request):
+            return web.json_response({"status": "ok", "name": name})
+
+        async def tts(request):
+            calls["tts"] += 1
+            if shed:
+                return web.json_response(
+                    {"error": "server at capacity"}, status=503,
+                    headers={"Retry-After": "1"})
+            return web.json_response({"name": name})
+
+        app = web.Application()
+        app.router.add_get("/health", health)
+        app.router.add_post("/tts", tts)
+        app["calls"] = calls
+        return app
+
+    async def go():
+        full = make_shedding_backend("full", shed=True)
+        free = make_shedding_backend("free", shed=False)
+        s1, s2 = TestServer(full), TestServer(free)
+        await s1.start_server()
+        await s2.start_server()
+        app = create_router_app([str(s1.make_url("")), str(s2.make_url(""))],
+                                health_interval=3600)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # several requests: whichever backend is picked first, every
+            # request must land on the free one
+            for _ in range(4):
+                r = await client.post("/tts", json={"text": "hi"})
+                assert r.status == 200
+                assert (await r.json())["name"] == "free"
+            assert full["calls"]["tts"] >= 1, "503 backend never probed"
+            # the shedding backend must still be considered healthy
+            rh = await client.get("/health")
+            health = await rh.json()
+            assert all(b["healthy"] for b in health["backends"])
+        finally:
+            await client.close()
+            await s1.close()
+            await s2.close()
+
+    run_async(go)
+
+
+def test_router_relays_503_when_all_backends_shed():
+    async def go():
+        async def health(request):
+            return web.json_response({"status": "ok"})
+
+        async def tts(request):
+            return web.json_response({"error": "server at capacity"},
+                                     status=503,
+                                     headers={"Retry-After": "1"})
+
+        apps = []
+        servers = []
+        for _ in range(2):
+            app = web.Application()
+            app.router.add_get("/health", health)
+            app.router.add_post("/tts", tts)
+            apps.append(app)
+            s = TestServer(app)
+            await s.start_server()
+            servers.append(s)
+        app = create_router_app([str(s.make_url("")) for s in servers],
+                                health_interval=3600)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/tts", json={"text": "hi"})
+            assert r.status == 503
+            assert r.headers.get("Retry-After") == "1"
+            assert "capacity" in (await r.json())["error"]
+            # shedding is not a failure: both stay healthy
+            rh = await client.get("/health")
+            assert all(b["healthy"] for b in (await rh.json())["backends"])
+        finally:
+            await client.close()
+            for s in servers:
+                await s.close()
+
+    run_async(go)
