@@ -554,10 +554,15 @@ def bench_saturation(ns=(8, 32, 64, 128, 256), bucket: int = 512,
         vq = _queue.Queue()
         stop_ev = threading.Event()
 
+        worker_err = [None]
+
         def vocoder_worker():
             """Cross-client vocoder micro-batching, the production shape
             (runtime/vocoder_batch.py): drain coincident chunks, pad to a
-            {1,2,4,8} bucket, ONE program + ONE fetch per group."""
+            {1,2,4,8} bucket, ONE program + ONE fetch per group.  Any
+            device error kills the sweep FAST (recorded + all waiters
+            released) instead of silently dying and letting every client
+            block out its 300 s ev.wait per chunk."""
             while not (stop_ev.is_set() and vq.empty()):
                 try:
                     group = [vq.get(timeout=0.05)]
@@ -570,12 +575,22 @@ def bench_saturation(ns=(8, 32, 64, 128, 256), bucket: int = 512,
                             0.0, t_close - time.perf_counter())))
                     except _queue.Empty:
                         break
-                k = len(group)
-                Bv = 1 if k == 1 else (2 if k == 2 else (4 if k <= 4 else 8))
-                codes = np.stack([g[0] for g in group]
-                                 + [group[-1][0]] * (Bv - k))
-                audio = vocode_b_fn(Bv)(jnp.asarray(codes.reshape(Bv, 1, -1)))
-                np.asarray(audio[:k, 0, :4])  # one fetch per group
+                try:
+                    k = len(group)
+                    Bv = 1 if k == 1 else (2 if k == 2 else (4 if k <= 4 else 8))
+                    codes = np.stack([g[0] for g in group]
+                                     + [group[-1][0]] * (Bv - k))
+                    audio = vocode_b_fn(Bv)(jnp.asarray(codes.reshape(Bv, 1, -1)))
+                    np.asarray(audio[:k, 0, :4])  # one fetch per group
+                except Exception as exc:  # noqa: BLE001 — fail the sweep
+                    worker_err[0] = exc
+                    for g in group:
+                        g[1].set()
+                    while True:  # release everything already queued
+                        try:
+                            vq.get_nowait()[1].set()
+                        except _queue.Empty:
+                            return
                 for g in group:
                     g[1].set()
 
@@ -592,10 +607,16 @@ def bench_saturation(ns=(8, 32, 64, 128, 256), bucket: int = 512,
                 np.asarray(vocode_b_fn(1)(
                     jnp.asarray(block.reshape(1, 1, -1)))[0, 0, :4])
                 return
+            if worker_err[0] is not None:
+                raise RuntimeError("vocoder batch worker died") \
+                    from worker_err[0]
             ev = threading.Event()
             vq.put((block, ev))
             if not ev.wait(timeout=300):
                 raise RuntimeError("vocoder batch worker stalled")
+            if worker_err[0] is not None:
+                raise RuntimeError("vocoder batch worker died") \
+                    from worker_err[0]
 
         def client(i):
             try:
@@ -649,23 +670,23 @@ def bench_saturation(ns=(8, 32, 64, 128, 256), bucket: int = 512,
             rows.append(out_q.get())
         wall = max((r["t_done"] for r in rows), default=t_start) - t_start
         ok = [r for r in rows if r["ok"]]
-        ttfts = sorted(r["ttft"] for r in ok)
+        from gsv_tts_tpu.utils.timing import percentile
+
+        ttfts = [r["ttft"] for r in ok]
 
         def pct(q):
-            return round(ttfts[min(len(ttfts) - 1,
-                                   int(round(q * (len(ttfts) - 1))))], 3) \
-                if ttfts else None
+            p = percentile(ttfts, q)
+            return round(p, 3) if p is not None else None
 
         rt = [r for r in ok if r["min_lead"] >= -tolerance_s]
+        lead05 = percentile([r["min_lead"] for r in ok], 0.05)
         return {
             "n": n, "ok": len(ok),
             "errors": sorted({r.get("error") for r in rows
                               if r.get("error")}),
             "realtime_frac": round(len(rt) / len(ok), 3) if ok else 0.0,
             "ttft_p50_s": pct(0.5), "ttft_p99_s": pct(0.99),
-            "min_lead_p05_s": round(sorted(
-                r["min_lead"] for r in ok)[max(0, len(ok) // 20)], 3)
-            if ok else None,
+            "min_lead_p05_s": round(lead05, 3) if lead05 is not None else None,
             "audio_s_total": round(sum(r["audio_s"] for r in ok), 1),
             "wave_wall_s": round(wall, 2),
             "agg_stream_s_per_s": round(sum(r["audio_s"] for r in ok) / wall, 2)

@@ -214,10 +214,16 @@ def get_gpt_weights(gpt_path, tts_config: Config) -> Gpt:
     if getattr(tts_config, "use_flash_attn", False) and tts_config.platform == "tpu":
         attn_impl = "fused_step_q8" if getattr(tts_config, "quant_t2s", False) \
             else "fused_step"
-        if getattr(tts_config, "t2s_softmax", "rows") == "shared":
+        softmax = getattr(tts_config, "t2s_softmax", "rows")
+        if softmax not in ("rows", "shared", "vec"):
+            raise ValueError(
+                f"t2s_softmax must be 'rows', 'shared' or 'vec', got "
+                f"{softmax!r}")
+        if softmax != "rows":
             # decode_chunk strips the suffix; B=1 ignores it (no per-row
-            # bookkeeping to share), batched waves switch kernels
-            attn_impl += ":shsm"
+            # bookkeeping to share/vectorize), batched waves switch
+            # kernels ("shared" → :shsm, "vec" → :vec)
+            attn_impl += ":shsm" if softmax == "shared" else ":vec"
     engine = T2SEngine(params, cfg, gpt_cache=gpt_cache,
                        dtype=tts_config.dtype, attn_impl=attn_impl)
     return Gpt(engine, params, cfg, config)

@@ -44,7 +44,7 @@ class FleetSupervisor:
                  cmd_factory: Optional[Callable[[int, int], List[str]]] = None,
                  server_args: Optional[List[str]] = None,
                  max_restarts: int = 3, backoff_s: float = 1.0,
-                 env: Optional[dict] = None):
+                 env: Optional[dict] = None, chip_env: str = "auto"):
         self.devices = list(devices)
         self.ports_base = ports_base
         self.host = host
@@ -53,16 +53,40 @@ class FleetSupervisor:
         self.max_restarts = max_restarts
         self.backoff_s = backoff_s
         self.env = env
+        #: per-process chip isolation ("auto"/"on"/"off"): a LOCAL libtpu
+        #: takes exclusive ownership of every chip at init, so N pinned
+        #: replicas need TPU_VISIBLE_DEVICES=<chip> + 1x1x1 process bounds
+        #: per process — ``--device`` alone only picks among the devices a
+        #: process already sees (virtual-CPU platforms, axon tunnel)
+        self.chip_env = chip_env
         self.procs: Dict[int, subprocess.Popen] = {}
         self.restarts: Dict[int, int] = {d: 0 for d in self.devices}
         self.dead: List[int] = []
 
     # -- replica lifecycle ---------------------------------------------------
 
+    def _chip_env_active(self) -> bool:
+        if self.chip_env in ("on", "off"):
+            return self.chip_env == "on"
+        # auto: only when replicas will initialize a LOCAL TPU runtime —
+        # a forced non-TPU platform (tests: JAX_PLATFORMS=cpu) or a host
+        # without libtpu (axon tunnel, CPU dev box) keeps the plain
+        # --device pinning path
+        base = os.environ if self.env is None else self.env
+        plat = base.get("JAX_PLATFORMS", "")
+        if plat and "tpu" not in plat:
+            return False
+        import importlib.util
+
+        return importlib.util.find_spec("libtpu") is not None
+
     def _default_cmd(self, device: int, port: int) -> List[str]:
+        # under chip-env isolation each replica sees exactly ONE chip, so
+        # the in-process pin is always devices()[0]
+        dev = "0" if self._chip_env_active() else str(device)
         return [sys.executable, "-m", "gsv_tts_tpu.serving.server",
                 "--host", self.host, "--port", str(port),
-                "--device", str(device)] + self.server_args
+                "--device", dev] + self.server_args
 
     def port_for(self, device: int) -> int:
         return self.ports_base + self.devices.index(device)
@@ -75,6 +99,14 @@ class FleetSupervisor:
         env = dict(os.environ if self.env is None else self.env)
         env.setdefault("PYTHONPATH", os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))))
+        if self._chip_env_active():
+            # exclusive per-process chip ownership: each replica's libtpu
+            # initializes with exactly one visible chip (without this,
+            # replica 0 claims every chip and replicas 1..N-1 die with
+            # "Device or resource busy")
+            env["TPU_VISIBLE_DEVICES"] = str(device)
+            env.setdefault("TPU_PROCESS_BOUNDS", "1,1,1")
+            env.setdefault("TPU_CHIPS_PER_PROCESS_BOUNDS", "1,1,1")
         proc = subprocess.Popen(cmd, env=env)
         self.procs[device] = proc
         log.info("fleet: replica device=%d port=%d pid=%d", device,
@@ -112,11 +144,23 @@ class FleetSupervisor:
     async def monitor(self, interval_s: float = 2.0):
         """Restart crashed replicas with bounded backoff; replicas past the
         restart budget are left to the router's health checks to route
-        around (marked in ``self.dead``)."""
+        around (marked in ``self.dead``).  Backoffs are tracked per replica
+        as wake times — never awaited inline — so one flapping replica's
+        delay cannot stall crash detection or restarts of the others."""
+        pending: Dict[int, float] = {}  # device -> monotonic restart time
         while True:
-            await asyncio.sleep(interval_s)
+            now = time.monotonic()
+            sleep_s = interval_s
+            if pending:
+                sleep_s = min(sleep_s,
+                              max(0.05, min(pending.values()) - now))
+            await asyncio.sleep(sleep_s)
+            now = time.monotonic()
+            for d in [d for d, t in pending.items() if now >= t]:
+                del pending[d]
+                self.spawn(d)
             for d, proc in list(self.procs.items()):
-                if proc.poll() is None or d in self.dead:
+                if proc.poll() is None or d in self.dead or d in pending:
                     continue
                 self.restarts[d] += 1
                 if self.restarts[d] > self.max_restarts:
@@ -128,8 +172,7 @@ class FleetSupervisor:
                 log.warning("fleet: replica device=%d exited rc=%s — "
                             "restart %d/%d in %.1fs", d, proc.returncode,
                             self.restarts[d], self.max_restarts, delay)
-                await asyncio.sleep(delay)
-                self.spawn(d)
+                pending[d] = time.monotonic() + delay
 
     def shutdown(self, grace_s: float = 10.0):
         for proc in self.procs.values():
@@ -165,13 +208,21 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
     ap.add_argument("--max-outstanding", type=int, default=8,
                     help="router per-replica in-flight cap")
     ap.add_argument("--max-restarts", type=int, default=3)
+    ap.add_argument("--chip-env", choices=("auto", "on", "off"),
+                    default="auto",
+                    help="per-replica TPU chip isolation env "
+                         "(TPU_VISIBLE_DEVICES + 1x1x1 process bounds): a "
+                         "local libtpu claims every chip exclusively at "
+                         "init, so N replicas need it; auto enables it "
+                         "only when libtpu is importable and JAX_PLATFORMS "
+                         "doesn't exclude tpu")
     # replica passthrough flags
     ap.add_argument("--models-dir", default=None)
     ap.add_argument("--gpt", default=None)
     ap.add_argument("--sovits", default=None)
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--quant-t2s", action="store_true")
-    ap.add_argument("--t2s-softmax", choices=("rows", "shared"), default="rows")
+    ap.add_argument("--t2s-softmax", choices=("rows", "shared", "vec"), default="rows")
     ap.add_argument("--stream-share", action="store_true")
     ap.add_argument("--max-streams", type=int, default=None,
                     help="per-replica admission cap on concurrent shared "
@@ -185,9 +236,15 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
     if args.devices:
         devices = [int(x) for x in args.devices.split(",")]
     else:
-        import jax
-
-        devices = list(range(len(jax.devices())))
+        # enumerate chips in a SUBPROCESS: initializing jax in the
+        # supervisor would make ITS libtpu claim every chip exclusively
+        # before the replicas spawn (the very failure chip_env prevents)
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=600)
+        if out.returncode != 0:
+            raise SystemExit(f"device enumeration failed: {out.stderr}")
+        devices = list(range(int(out.stdout.strip().splitlines()[-1])))
 
     passthrough: List[str] = []
     for flag in ("models_dir", "gpt", "sovits", "dtype"):
@@ -208,7 +265,8 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
 
     fleet = FleetSupervisor(devices, ports_base=args.ports_base,
                             host=args.replica_host, server_args=passthrough,
-                            max_restarts=args.max_restarts)
+                            max_restarts=args.max_restarts,
+                            chip_env=args.chip_env)
     fleet.spawn_all()
 
     app = create_router_app(fleet.backend_urls(),

@@ -205,7 +205,12 @@ class Router:
         body = await request.read()
         tried: List[Backend] = []
         shed_503: Optional[Tuple[bytes, Dict[str, str]]] = None
-        for _ in range(self.max_retries + 1):
+        failures = 0
+        # connection-level FAILURES consume the max_retries budget; a
+        # capacity 503 (healthy-but-full) only excludes that backend, so
+        # the 503 is relayed strictly "when every candidate shed" no
+        # matter how many replicas the fleet has
+        while failures <= self.max_retries and len(tried) < len(self.backends):
             b = self._pick(exclude=tried)
             if b is None:
                 break
@@ -251,6 +256,7 @@ class Router:
                 # subclassing goes ServerTimeoutError -> asyncio.TimeoutError,
                 # not the other way)
                 b.healthy = False  # re-probed by the health loop
+                failures += 1
                 if resp is not None and resp.prepared:
                     # Bytes already went to the client: failing over would
                     # prepare a second response on the same request.  Abort

@@ -282,104 +282,118 @@ class TTSServer:
         """SSE streaming: audio / subtitle / done / error events."""
         req = await request.json()
         shared = truthy(req.get("shared", self.stream_share))
-        if (shared and hasattr(self.tts, "shared_stream_overloaded")
-                and self.tts.shared_stream_overloaded()):
-            # admission control (--max-streams / TTS wave_max_clients):
-            # shed BEFORE the SSE response starts so direct-connect
-            # clients see a clean, retryable 503 instead of unbounded
-            # queueing past the saturation knee.  A client that races the
-            # check still gets WaveOverloadedError as an SSE error event.
-            return web.json_response(
-                {"error": "server at capacity (max concurrent shared "
-                          "streams reached)"},
-                status=503, headers={"Retry-After": "1"})
-        speaker_audio = await self._resolve_audio(req["speaker_audio"])
-        prompt_audio = await self._resolve_audio(req["prompt_audio"])
-        prompt_text = await self._resolve_prompt(prompt_audio, req.get("prompt_text"))
-
-        resp = web.StreamResponse(headers={
-            "Content-Type": "text/event-stream",
-            "Cache-Control": "no-cache",
-            "Connection": "keep-alive",
-            "X-Accel-Buffering": "no",
-        })
-        await resp.prepare(request)
-
-        t0 = time.perf_counter()
-        first = True
-        total_len = 0
-        agen = None
-        try:
-            kw = dict(
-                return_subtitles=truthy(req.get("return_subtitles", False)),
-                is_cut_text=truthy(req.get("is_cut_text", True)),
-                cut_minlen=int(req.get("cut_minlen", 10)),
-                cut_mute=float(req.get("cut_mute", 0.3)),
-                stream_chunk=int(req.get("stream_chunk", 25)),
-                overlap_len=int(req.get("overlap_len", 5)),
-                top_k=int(req.get("top_k", 15)),
-                top_p=float(req.get("top_p", 1.0)),
-                temperature=float(req.get("temperature", 1.0)),
-                repetition_penalty=float(req.get("repetition_penalty", 1.35)),
-                noise_scale=float(req.get("noise_scale", 0.5)),
-                speed=float(req.get("speed", 1.0)),
-                debug=False,
-            )
-            if shared:
-                # shared wave: concurrent SSE clients decode in one batched
-                # kernel wave (sentence mode maps to a huge chunk as in
-                # infer_stream; boost_first_chunk has no batched analogue)
-                if req.get("stream_mode", "token") == "sentence":
-                    kw["stream_chunk"] = 10000
-                agen = self.tts.stream_shared_async(
-                    spk_audio_path=speaker_audio,
-                    prompt_audio_path=prompt_audio,
-                    prompt_audio_text=prompt_text,
-                    text=req["text"], **kw)
-            else:
-                agen = self.tts.infer_stream_async(
-                    spk_audio_path=speaker_audio,
-                    prompt_audio_path=prompt_audio,
-                    prompt_audio_text=prompt_text,
-                    text=req["text"],
-                    stream_mode=req.get("stream_mode", "token"),
-                    boost_first_chunk=truthy(req.get("boost_first_chunk", True)),
-                    **kw)
-            async for clip in agen:
-                if first:
-                    self.timings.record("ttfa_s", time.perf_counter() - t0)
-                    first = False
-                total_len += len(clip.audio_data)
-                chunk = {
-                    "audio": base64.b64encode(
-                        np.asarray(clip.audio_data, np.float32).tobytes()).decode(),
-                    "sample_rate": clip.samplerate,
-                    "duration": clip.audio_len_s,
-                    "subtitles": clip.subtitles,
-                    "text": clip.orig_text,
-                }
-                await resp.write(
-                    f"event: audio\ndata: {json.dumps(chunk, ensure_ascii=False)}\n\n".encode())
-            done = {"total_duration": total_len / self.tts.samplerate}
-            await resp.write(f"event: done\ndata: {json.dumps(done)}\n\n".encode())
-        except (ConnectionResetError, ConnectionError,
-                aiohttp.ClientConnectionError) as e:
-            # routine client disconnect, NOT an inference error: stop the
-            # generator (its cancel_event detaches the synthesis worker)
-            # and don't write to the dead socket again
-            logging.info("client disconnected mid-stream: %s", e)
-            if agen is not None:
-                await agen.aclose()
-            return resp
-        except Exception as e:  # noqa: BLE001
-            logging.exception("stream inference error")
-            err = {"error": str(e)}
+        release_admission = None
+        if shared and hasattr(self.tts, "admit_shared_client"):
+            # AUTHORITATIVE admission (--max-streams / TTS
+            # wave_max_clients): claim the client slot BEFORE the SSE
+            # response starts, so every shed is a clean retryable 503 the
+            # router can fail over on — an advisory check would let bursty
+            # losers through to a 200 + SSE error event instead.
             try:
-                await resp.write(f"event: error\ndata: {json.dumps(err, ensure_ascii=False)}\n\n".encode())
-            except (ConnectionResetError, ConnectionError):
+                release_admission = self.tts.admit_shared_client()
+            except Exception as e:
+                from ..runtime.wave import WaveOverloadedError
+
+                if not isinstance(e, WaveOverloadedError):
+                    raise
+                return web.json_response(
+                    {"error": "server at capacity (max concurrent shared "
+                              "streams reached)"},
+                    status=503, headers={"Retry-After": "1"})
+        try:
+            speaker_audio = await self._resolve_audio(req["speaker_audio"])
+            prompt_audio = await self._resolve_audio(req["prompt_audio"])
+            prompt_text = await self._resolve_prompt(prompt_audio,
+                                                     req.get("prompt_text"))
+
+            resp = web.StreamResponse(headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+                "Connection": "keep-alive",
+                "X-Accel-Buffering": "no",
+            })
+            await resp.prepare(request)
+
+            t0 = time.perf_counter()
+            first = True
+            total_len = 0
+            agen = None
+            try:
+                kw = dict(
+                    return_subtitles=truthy(req.get("return_subtitles", False)),
+                    is_cut_text=truthy(req.get("is_cut_text", True)),
+                    cut_minlen=int(req.get("cut_minlen", 10)),
+                    cut_mute=float(req.get("cut_mute", 0.3)),
+                    stream_chunk=int(req.get("stream_chunk", 25)),
+                    overlap_len=int(req.get("overlap_len", 5)),
+                    top_k=int(req.get("top_k", 15)),
+                    top_p=float(req.get("top_p", 1.0)),
+                    temperature=float(req.get("temperature", 1.0)),
+                    repetition_penalty=float(req.get("repetition_penalty", 1.35)),
+                    noise_scale=float(req.get("noise_scale", 0.5)),
+                    speed=float(req.get("speed", 1.0)),
+                    debug=False,
+                )
+                if shared:
+                    # shared wave: concurrent SSE clients decode in one
+                    # batched kernel wave (sentence mode maps to a huge
+                    # chunk as in infer_stream; boost_first_chunk has no
+                    # batched analogue)
+                    if req.get("stream_mode", "token") == "sentence":
+                        kw["stream_chunk"] = 10000
+                    agen = self.tts.stream_shared_async(
+                        spk_audio_path=speaker_audio,
+                        prompt_audio_path=prompt_audio,
+                        prompt_audio_text=prompt_text,
+                        text=req["text"],
+                        admitted=release_admission is not None, **kw)
+                else:
+                    agen = self.tts.infer_stream_async(
+                        spk_audio_path=speaker_audio,
+                        prompt_audio_path=prompt_audio,
+                        prompt_audio_text=prompt_text,
+                        text=req["text"],
+                        stream_mode=req.get("stream_mode", "token"),
+                        boost_first_chunk=truthy(req.get("boost_first_chunk", True)),
+                        **kw)
+                async for clip in agen:
+                    if first:
+                        self.timings.record("ttfa_s", time.perf_counter() - t0)
+                        first = False
+                    total_len += len(clip.audio_data)
+                    chunk = {
+                        "audio": base64.b64encode(
+                            np.asarray(clip.audio_data, np.float32).tobytes()).decode(),
+                        "sample_rate": clip.samplerate,
+                        "duration": clip.audio_len_s,
+                        "subtitles": clip.subtitles,
+                        "text": clip.orig_text,
+                    }
+                    await resp.write(
+                        f"event: audio\ndata: {json.dumps(chunk, ensure_ascii=False)}\n\n".encode())
+                done = {"total_duration": total_len / self.tts.samplerate}
+                await resp.write(f"event: done\ndata: {json.dumps(done)}\n\n".encode())
+            except (ConnectionResetError, ConnectionError,
+                    aiohttp.ClientConnectionError) as e:
+                # routine client disconnect, NOT an inference error: stop
+                # the generator (its cancel_event detaches the synthesis
+                # worker) and don't write to the dead socket again
+                logging.info("client disconnected mid-stream: %s", e)
+                if agen is not None:
+                    await agen.aclose()
                 return resp
-        await resp.write_eof()
-        return resp
+            except Exception as e:  # noqa: BLE001
+                logging.exception("stream inference error")
+                err = {"error": str(e)}
+                try:
+                    await resp.write(f"event: error\ndata: {json.dumps(err, ensure_ascii=False)}\n\n".encode())
+                except (ConnectionResetError, ConnectionError):
+                    return resp
+            await resp.write_eof()
+            return resp
+        finally:
+            if release_admission is not None:
+                release_admission()
 
     async def tts_stream_batched(self, request: web.Request) -> web.StreamResponse:
         """SSE streaming continuous batching: N texts synthesize
@@ -716,7 +730,7 @@ def main():
                          " ~+30-40%% B=1 / +10-17%% B=4 decode throughput on"
                          " TPU; sampled tokens shift by the int8 rounding"
                          " error vs the bf16 default")
-    ap.add_argument("--t2s-softmax", choices=("rows", "shared"),
+    ap.add_argument("--t2s-softmax", choices=("rows", "shared", "vec"),
                     default="rows",
                     help="batched decode kernel softmax bookkeeping: "
                          "\"shared\" uses one running max per head across "

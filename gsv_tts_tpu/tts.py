@@ -986,7 +986,8 @@ class TTS:
                       repetition_penalty: float = 1.35,
                       noise_scale: float = 0.5, speed: float = 1.0,
                       gpt_model=None, sovits_model=None, debug: bool = True,
-                      cancel_event: Optional[threading.Event] = None):
+                      cancel_event: Optional[threading.Event] = None,
+                      admitted: bool = False):
         """Streaming synthesis through the SHARED wave scheduler: unlike
         ``infer_stream`` (which serializes callers behind ``_infer_lock``),
         N independent callers — threads or server requests arriving at any
@@ -1018,8 +1019,11 @@ class TTS:
         # admission control: claim one client slot for this stream's WHOLE
         # multi-segment life — raises WaveOverloadedError at the
         # ``wave_max_clients`` cap (serving maps it to 503 + Retry-After),
-        # so an admitted stream is never rejected mid-utterance
-        sched.acquire_client()
+        # so an admitted stream is never rejected mid-utterance.
+        # ``admitted=True`` means the caller already holds the slot via
+        # ``admit_shared_client`` (and releases it itself).
+        if not admitted:
+            sched.acquire_client()
         try:
             # concurrent shared streams hit chunk boundaries together (same
             # wave step) — micro-batch their vocoder chunks into one program
@@ -1077,7 +1081,8 @@ class TTS:
             if debug:
                 logging.info(f"Shared-stream inference complete. Generated {audio_len_s:.2f}s of audio.")
         finally:
-            sched.release_client()
+            if not admitted:
+                sched.release_client()
 
     def infer_vc(self, spk_audio_path, prompt_audio_path, prompt_audio_text,
                  noise_scale: float = 0.5, speed: float = 1.0, sovits_model=None):
@@ -1318,17 +1323,34 @@ class TTS:
             return self._vocoder_batcher
 
     def shared_stream_overloaded(self, gpt_model=None) -> bool:
-        """Advisory pre-check for serving: True when a new
-        ``stream_shared`` client would be rejected (``wave_max_clients``
-        reached for the model's scheduler).  The authoritative check is
-        the ``acquire_client`` inside ``stream_shared`` — a raced client
-        still gets ``WaveOverloadedError`` there."""
+        """Advisory pre-check: True when a new ``stream_shared`` client
+        would be rejected (``wave_max_clients`` reached for the model's
+        scheduler).  Serving uses the AUTHORITATIVE
+        :meth:`admit_shared_client` instead — this stays for dashboards
+        and cheap load probes."""
         if self.wave_max_clients is None:
             return False
         gpt_model, _ = self._default_models(gpt_model, None)
         if gpt_model not in self.gpt_models:
             return False  # not loaded yet ⇒ no clients on it
         return self._get_wave_scheduler(gpt_model).overloaded
+
+    def admit_shared_client(self, gpt_model=None):
+        """Authoritatively claim a shared-stream client slot BEFORE the
+        stream starts (lets serving answer 503 before the SSE response
+        begins, with no check-then-acquire race).  Raises
+        ``WaveOverloadedError`` at the ``wave_max_clients`` cap; returns
+        a zero-arg release callable the caller MUST invoke when the
+        stream ends, passing ``admitted=True`` to :meth:`stream_shared`
+        so it does not double-claim.  Returns None when the model has no
+        scheduler yet (not loaded ⇒ zero clients; the stream's own
+        acquire cannot lose a race that matters)."""
+        gpt_model, _ = self._default_models(gpt_model, None)
+        if gpt_model not in self.gpt_models:
+            return None
+        sched = self._get_wave_scheduler(gpt_model)
+        sched.acquire_client()
+        return sched.release_client
 
     def wave_stats(self) -> Dict:
         """Shared-wave scheduler state per GPT model (serving /health).

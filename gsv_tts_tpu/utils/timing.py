@@ -145,3 +145,14 @@ def enable_compilation_cache(path: str = None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+
+def percentile(xs, q: float):
+    """Nearest-rank percentile over the non-None values (None when empty).
+    Shared by the saturation harnesses (tools/saturation.py and
+    bench.py --saturation) so 'the same metric' cannot silently diverge
+    between their artifacts."""
+    xs = sorted(x for x in xs if x is not None)
+    if not xs:
+        return None
+    return xs[min(len(xs) - 1, int(round(q * (len(xs) - 1))))]

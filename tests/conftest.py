@@ -31,11 +31,22 @@ def _ensure_native_lib():
     lock = os.path.join(root, "native", "build", ".building")
     try:
         os.makedirs(os.path.dirname(lock), exist_ok=True)
+        # a lock left behind by a killed builder would stall every later
+        # run's losers for their full wait — treat a stale one as free
+        try:
+            if time.time() - os.path.getmtime(lock) > 300:
+                os.unlink(lock)
+        except OSError:
+            pass
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except OSError:
-        # another xdist worker is building — wait for it (bounded)
-        for _ in range(120):
-            if os.path.exists(so) and not os.path.exists(lock):
+        # another xdist worker is building — wait for the LOCK to clear
+        # (bounded).  Waiting for the .so instead would spin the full
+        # budget whenever the build fails (no compiler): the winner
+        # removes the lock either way, the .so may legitimately never
+        # appear and the numpy fallbacks take over.
+        for _ in range(240):
+            if not os.path.exists(lock):
                 return
             time.sleep(0.5)
         return

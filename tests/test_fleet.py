@@ -148,3 +148,93 @@ def test_two_replica_fleet_serves_from_distinct_devices(assets):  # noqa: F811
         asyncio.run(go())
     finally:
         fleet.shutdown()
+
+
+def test_chip_env_isolation_spawn(monkeypatch):
+    """chip_env="on": each replica gets TPU_VISIBLE_DEVICES=<its chip> +
+    1x1x1 process bounds (a local libtpu claims every chip exclusively at
+    init, so N pinned replicas cannot coexist without it), and the
+    in-process pin becomes --device 0 (each replica sees ONE chip).
+    chip_env="off" keeps the plain --device i path (virtual platforms)."""
+    import gsv_tts_tpu.serving.fleet as fleet_mod
+
+    captured = []
+
+    class FakeProc:
+        pid = 4242
+
+        def poll(self):
+            return None
+
+    def fake_popen(cmd, env=None):
+        captured.append((list(cmd), dict(env)))
+        return FakeProc()
+
+    monkeypatch.setattr(fleet_mod.subprocess, "Popen", fake_popen)
+
+    on = FleetSupervisor([0, 2], ports_base=46000, chip_env="on")
+    on.spawn_all()
+    assert len(captured) == 2
+    for (cmd, env), dev in zip(captured, (0, 2)):
+        assert env["TPU_VISIBLE_DEVICES"] == str(dev)
+        assert env["TPU_PROCESS_BOUNDS"] == "1,1,1"
+        assert env["TPU_CHIPS_PER_PROCESS_BOUNDS"] == "1,1,1"
+        assert cmd[cmd.index("--device") + 1] == "0"
+
+    captured.clear()
+    off = FleetSupervisor([0, 2], ports_base=46010, chip_env="off")
+    off.spawn_all()
+    for (cmd, env), dev in zip(captured, (0, 2)):
+        assert "TPU_VISIBLE_DEVICES" not in env
+        assert cmd[cmd.index("--device") + 1] == str(dev)
+
+    # auto on this host (JAX_PLATFORMS=cpu in the test env / no libtpu)
+    # must resolve to off — the virtual-8 fleet test depends on it
+    auto = FleetSupervisor([0], chip_env="auto",
+                           env={"JAX_PLATFORMS": "cpu"})
+    assert auto._chip_env_active() is False
+
+
+def test_supervisor_backoff_does_not_block_other_restarts(tmp_path):
+    """One replica deep in exponential backoff must not delay another
+    replica's crash detection/restart (backoffs are wake times in the
+    scan loop, not inline sleeps)."""
+    slow_marker = tmp_path / "slow.log"
+    fast_marker = tmp_path / "fast.log"
+
+    def cmd_factory(device, port):
+        if device == 0:  # crashes instantly, long backoff each time
+            return [sys.executable, "-c",
+                    f"open({str(slow_marker)!r}, 'a').write('x')"]
+        # crashes instantly too, but must keep restarting while replica 0
+        # sits in its long backoff
+        return [sys.executable, "-c",
+                f"open({str(fast_marker)!r}, 'a').write('x')"]
+
+    fleet = FleetSupervisor([0, 1], ports_base=46020,
+                            cmd_factory=cmd_factory,
+                            max_restarts=3, backoff_s=0.0)
+    # device 0 backoff is huge, device 1 backoff is zero: monkey-wrench by
+    # pre-loading restart counts so device 0's NEXT delay is 2^k * big
+    fleet.backoff_s = 0.01
+
+    async def run():
+        fleet.spawn(0)
+        fleet.spawn(1)
+        # give device 0 a monster backoff by faking a high restart count
+        # (its next delay = 0.01 * 2^(restarts) ≈ forever at 2^40)
+        fleet.restarts[0] = 40
+        fleet.max_restarts = 45
+        task = asyncio.create_task(fleet.monitor(interval_s=0.05))
+        deadline = time.monotonic() + 30.0
+        while time.monotonic() < deadline:
+            await asyncio.sleep(0.05)
+            if fast_marker.exists() and len(fast_marker.read_text()) >= 3:
+                break
+        task.cancel()
+
+    asyncio.run(run())
+    # replica 1 kept restarting while replica 0 waited out its backoff
+    assert len(fast_marker.read_text()) >= 3
+    assert len(slow_marker.read_text()) == 1  # only the initial spawn
+    fleet.shutdown()

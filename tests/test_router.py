@@ -490,3 +490,46 @@ def test_router_relays_503_when_all_backends_shed():
                 await s.close()
 
     run_async(go)
+
+
+def test_router_503_failover_not_bounded_by_max_retries():
+    """Capacity 503s must not consume the connection-failure retry budget:
+    with 4 backends, 3 shedding, and max_retries=1, the single free
+    backend is still found every time."""
+    async def go():
+        async def health(request):
+            return web.json_response({"status": "ok"})
+
+        def make(shed, name):
+            async def tts(request):
+                if shed:
+                    return web.json_response({"error": "capacity"},
+                                             status=503,
+                                             headers={"Retry-After": "1"})
+                return web.json_response({"name": name})
+
+            app = web.Application()
+            app.router.add_get("/health", health)
+            app.router.add_post("/tts", tts)
+            return app
+
+        servers = []
+        for i in range(4):
+            s = TestServer(make(shed=(i != 3), name=f"b{i}"))
+            await s.start_server()
+            servers.append(s)
+        app = create_router_app([str(s.make_url("")) for s in servers],
+                                health_interval=3600, max_retries=1)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            for _ in range(6):
+                r = await client.post("/tts", json={})
+                assert r.status == 200
+                assert (await r.json())["name"] == "b3"
+        finally:
+            await client.close()
+            for s in servers:
+                await s.close()
+
+    run_async(go)

@@ -427,3 +427,60 @@ def test_stream_shared_sheds_503_at_capacity(client_factory, engine, assets):  #
     assert status == 503
     assert retry_after == "1"
     assert "capacity" in body["error"]
+
+
+def test_stream_shared_burst_losers_get_503_not_sse_error(client_factory, engine, assets):  # noqa: F811
+    """The admission check is AUTHORITATIVE (acquire before the SSE
+    response starts): with a cap of 1 and a client mid-stream, concurrent
+    newcomers get 503 — never a 200 whose body is only an SSE error
+    event (which the router could not fail over on)."""
+    gpt_model, _ = engine._default_models(None, None)
+    sched = engine._get_wave_scheduler(gpt_model)
+    old_cap, old_tts = sched.max_clients, engine.wave_max_clients
+    engine.wave_max_clients = 1
+    sched.max_clients = 1
+
+    async def go(client):
+        async def holder():
+            r = await client.post("/tts/stream", timeout=LONG, json={
+                "text": "the holder keeps the only slot busy while "
+                        "newcomers arrive and must be shed.",
+                "speaker_audio": assets["spk"],
+                "prompt_audio": assets["prompt"],
+                "prompt_text": "hello there.",
+                "shared": True, "stream_chunk": 10,
+            })
+            return r.status, await r.text()
+
+        task = asyncio.create_task(holder())
+        # wait until the holder actually holds the slot
+        for _ in range(600):
+            if sched.stats["clients"] >= 1:
+                break
+            await asyncio.sleep(0.05)
+        assert sched.stats["clients"] >= 1, "holder never admitted"
+        burst = await asyncio.gather(*[
+            client.post("/tts/stream", json={
+                "text": "burst loser.",
+                "speaker_audio": assets["spk"],
+                "prompt_audio": assets["prompt"],
+                "prompt_text": "hello there.",
+                "shared": True,
+            }) for _ in range(3)])
+        statuses = [r.status for r in burst]
+        retry = [r.headers.get("Retry-After") for r in burst]
+        h_status, h_body = await task
+        return statuses, retry, h_status, h_body
+
+    try:
+        statuses, retry, h_status, h_body = client_factory(go)
+    finally:
+        engine.wave_max_clients = old_tts
+        sched.max_clients = old_cap
+    assert statuses == [503, 503, 503]
+    assert retry == ["1", "1", "1"]
+    # the admitted holder streamed normally and released its slot
+    assert h_status == 200
+    assert "event: audio" in h_body and "event: done" in h_body
+    assert "event: error" not in h_body
+    assert sched.stats["clients"] == 0

@@ -91,7 +91,7 @@ def probe_network() -> dict:
     return out
 
 
-def md5_file(path: str, max_bytes: int | None = None) -> str:
+def md5_file(path: str) -> str:
     h = hashlib.md5()
     with open(path, "rb") as f:
         while True:

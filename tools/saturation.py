@@ -36,12 +36,7 @@ import time
 from typing import List, Optional
 
 
-def _pct(xs: List[float], q: float) -> Optional[float]:
-    xs = sorted(x for x in xs if x is not None)
-    if not xs:
-        return None
-    i = min(len(xs) - 1, int(round(q * (len(xs) - 1))))
-    return xs[i]
+from gsv_tts_tpu.utils.timing import percentile as _pct  # noqa: E402
 
 
 def run_client(tts, spk: str, prompt: str, prompt_text: str, text: str,
