@@ -17,7 +17,13 @@ def __getattr__(name):
         from .tts import TTS
 
         return TTS
+    if name == "WaveOverloadedError":
+        # raised by stream_shared at the wave_max_clients admission cap —
+        # exported here so callers need not import runtime internals
+        from .runtime.wave import WaveOverloadedError
+
+        return WaveOverloadedError
     raise AttributeError(name)
 
 
-__all__ = ["TTS", "AudioClip", "cut_text"]
+__all__ = ["TTS", "AudioClip", "cut_text", "WaveOverloadedError"]
