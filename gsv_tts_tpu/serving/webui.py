@@ -352,7 +352,7 @@ def main():
     ap.add_argument("--quant-t2s", action="store_true",
                     help="int8 weight-streaming GPT decode (see the HTTP "
                          "server's flag of the same name)")
-    ap.add_argument("--t2s-softmax", choices=("rows", "shared"),
+    ap.add_argument("--t2s-softmax", choices=("rows", "shared", "vec"),
                     default="rows",
                     help="batched decode softmax bookkeeping (see the HTTP "
                          "server's flag of the same name)")
