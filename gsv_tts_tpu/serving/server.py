@@ -67,6 +67,29 @@ def is_url(path: str) -> bool:
     return isinstance(path, str) and path.startswith(("http://", "https://"))
 
 
+def _bad_request(msg: str):
+    raise web.HTTPBadRequest(text=json.dumps({"error": msg}),
+                             content_type="application/json")
+
+
+async def parse_json(request: web.Request) -> dict:
+    """Body parse that turns client mistakes into a clean 400 (the
+    reference FastAPI surface answers 422) instead of an aiohttp 500."""
+    try:
+        req = await request.json()
+    except Exception:
+        _bad_request("request body must be valid JSON")
+    if not isinstance(req, dict):
+        _bad_request("request body must be a JSON object")
+    return req
+
+
+def require(req: dict, *keys: str) -> None:
+    missing = [k for k in keys if req.get(k) in (None, "", [])]
+    if missing:
+        _bad_request("missing required field(s): " + ", ".join(missing))
+
+
 def pack_raw(data: np.ndarray) -> bytes:
     return (np.clip(np.asarray(data, np.float32), -1, 1) * 32767).astype("<i2").tobytes()
 
@@ -280,7 +303,27 @@ class TTSServer:
 
     async def tts_stream(self, request: web.Request) -> web.StreamResponse:
         """SSE streaming: audio / subtitle / done / error events."""
-        req = await request.json()
+        req = await parse_json(request)
+        require(req, "text", "speaker_audio", "prompt_audio")
+        try:
+            kw = dict(
+                return_subtitles=truthy(req.get("return_subtitles", False)),
+                is_cut_text=truthy(req.get("is_cut_text", True)),
+                cut_minlen=int(req.get("cut_minlen", 10)),
+                cut_mute=float(req.get("cut_mute", 0.3)),
+                stream_chunk=int(req.get("stream_chunk", 25)),
+                overlap_len=int(req.get("overlap_len", 5)),
+                top_k=int(req.get("top_k", 15)),
+                top_p=float(req.get("top_p", 1.0)),
+                temperature=float(req.get("temperature", 1.0)),
+                repetition_penalty=float(req.get("repetition_penalty", 1.35)),
+                noise_scale=float(req.get("noise_scale", 0.5)),
+                speed=float(req.get("speed", 1.0)),
+                debug=False,
+            )
+        except (TypeError, ValueError) as e:
+            # a client's malformed numeric is a 400, not a mid-SSE error
+            _bad_request(f"invalid parameter value: {e}")
         shared = truthy(req.get("shared", self.stream_share))
         release_admission = None
         if shared and hasattr(self.tts, "admit_shared_client"):
@@ -319,21 +362,6 @@ class TTSServer:
             total_len = 0
             agen = None
             try:
-                kw = dict(
-                    return_subtitles=truthy(req.get("return_subtitles", False)),
-                    is_cut_text=truthy(req.get("is_cut_text", True)),
-                    cut_minlen=int(req.get("cut_minlen", 10)),
-                    cut_mute=float(req.get("cut_mute", 0.3)),
-                    stream_chunk=int(req.get("stream_chunk", 25)),
-                    overlap_len=int(req.get("overlap_len", 5)),
-                    top_k=int(req.get("top_k", 15)),
-                    top_p=float(req.get("top_p", 1.0)),
-                    temperature=float(req.get("temperature", 1.0)),
-                    repetition_penalty=float(req.get("repetition_penalty", 1.35)),
-                    noise_scale=float(req.get("noise_scale", 0.5)),
-                    speed=float(req.get("speed", 1.0)),
-                    debug=False,
-                )
                 if shared:
                     # shared wave: concurrent SSE clients decode in one
                     # batched kernel wave (sentence mode maps to a huge
@@ -400,7 +428,8 @@ class TTSServer:
         concurrently through the batched engine; each ``audio`` event is
         tagged with its request ``index`` and a per-request ``done`` flag
         (beyond the reference, which has no streaming batch mode)."""
-        req = await request.json()
+        req = await parse_json(request)
+        require(req, "texts", "speaker_audio", "prompt_audio")
         speaker_audio = await self._resolve_audio(req["speaker_audio"])
         prompt_audio = await self._resolve_audio(req["prompt_audio"])
         prompt_text = await self._resolve_prompt(prompt_audio, req.get("prompt_text"))
@@ -466,7 +495,8 @@ class TTSServer:
         return resp
 
     async def tts_batched(self, request: web.Request) -> web.Response:
-        req = await request.json()
+        req = await parse_json(request)
+        require(req, "texts", "speaker_audio", "prompt_audio")
         speaker_audio = await self._resolve_audio(req["speaker_audio"])
         prompt_audio = await self._resolve_audio(req["prompt_audio"])
         prompt_text = await self._resolve_prompt(prompt_audio, req.get("prompt_text"))
@@ -609,7 +639,7 @@ class TTSServer:
             if len(aux_all) > 1:
                 req["aux_ref_audio_paths"] = list(aux_all)
         else:
-            req = await request.json()
+            req = await parse_json(request)
         out = await self._handle_api_v2(req)
         if not isinstance(out, tuple):
             return out

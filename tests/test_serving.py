@@ -484,3 +484,36 @@ def test_stream_shared_burst_losers_get_503_not_sse_error(client_factory, engine
     assert "event: audio" in h_body and "event: done" in h_body
     assert "event: error" not in h_body
     assert sched.stats["clients"] == 0
+
+
+def test_malformed_requests_get_400_not_500(client_factory):
+    """Client mistakes on the JSON endpoints are clean 400s with an error
+    body (the reference FastAPI surface answers 422), never aiohttp 500s:
+    invalid JSON, non-object bodies, missing required fields, and
+    non-numeric parameter values."""
+    async def go(client):
+        out = []
+        # invalid JSON body
+        r = await client.post("/tts/stream", data=b"{not json",
+                              headers={"Content-Type": "application/json"})
+        out.append(("bad json", r.status, (await r.json())["error"]))
+        # non-object body
+        r = await client.post("/tts/stream", json=["a", "list"])
+        out.append(("non-object", r.status, (await r.json())["error"]))
+        # missing required fields
+        r = await client.post("/tts/stream", json={"text": "hi"})
+        out.append(("missing", r.status, (await r.json())["error"]))
+        r = await client.post("/tts/stream/batched", json={"texts": ["x"]})
+        out.append(("missing batched", r.status, (await r.json())["error"]))
+        r = await client.post("/tts/batched", json={})
+        out.append(("missing tts_batched", r.status, (await r.json())["error"]))
+        # malformed numeric parameter
+        r = await client.post("/tts/stream", json={
+            "text": "hi", "speaker_audio": "s.wav", "prompt_audio": "p.wav",
+            "top_k": "lots"})
+        out.append(("bad numeric", r.status, (await r.json())["error"]))
+        return out
+
+    for label, status, err in client_factory(go):
+        assert status == 400, (label, status, err)
+        assert err, label
