@@ -29,6 +29,7 @@ import io
 import json
 import logging
 import os
+import re
 import tempfile
 import time
 import uuid
@@ -300,6 +301,53 @@ class TTSServer:
             if vb:
                 payload["vocoder_batcher"] = vb
         return web.json_response(payload)
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        """Prometheus text exposition of the serving counters — the same
+        data /health reports as JSON, flattened into scrapeable gauges
+        (the reference has no metrics surface at all; SURVEY §5)."""
+        def clean(name: str) -> str:
+            return re.sub(r"[^a-zA-Z0-9_]", "_", name)
+
+        lines = ["# TYPE gsv_up gauge", "gsv_up 1"]
+        engine_timings = (self.tts.get_timings()
+                          if hasattr(self.tts, "get_timings") else {})
+        for name, st in sorted({**self.timings.summary(),
+                                **engine_timings}.items()):
+            base = "gsv_" + clean(name)
+            if isinstance(st, dict):
+                for k, v in st.items():
+                    if isinstance(v, (int, float)):
+                        lines.append(f"{base}_{clean(k)} {v:g}")
+            elif isinstance(st, (int, float)):
+                lines.append(f"{base} {st:g}")
+        if self.batcher is not None:
+            for k, v in self.batcher.stats.items():
+                if isinstance(v, (int, float)):
+                    lines.append(f"gsv_batcher_{clean(k)} {v:g}")
+        if hasattr(self.tts, "wave_stats"):
+            for model, ws in (self.tts.wave_stats() or {}).items():
+                if not isinstance(ws, dict):
+                    continue
+                ml = f'model="{clean(os.path.basename(str(model)))}"'
+                for k in ("clients", "max_clients", "max_batch"):
+                    v = ws.get(k)
+                    if isinstance(v, (int, float)):
+                        lines.append(f"gsv_wave_{k}{{{ml}}} {v:g}")
+                for i, w in enumerate(ws.get("waves", [])):
+                    wl = f'{ml},wave="{i}"'
+                    for k in ("batch", "live", "pending", "attached",
+                              "finished", "refills", "batched_refills",
+                              "resizes"):
+                        v = w.get(k)
+                        if isinstance(v, (int, float)):
+                            lines.append(f"gsv_wave_{k}{{{wl}}} {v:g}")
+        if hasattr(self.tts, "vocoder_batch_stats"):
+            for k, v in (self.tts.vocoder_batch_stats() or {}).items():
+                if isinstance(v, (int, float)):
+                    lines.append(f"gsv_vocoder_batcher_{clean(k)} {v:g}")
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
 
     async def tts_stream(self, request: web.Request) -> web.StreamResponse:
         """SSE streaming: audio / subtitle / done / error events."""
@@ -723,6 +771,7 @@ def create_app(tts, asr_fn=None, batch_window_ms: float = 0.0,
         app.on_cleanup.append(_close_batcher)
     app.router.add_get("/", server.root)
     app.router.add_get("/health", server.health)
+    app.router.add_get("/metrics", server.metrics)
     app.router.add_post("/tts/stream", server.tts_stream)
     app.router.add_post("/tts/stream/batched", server.tts_stream_batched)
     app.router.add_post("/tts/batched", server.tts_batched)

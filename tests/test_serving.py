@@ -517,3 +517,40 @@ def test_malformed_requests_get_400_not_500(client_factory):
     for label, status, err in client_factory(go):
         assert status == 400, (label, status, err)
         assert err, label
+
+
+def test_metrics_prometheus_exposition(client_factory, engine, assets):  # noqa: F811
+    """/metrics: Prometheus text gauges covering the timing reservoirs and
+    wave-scheduler counters (scrapeable counterpart of /health; the
+    reference has no metrics surface)."""
+    async def go(client):
+        # generate some activity so timing reservoirs are non-empty —
+        # and DRAIN the SSE body (post() returns at response headers;
+        # ttfa_s is only recorded once the first audio event is written)
+        rs = await client.post("/tts/stream", timeout=LONG, json={
+            "text": "metrics drive.",
+            "speaker_audio": assets["spk"],
+            "prompt_audio": assets["prompt"],
+            "prompt_text": "hello there.",
+            "shared": True,
+        })
+        sse = await rs.text()
+        assert "event: audio" in sse
+        r = await client.get("/metrics")
+        return r.status, r.headers.get("Content-Type", ""), await r.text()
+
+    status, ctype, body = client_factory(go)
+    assert status == 200
+    assert ctype.startswith("text/plain")
+    lines = body.strip().splitlines()
+    assert "gsv_up 1" in lines
+    # every sample line is NAME VALUE or NAME{labels} VALUE with a float
+    import re as _re
+    sample = _re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*(\{[^}]*\})? -?[0-9.eE+-]+$")
+    for ln in lines:
+        if ln.startswith("#"):
+            continue
+        assert sample.match(ln), ln
+    # the shared stream above must have left timing + wave counters
+    assert any(ln.startswith("gsv_ttfa_s_") for ln in lines), body[:500]
+    assert any(ln.startswith("gsv_wave_clients{") for ln in lines), body[:500]
