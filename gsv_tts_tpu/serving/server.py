@@ -194,6 +194,12 @@ class TTSServer:
         self.asr_fn = asr_fn
         self.stream_share = stream_share
         self.timings = Timings()
+        #: graceful drain (POST /drain): new synthesis requests answer 503
+        #: + Retry-After while in-flight streams finish — the rolling-
+        #: restart primitive (the router's capacity-503 failover routes
+        #: around a draining replica automatically)
+        self.draining = False
+        self._inflight = 0
         self.batcher = None
         if batch_window_ms > 0:
             from .batcher import MicroBatcher
@@ -285,6 +291,8 @@ class TTSServer:
         dev = jax.config.jax_default_device
         payload = {
             "status": "ok",
+            "draining": self.draining,
+            "inflight": self._inflight,
             "device": str(dev) if dev is not None else str(jax.devices()[0]),
             "gpt_models": [str(p) for p in self.tts.get_gpt_list()],
             "sovits_models": [str(p) for p in self.tts.get_sovits_list()],
@@ -301,6 +309,24 @@ class TTSServer:
             if vb:
                 payload["vocoder_batcher"] = vb
         return web.json_response(payload)
+
+    async def drain(self, request: web.Request) -> web.Response:
+        """POST /drain: stop admitting synthesis requests (503 +
+        Retry-After) while in-flight streams finish — the rolling-restart
+        primitive for fleet replicas (the router's capacity-503 failover
+        routes around a draining replica; the reference must hard-kill its
+        single process).  Body ``{"enable": false}`` re-opens."""
+        req = {}
+        if request.can_read_body:
+            try:
+                req = await request.json()
+            except Exception:  # noqa: BLE001 — empty/invalid body = enable
+                req = {}
+        if not isinstance(req, dict):
+            req = {}
+        self.draining = truthy(req.get("enable", True))
+        return web.json_response({"draining": self.draining,
+                                  "inflight": self._inflight})
 
     async def metrics(self, request: web.Request) -> web.Response:
         """Prometheus text exposition of the serving counters — the same
@@ -759,11 +785,31 @@ class TTSServer:
         return web.json_response({"message": "success"})
 
 
+#: routes gated by graceful drain (POST /drain) and counted as in-flight
+SYNTH_PATHS = ("/tts", "/tts/stream", "/tts/stream/batched", "/tts/batched")
+
+
+@web.middleware
+async def _drain_middleware(request: web.Request, handler):
+    server = request.app["server"]
+    if request.path in SYNTH_PATHS:
+        if server.draining:
+            return web.json_response({"error": "server draining"},
+                                     status=503,
+                                     headers={"Retry-After": "5"})
+        server._inflight += 1
+        try:
+            return await handler(request)
+        finally:
+            server._inflight -= 1
+    return await handler(request)
+
+
 def create_app(tts, asr_fn=None, batch_window_ms: float = 0.0,
                batch_max: int = 4, stream_share: bool = False) -> "web.Application":
     server = TTSServer(tts, asr_fn=asr_fn, batch_window_ms=batch_window_ms,
                        batch_max=batch_max, stream_share=stream_share)
-    app = web.Application()
+    app = web.Application(middlewares=[_drain_middleware])
     app["server"] = server
     if server.batcher is not None:
         async def _close_batcher(app):
@@ -772,6 +818,7 @@ def create_app(tts, asr_fn=None, batch_window_ms: float = 0.0,
     app.router.add_get("/", server.root)
     app.router.add_get("/health", server.health)
     app.router.add_get("/metrics", server.metrics)
+    app.router.add_post("/drain", server.drain)
     app.router.add_post("/tts/stream", server.tts_stream)
     app.router.add_post("/tts/stream/batched", server.tts_stream_batched)
     app.router.add_post("/tts/batched", server.tts_batched)

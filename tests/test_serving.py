@@ -554,3 +554,55 @@ def test_metrics_prometheus_exposition(client_factory, engine, assets):  # noqa:
     # the shared stream above must have left timing + wave counters
     assert any(ln.startswith("gsv_ttfa_s_") for ln in lines), body[:500]
     assert any(ln.startswith("gsv_wave_clients{") for ln in lines), body[:500]
+
+
+def test_drain_stops_admission_and_reopens(client_factory, engine, assets):  # noqa: F811
+    """POST /drain: new synthesis requests (every /tts* route) answer 503
+    + Retry-After while draining; an IN-FLIGHT stream finishes cleanly;
+    {"enable": false} re-opens (rolling-restart primitive — the router's
+    capacity-503 failover routes around a draining replica)."""
+    async def go(client):
+        out = {}
+        # start a stream, then flip draining while it runs
+        stream_task = asyncio.create_task(client.post(
+            "/tts/stream", timeout=LONG, json={
+                "text": "the in flight stream must finish while draining.",
+                "speaker_audio": assets["spk"],
+                "prompt_audio": assets["prompt"],
+                "prompt_text": "hello there.",
+                "stream_chunk": 10,
+            }))
+        await asyncio.sleep(0.2)
+        r = await client.post("/drain")
+        out["drain"] = await r.json()
+        r = await client.post("/tts/stream", json={
+            "text": "rejected.", "speaker_audio": assets["spk"],
+            "prompt_audio": assets["prompt"], "prompt_text": "hello there."})
+        out["shed"] = (r.status, r.headers.get("Retry-After"),
+                       (await r.json())["error"])
+        r = await client.get("/tts", params={
+            "text": "rejected too", "ref_audio_path": assets["prompt"],
+            "prompt_text": "hello there."})
+        out["shed_v2"] = r.status
+        rh = await client.get("/health")
+        out["health"] = await rh.json()
+        rs = await stream_task
+        body = await rs.text()
+        out["inflight_stream"] = (rs.status, "event: done" in body,
+                                  "event: error" in body)
+        r = await client.post("/drain", json={"enable": False})
+        out["undrain"] = await r.json()
+        r = await client.post("/tts/stream", timeout=LONG, json={
+            "text": "admitted again.", "speaker_audio": assets["spk"],
+            "prompt_audio": assets["prompt"], "prompt_text": "hello there."})
+        out["after"] = (r.status, "event: audio" in await r.text())
+        return out
+
+    out = client_factory(go)
+    assert out["drain"]["draining"] is True
+    assert out["shed"] == (503, "5", "server draining")
+    assert out["shed_v2"] == 503
+    assert out["health"]["draining"] is True
+    assert out["inflight_stream"] == (200, True, False)
+    assert out["undrain"]["draining"] is False
+    assert out["after"] == (200, True)
