@@ -915,6 +915,16 @@ class T2SEngine:
                 if bigger:
                     state = self._escalate(state, bigger[0])
                     S_cur = bigger[0]
+            # a slot REFILLED within check_interval of the largest bucket
+            # has not passed the post-chunk retire check yet: unclamped,
+            # its K/V append would write past the cache edge (the XLA DUS
+            # clamps the start index and silently overwrites the last
+            # valid rows).  Clamp the chunk to the tightest active slot's
+            # room; the retire check below then ends it.  attach/refill
+            # guards keep kv <= S-1, so at least one step always fits.
+            if kv_active + n_steps > S_cur:
+                n_steps = max(1, S_cur - kv_active)
+            assert kv_active + n_steps <= S_cur, (kv_active, n_steps, S_cur)
             for j in range(B):
                 if ignore[j] and int(kv[j]) + n_steps >= S_cur:
                     state = dataclasses.replace(

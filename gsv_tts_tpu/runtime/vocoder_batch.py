@@ -79,7 +79,7 @@ class VocoderBatcher:
         self._closed = False
         self._stats_lock = threading.Lock()
         self.stats = {"batches": 0, "rows": 0, "solo_rows": 0,
-                      "max_group": 0}
+                      "max_group": 0, "windowless": 0}
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="gsv-vocoder-batcher")
         self._thread.start()
@@ -126,6 +126,21 @@ class VocoderBatcher:
                 it.error = RuntimeError("VocoderBatcher closed")
                 it.event.set()
 
+    def _active_clients(self) -> int:
+        """Concurrent shared-stream clients (the scheduler's admission
+        counter covers each stream's whole life).  Unknown ⇒ assume a
+        burst is possible and keep the collect window."""
+        try:
+            stats = self.tts.wave_stats()
+        except Exception:  # noqa: BLE001 — stub/partial facades
+            return 2
+        n = 0
+        for st in stats.values():
+            c = st.get("clients") if isinstance(st, dict) else None
+            if isinstance(c, int):
+                n += c
+        return n
+
     # -- worker ----------------------------------------------------------
 
     def _run(self):
@@ -140,13 +155,22 @@ class VocoderBatcher:
                 continue
             first.picked = True
             items = [first]
-            deadline = time.monotonic() + self.window_s
+            # a LONE shared stream (the common unsaturated case) pays the
+            # whole collect window per chunk for zero batching benefit —
+            # skip the wait when <2 clients are active, but still drain
+            # anything ALREADY queued (a burst that landed while the
+            # previous group ran)
+            if self._active_clients() >= 2:
+                deadline = time.monotonic() + self.window_s
+            else:
+                deadline = time.monotonic()
+                with self._stats_lock:
+                    self.stats["windowless"] += 1
             while len(items) < self.max_batch:
                 remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
                 try:
-                    nxt = self._q.get(timeout=remaining)
+                    nxt = (self._q.get(timeout=remaining) if remaining > 0
+                           else self._q.get_nowait())
                 except queue.Empty:
                     break
                 if nxt is None:

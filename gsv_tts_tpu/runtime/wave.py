@@ -297,17 +297,29 @@ class WaveScheduler:
                     progressed |= self._pump(wave)
                 except Exception as exc:  # noqa: BLE001 — fail the wave's clients
                     logging.exception("wave scheduler failure")
-                    with self._lock:
-                        for req in wave.pending:
-                            req.handle._fail(exc)
-                        wave.pending.clear()
+                    # fail only the INSTALLED streams (their device state
+                    # died); popped-but-uninstalled requests were already
+                    # failed at the raise site, and still-PENDING requests
+                    # are untouched by the dead wave — they are served by
+                    # the recreated wave (each fails at most once, at its
+                    # own prefill, if the failure persists).  Sweeping
+                    # pending here would also race attach(): a request
+                    # enqueued between the raise and this handler would be
+                    # nuked with a stale error.
                     for slot in wave.slots:
                         if slot.live and slot.handle is not None:
                             slot.handle._fail(exc)
                             slot.live = False
                     wave.state = None
                     wave.slots = []
-            # drop idle waves (frees their HBM caches)
+            # drop idle waves (frees their HBM caches).  Clear the work
+            # event BEFORE the idleness check: an attach() landing between
+            # the check and a check-then-clear would have its wakeup
+            # erased (lost-wakeup race, up to the full wait timeout of
+            # added TTFT) — cleared-first, that attach re-sets the event
+            # after our clear and the wait returns immediately.
+            if not progressed:
+                self._work.clear()
             with self._lock:
                 for sig in [s for s, w in self._waves.items()
                             if w.state is None and not w.pending]:
@@ -315,7 +327,6 @@ class WaveScheduler:
                 idle = not any(w.pending or any(s.live for s in w.slots)
                                for w in self._waves.values())
             if not progressed and idle:
-                self._work.clear()
                 self._work.wait(timeout=0.2)
 
     # -- wave mechanics --------------------------------------------------
@@ -360,6 +371,22 @@ class WaveScheduler:
         reqs = self._take_pending(wave, B)
         if not reqs:
             return False
+        try:
+            return self._create_wave_state_for(wave, reqs, B)
+        except Exception as exc:
+            # fail the POPPED requests before re-raising: they are in
+            # neither wave.pending nor wave.slots, so _run's wave-failure
+            # sweep cannot see them — without this their StreamHandles
+            # (and the stream_shared threads blocked on them, plus their
+            # admission slots) would hang forever
+            for r in reqs:
+                r.handle._fail(exc)
+            raise
+
+    def _create_wave_state_for(self, wave: _Wave, reqs: List[_Request],
+                               B: int) -> bool:
+        eng = self.engine
+        cfg = eng.cfg
         xs, ys, bs, x_lens, y_lens = eng._pad_prompts(
             [(r.x, r.y, r.bert) for r in reqs], B)
         Lx, Ly = xs.shape[1], ys.shape[1]
@@ -372,10 +399,14 @@ class WaveScheduler:
             # request at a batch bucket that fits it — the rest join via
             # refill/growth (which re-check fit per request).  attach's
             # guard guarantees some bucket fits every admitted request.
+            # mutate ``reqs`` IN PLACE: the caller's except-path fails
+            # exactly the in-hand list, and requeued requests must not be
+            # failed (they are safely back in pending)
             with self._lock:
                 for r in reversed(reqs):
                     wave.pending.appendleft(r)
-            reqs = self._take_pending(wave, 1)
+            reqs.clear()
+            reqs.extend(self._take_pending(wave, 1))
             if not reqs:
                 return False
             r0 = reqs[0]
@@ -455,27 +486,37 @@ class WaveScheduler:
                 group = None
             else:
                 need = g_need
-        if need > S_cur:
-            wave.state = eng._escalate(wave.state, self._pick_S(B, need - 1))
-            wave.n_resizes += 1
-        if group is not None:
-            xs, ys, bs, x_lens, y_lens = group
-            wave.state, _ = prefill_slots(
-                eng.params, eng.cfg, wave.state,
-                jnp.asarray([j for j, _ in admit], I32),
-                jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(bs),
-                jnp.asarray(x_lens), jnp.asarray(y_lens),
-                wave.sa, eng._dtype_name(), eng.attn_impl)
-            wave.n_batched_refills += 1
-        else:
-            for j, req in admit:
-                xp, yp, bp = eng._pad_prompt(req.x, req.y, req.bert)
-                wave.state, _ = prefill_slot(
-                    eng.params, eng.cfg, wave.state, j,
-                    jnp.asarray(xp[None]), jnp.asarray(yp[None]),
-                    jnp.asarray(bp[None]),
-                    jnp.asarray(len(req.x), I32), jnp.asarray(len(req.y), I32),
+        try:
+            if need > S_cur:
+                wave.state = eng._escalate(wave.state,
+                                           self._pick_S(B, need - 1))
+                wave.n_resizes += 1
+            if group is not None:
+                xs, ys, bs, x_lens, y_lens = group
+                wave.state, _ = prefill_slots(
+                    eng.params, eng.cfg, wave.state,
+                    jnp.asarray([j for j, _ in admit], I32),
+                    jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(bs),
+                    jnp.asarray(x_lens), jnp.asarray(y_lens),
                     wave.sa, eng._dtype_name(), eng.attn_impl)
+                wave.n_batched_refills += 1
+            else:
+                for j, req in admit:
+                    xp, yp, bp = eng._pad_prompt(req.x, req.y, req.bert)
+                    wave.state, _ = prefill_slot(
+                        eng.params, eng.cfg, wave.state, j,
+                        jnp.asarray(xp[None]), jnp.asarray(yp[None]),
+                        jnp.asarray(bp[None]),
+                        jnp.asarray(len(req.x), I32),
+                        jnp.asarray(len(req.y), I32),
+                        wave.sa, eng._dtype_name(), eng.attn_impl)
+        except Exception as exc:
+            # popped-but-not-installed requests are invisible to _run's
+            # wave-failure sweep (neither pending nor slots) — fail their
+            # handles here or their consumers block forever
+            for _, r in admit:
+                r.handle._fail(exc)
+            raise
         for j, req in admit:
             wave.slots[j] = _Slot(req.handle)
             wave.n_refills += 1
@@ -577,11 +618,20 @@ class WaveScheduler:
         wave.first_chunk = False
         S_cur = wave.state.k_cache.shape[2]
         kv = np.asarray(wave.state.kv_len)
-        if max(int(kv[j]) for j in live) + n_steps >= S_cur:
+        kv_active = max(int(kv[j]) for j in live)
+        if kv_active + n_steps >= S_cur:
             bigger = [s for s in eng.buckets[B] if s > S_cur]
             if bigger:
                 wave.state = eng._escalate(wave.state, bigger[0])
                 S_cur = bigger[0]
+        # a slot REFILLED within check_interval of the largest bucket has
+        # not passed the post-chunk retire check yet: unclamped, its K/V
+        # append would write past the cache edge.  Clamp the chunk to the
+        # tightest live slot's room (same clamp as
+        # ``generate_batched_stream`` — keep the two token-exact).
+        if kv_active + n_steps > S_cur:
+            n_steps = max(1, S_cur - kv_active)
+        assert kv_active + n_steps <= S_cur, (kv_active, n_steps, S_cur)
         # a dead slot's phantom kv must never reach the bucket edge (its
         # K/V append window would read out of bounds): re-freeze it when
         # it gets close — rare, so the per-slot reset dispatches are cheap

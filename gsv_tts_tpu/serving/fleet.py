@@ -158,7 +158,20 @@ class FleetSupervisor:
             now = time.monotonic()
             for d in [d for d, t in pending.items() if now >= t]:
                 del pending[d]
-                self.spawn(d)
+                try:
+                    self.spawn(d)
+                except OSError as exc:
+                    # transient Popen failure (EAGAIN/ENOMEM — exactly the
+                    # conditions replicas crash under) must not kill the
+                    # monitor task; re-schedule with another backoff step
+                    log.warning("fleet: spawn device=%d failed (%s) — "
+                                "retrying", d, exc)
+                    self.restarts[d] += 1
+                    if self.restarts[d] > self.max_restarts:
+                        self.dead.append(d)
+                        continue
+                    pending[d] = now + self.backoff_s * (
+                        2 ** (self.restarts[d] - 1))
             for d, proc in list(self.procs.items()):
                 if proc.poll() is None or d in self.dead or d in pending:
                     continue
@@ -222,6 +235,7 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
     ap.add_argument("--sovits", default=None)
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--quant-t2s", action="store_true")
+    ap.add_argument("--quant-bert", action="store_true")
     ap.add_argument("--t2s-softmax", choices=("rows", "shared", "vec"), default="rows")
     ap.add_argument("--stream-share", action="store_true")
     ap.add_argument("--max-streams", type=int, default=None,
@@ -253,6 +267,8 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
             passthrough += ["--" + flag.replace("_", "-"), str(v)]
     if args.quant_t2s:
         passthrough.append("--quant-t2s")
+    if args.quant_bert:
+        passthrough.append("--quant-bert")
     if args.t2s_softmax != "rows":
         passthrough += ["--t2s-softmax", args.t2s_softmax]
     if args.stream_share:
@@ -273,11 +289,16 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
                             max_outstanding=args.max_outstanding)
 
     async def _start(app):
+        # monitor FIRST: a replica that crashes during model load/compile
+        # (chip-claim race, OOM while every replica compiles at once) gets
+        # supervised through the startup window too — waiting for health
+        # first would leave startup crashes unrestarted for the whole
+        # wait_healthy timeout
+        app["fleet_monitor"] = asyncio.create_task(fleet.monitor())
         ok = await fleet.wait_healthy()
         if not ok:
             log.error("fleet: not all replicas became healthy; router will "
                       "route around the missing ones")
-        app["fleet_monitor"] = asyncio.create_task(fleet.monitor())
 
     async def _stop(app):
         task = app.get("fleet_monitor")

@@ -226,7 +226,10 @@ def test_supervisor_backoff_does_not_block_other_restarts(tmp_path):
         fleet.restarts[0] = 40
         fleet.max_restarts = 45
         task = asyncio.create_task(fleet.monitor(interval_s=0.05))
-        deadline = time.monotonic() + 30.0
+        # generous deadline: each fast-replica cycle is a python spawn,
+        # which takes seconds under full -n 4 xdist load (the 30 s cap
+        # flaked there); early-break keeps the normal-case cost ~2 s
+        deadline = time.monotonic() + 150.0
         while time.monotonic() < deadline:
             await asyncio.sleep(0.05)
             if fast_marker.exists() and len(fast_marker.read_text()) >= 3:

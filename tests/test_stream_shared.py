@@ -403,3 +403,16 @@ def test_stream_shared_admission_cap(engine, assets):
         assert sched.stats["clients"] == 0
     finally:
         sched.max_clients = old
+
+
+def test_lone_stream_skips_vocoder_collect_window(engine, assets):
+    """A single shared client must not pay the cross-stream collect window
+    on every chunk (there is nothing to batch with): the batcher takes the
+    windowless path, visible in its stats counter."""
+    before = engine.vocoder_batch_stats().get("windowless", 0)
+    clips = _collect_shared(engine, assets, "a lone client streams alone.",
+                            top_k=1, noise_scale=0.0, stream_chunk=10,
+                            is_cut_text=False)
+    assert sum(len(c.audio_data) for c in clips) > 0
+    after = engine.vocoder_batch_stats().get("windowless", 0)
+    assert after > before, (before, after)

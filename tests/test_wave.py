@@ -593,3 +593,138 @@ def test_uncapped_scheduler_never_sheds(engine):
         assert sched.stats["clients"] == 64
     finally:
         sched.close()
+
+
+def test_failed_prefill_fails_popped_handles_not_hangs(engine, monkeypatch):
+    """A device failure during wave creation / refill must FAIL the
+    requests already popped from pending (they are in neither
+    wave.pending nor wave.slots, so the driver's wave-failure sweep
+    cannot see them) — their consumers would otherwise block forever on
+    handle.get() and leak admission slots."""
+    from gsv_tts_tpu.runtime import wave as wmod
+
+    boom = RuntimeError("synthetic prefill failure")
+
+    def bad_prefill(*a, **k):
+        raise boom
+
+    sched = WaveScheduler(engine, max_batch=2)
+    try:
+        monkeypatch.setattr(wmod, "prefill_batch", bad_prefill)
+        x, y, bert = _inputs(21, engine.cfg)
+        h = sched.attach(x, y, bert, top_k=1)
+        with pytest.raises(RuntimeError, match="synthetic prefill"):
+            h.get(timeout=30.0)
+        monkeypatch.undo()
+        # the scheduler survives and serves the next client normally
+        x2, y2, bert2 = _inputs(22, engine.cfg)
+        got = _drain(sched.attach(x2, y2, bert2, top_k=1))
+        want = _solo_tokens(engine, x2, y2, bert2)
+        _assert_tokens_match(got, want, engine.check_interval)
+    finally:
+        sched.close()
+
+
+def test_failed_refill_fails_popped_handles(engine, monkeypatch):
+    """Same guarantee on the REFILL path: client A keeps the wave alive,
+    client B's refill prefill fails — B's handle gets the error instead
+    of hanging, A's stream is failed by the driver sweep (wave-wide
+    failure), and the scheduler recovers for the next client."""
+    import time as _time
+
+    from gsv_tts_tpu.runtime import wave as wmod
+
+    sched = WaveScheduler(engine, max_batch=1)  # B=1 wave: refill on free
+    try:
+        xa, ya, ba = _inputs(31, engine.cfg)
+        ha = sched.attach(xa, ya, ba, top_k=1)
+        # wait until A's wave is running, then break prefill_slot for B
+        deadline = _time.time() + 60.0
+        while _time.time() < deadline:
+            st = sched.stats
+            if st["waves"] and any(w["live"] for w in st["waves"]):
+                break
+            _time.sleep(0.01)
+
+        def bad_prefill_slot(*a, **k):
+            raise RuntimeError("synthetic refill failure")
+
+        monkeypatch.setattr(wmod, "prefill_slot", bad_prefill_slot)
+        monkeypatch.setattr(wmod, "prefill_slots", bad_prefill_slot)
+        monkeypatch.setattr(wmod, "prefill_batch", bad_prefill_slot)
+        xb, yb, bb = _inputs(32, engine.cfg)
+        hb = sched.attach(xb, yb, bb, top_k=1)
+        with pytest.raises(RuntimeError, match="synthetic refill"):
+            while True:
+                _, done = hb.get(timeout=30.0)
+                if done:
+                    raise AssertionError("B finished through a broken prefill")
+        monkeypatch.undo()
+        # drain A (either finished normally before the failure or failed
+        # by the wave sweep — it must NOT hang)
+        try:
+            _drain(ha, timeout=60.0)
+        except RuntimeError:
+            pass
+        xc, yc, bc = _inputs(33, engine.cfg)
+        got = _drain(sched.attach(xc, yc, bc, top_k=1))
+        assert got.size >= 0
+    finally:
+        sched.close()
+
+
+def test_bucket_edge_refill_never_overflows_cache(engine, monkeypatch):
+    """A slot refilled mid-wave with a prompt within check_interval of the
+    LARGEST S bucket must not let decode_chunk append K/V rows past the
+    cache edge (the XLA DUS clamps the start index and silently overwrites
+    the last valid rows; the TPU kernel's 8-row RMW window runs out of
+    bounds).  The chunk is clamped to the tightest slot's room instead.
+    Instrumented invariant: for EVERY dispatched chunk, max(kv_len) +
+    n_steps <= S."""
+    from gsv_tts_tpu.runtime import t2s_session as ts
+
+    calls = []
+    real = ts.decode_chunk
+
+    def recording(params, cfg, state, n_steps, *a, **k):
+        kv = np.asarray(state.kv_len)
+        calls.append((int(kv.max()), int(n_steps), state.k_cache.shape[2]))
+        return real(params, cfg, state, n_steps, *a, **k)
+
+    monkeypatch.setattr(ts, "decode_chunk", recording)
+    cfg = engine.cfg
+    rng = np.random.RandomState(7)
+    # initial B=4 wave: three tiny requests + one medium (kv=100, so it
+    # hits the 128 cap first and frees a slot mid-wave); the FIFTH
+    # request's prompt_rows sits at the single S=128 bucket's edge
+    # (x=96 pads to 96, y=30 pads to 32: padded block 128 == S, kv after
+    # its refill prefill = 126 — within check_interval of the edge)
+    reqs = [
+        (rng.randint(1, 50, 10).astype(np.int32),
+         rng.randint(0, 100, 6).astype(np.int32)),
+        (rng.randint(1, 50, 12).astype(np.int32),
+         rng.randint(0, 100, 7).astype(np.int32)),
+        (rng.randint(1, 50, 9).astype(np.int32),
+         rng.randint(0, 100, 8).astype(np.int32)),
+        (rng.randint(1, 50, 50).astype(np.int32),
+         rng.randint(0, 100, 30).astype(np.int32)),
+        (rng.randint(1, 50, 96).astype(np.int32),
+         rng.randint(0, 100, 30).astype(np.int32)),
+    ]
+    xs = [x for x, _ in reqs]
+    ys = [y for _, y in reqs]
+    berts = [np.zeros((len(x), cfg.bert_dim), np.float32) for x in xs]
+    done = set()
+    for idx, toks, fin in engine.generate_batched_stream(
+            xs, ys, berts, top_k=1, rng=jax.random.PRNGKey(3)):
+        if fin:
+            done.add(idx)
+    assert done == {0, 1, 2, 3, 4}
+    assert calls, "no decode chunks dispatched"
+    for kv_max, n, S in calls:
+        assert kv_max + n <= S, (kv_max, n, S)
+    # the scenario must actually exercise the edge: some chunk ran with a
+    # slot close enough to the bucket edge that the full check_interval
+    # would have overflowed (i.e. the clamp had work to do)
+    assert any(kv_max + engine.check_interval > S and n < engine.check_interval
+               for kv_max, n, S in calls), calls
