@@ -113,15 +113,22 @@ def _comb_damped(x: np.ndarray, delay: int, feedback: float,
         (1 - d z^-1 - fb(1-d) z^-D) y = (1 - d z^-1) z^-D x
     """
     a = np.zeros(delay + 1)
-    a[0], a[1], a[delay] = 1.0, -damp, -feedback * (1.0 - damp)
+    a[0] = 1.0
+    # additive assembly: at delay == 1 both terms land on a[1] and must
+    # SUM (a tuple assignment would silently drop the -damp term)
+    a[1] += -damp
+    a[delay] += -feedback * (1.0 - damp)
     b = np.zeros(delay + 2)
     b[delay], b[delay + 1] = 1.0, -damp
     return lfilter(b, a, x)
 
 
 def _allpass(x: np.ndarray, delay: int, g: float = 0.5) -> np.ndarray:
+    """Freeverb/JUCE 'allpass' section (NOT a textbook unity-gain
+    allpass): y[n] = w[n-D] - x[n] with w[n] = x[n] + g·w[n-D], i.e.
+    H(z) = ((1+g)·z^-D - 1) / (1 - g·z^-D)."""
     b = np.zeros(delay + 1)
-    b[0], b[delay] = -g, 1.0
+    b[0], b[delay] = -1.0, 1.0 + g
     a = np.zeros(delay + 1)
     a[0], a[delay] = 1.0, -g
     return lfilter(b, a, x)
@@ -129,18 +136,32 @@ def _allpass(x: np.ndarray, delay: int, g: float = 0.5) -> np.ndarray:
 
 def reverb(x: np.ndarray, sr: float, room_size: float = 0.1,
            damping: float = 0.5, wet: float = 0.03,
-           dry: float = 0.97) -> np.ndarray:
+           dry: float = 0.97, width: float = 1.0) -> np.ndarray:
+    """juce::Reverb (what pedalboard wraps) processMono semantics,
+    including the fixed output scale factors the raw ``wet``/``dry``
+    levels are multiplied by: dryGain = dry·2, wetGain = 0.5·wet·3·
+    (1+width) (width defaults to 1.0 as in juce::Reverb::Parameters)."""
     x = np.asarray(x, np.float32)
     feedback = room_size * 0.28 + 0.7
     damp = damping * 0.4
     scale = sr / 44100.0
-    wet_sig = np.zeros(len(x), np.float64)
-    for d in _COMB_TUNINGS:
-        wet_sig += _comb_damped(x, max(1, int(round(d * scale))), feedback, damp)
-    wet_sig *= 0.015  # freeverb fixed input gain
-    for d in _ALLPASS_TUNINGS:
-        wet_sig = _allpass(wet_sig, max(1, int(round(d * scale))))
-    return (dry * x + wet * wet_sig).astype(np.float32)
+    comb_delays = [max(1, int(round(d * scale))) for d in _COMB_TUNINGS]
+    ap_delays = [max(1, int(round(d * scale))) for d in _ALLPASS_TUNINGS]
+    wet_gain = 0.5 * (wet * 3.0) * (1.0 + width)
+    dry_gain = dry * 2.0
+    from .utils.native import native_lib
+
+    lib = native_lib()
+    if lib is not None and getattr(lib, "_has_freeverb", False):
+        wet_sig = lib.freeverb(x, comb_delays, ap_delays, feedback, damp)
+    else:
+        wet_sig = np.zeros(len(x), np.float64)
+        for d in comb_delays:
+            wet_sig += _comb_damped(x, d, feedback, damp)
+        wet_sig *= 0.015  # freeverb fixed input gain
+        for d in ap_delays:
+            wet_sig = _allpass(wet_sig, d)
+    return (dry_gain * x + wet_gain * wet_sig).astype(np.float32)
 
 
 def gain(x: np.ndarray, gain_db: float) -> np.ndarray:

@@ -12,6 +12,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 F32 = jnp.float32
 
@@ -167,10 +168,16 @@ def interpolate_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def interpolate_nearest(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """F.interpolate(mode='nearest') to an arbitrary length (last axis)."""
+    """F.interpolate(mode='nearest') to an arbitrary length (last axis).
+
+    Source indices are computed HOST-side in float64 (shapes are static
+    under jit): torch's upsample_nearest1d uses a double scale, and a
+    float32 ``i * (t/size)`` flips to the neighboring index exactly at
+    integer ratio boundaries (e.g. t=441, size=300, i=100: f32 rounds to
+    147.000005 → 147 while double gives 146.999… → 146)."""
     t = x.shape[-1]
-    idx = jnp.floor(jnp.arange(size) * (t / size)).astype(jnp.int32)
-    idx = jnp.clip(idx, 0, t - 1)
+    idx = np.floor(np.arange(size) * (t / size)).astype(np.int32)
+    idx = jnp.asarray(np.clip(idx, 0, t - 1))
     return jnp.take(x, idx, axis=-1)
 
 

@@ -40,6 +40,16 @@ class _NativeLib:
                 ctypes.c_float, ctypes.c_float,
                 ctypes.POINTER(ctypes.c_float),
             ]
+        self._has_freeverb = hasattr(lib, "gsv_freeverb")
+        if self._has_freeverb:
+            lib.gsv_freeverb.restype = None
+            lib.gsv_freeverb.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_double, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double),
+            ]
 
     def sola_offset(self, query: np.ndarray, key: np.ndarray, overlap_len: int) -> int:
         query = np.ascontiguousarray(query, np.float32)
@@ -70,6 +80,24 @@ class _NativeLib:
             level.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(level),
             ctypes.c_float(att), ctypes.c_float(rel),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
+
+
+    def freeverb(self, x: np.ndarray, comb_delays, ap_delays,
+                 feedback: float, damp: float) -> np.ndarray:
+        """Freeverb wet path (8 damped combs + 4 JUCE allpass sections) as
+        O(1)/sample delay lines — ~1000x the dense-lfilter fallback.
+        None-able: callers must check ``_has_freeverb``."""
+        x = np.ascontiguousarray(x, np.float32)
+        cds = np.ascontiguousarray(comb_delays, np.int64)
+        ads = np.ascontiguousarray(ap_delays, np.int64)
+        out = np.empty(len(x), np.float64)
+        self._lib.gsv_freeverb(
+            x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
+            cds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(cds),
+            ads.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(ads),
+            ctypes.c_double(feedback), ctypes.c_double(damp),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
         return out
 
 

@@ -94,4 +94,45 @@ void gsv_envelope_follow(const float* level, int64_t n, float att, float rel,
   }
 }
 
+// Freeverb wet path (juce::Reverb processMono structure): 8 damped combs in
+// parallel + 4 series "allpass" sections, as true O(1)/sample delay-line
+// recursions.  The numpy fallback expresses the same filters as dense
+// lfilter IIRs whose coefficient vectors are ~delay long — O(delay)/sample,
+// ~1000x more work at 32 kHz tunings.  Doubles throughout (the fallback
+// accumulates in float64); the dry/wet mix and the fixed 0.015 comb input
+// gain stay in the Python caller so both paths share one definition.
+void gsv_freeverb(const float* x, int64_t n, const int64_t* comb_delays,
+                  int64_t n_combs, const int64_t* ap_delays, int64_t n_aps,
+                  double feedback, double damp, double* out) {
+  const double d2 = 1.0 - damp;
+  std::vector<std::vector<double>> cbuf(n_combs);
+  std::vector<double> fstore(n_combs, 0.0);
+  std::vector<int64_t> cidx(n_combs, 0);
+  for (int64_t c = 0; c < n_combs; ++c) cbuf[c].assign(comb_delays[c], 0.0);
+  std::vector<std::vector<double>> abuf(n_aps);
+  std::vector<int64_t> aidx(n_aps, 0);
+  for (int64_t a = 0; a < n_aps; ++a) abuf[a].assign(ap_delays[a], 0.0);
+
+  for (int64_t i = 0; i < n; ++i) {
+    const double in = x[i];
+    double acc = 0.0;
+    for (int64_t c = 0; c < n_combs; ++c) {
+      const double y = cbuf[c][cidx[c]];
+      acc += y;
+      fstore[c] = y * d2 + fstore[c] * damp;  // one-pole damping LP
+      cbuf[c][cidx[c]] = in + fstore[c] * feedback;
+      if (++cidx[c] == comb_delays[c]) cidx[c] = 0;
+    }
+    acc *= 0.015;  // freeverb fixed input gain (linear: applied post-sum)
+    for (int64_t a = 0; a < n_aps; ++a) {
+      const double buffered = abuf[a][aidx[a]];
+      const double y = buffered - acc;  // JUCE form, not unity-gain allpass
+      abuf[a][aidx[a]] = acc + 0.5 * buffered;
+      if (++aidx[a] == ap_delays[a]) aidx[a] = 0;
+      acc = y;
+    }
+    out[i] = acc;
+  }
+}
+
 }  // extern "C"

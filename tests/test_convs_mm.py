@@ -125,3 +125,22 @@ def test_flow_dec_nlc_matches_nch():
     got = jsv.generator_nlc(params, cfg, z_nlc * mask_t, g=ge_t)
     np.testing.assert_allclose(np.asarray(got.transpose(0, 2, 1)),
                                np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_interpolate_nearest_double_precision_indices():
+    """torch's upsample_nearest1d computes floor(i·scale) in DOUBLE; a
+    float32 product flips to the neighboring index exactly at integer
+    ratio boundaries (t=441, size=300, i=100: f32 → 147, double → 146).
+    Oracle: torch.nn.functional.interpolate."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from gsv_tts_tpu.ops.convs import interpolate_nearest
+
+    rng = np.random.RandomState(0)
+    for t, size in ((441, 300), (300, 441), (55, 128), (1000, 333)):
+        x = rng.randn(1, 4, t).astype(np.float32)
+        got = np.asarray(interpolate_nearest(jnp.asarray(x), size))
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=size, mode="nearest").numpy()
+        np.testing.assert_array_equal(got, want, err_msg=f"t={t} size={size}")

@@ -76,8 +76,8 @@ def test_reverb_adds_tail_and_preserves_dry():
     assert y.shape == x.shape
     # energy appears after the dry click stops
     assert np.abs(y[SR // 4:]).max() > 1e-4
-    # dry level dominates
-    assert y[:64].max() == pytest.approx(0.97, abs=0.1)
+    # dry level dominates, at juce::Reverb's dryGain = dry_level * 2
+    assert y[:64].max() == pytest.approx(0.97 * 2.0, abs=0.2)
 
 
 def test_integrated_loudness_sine_reference():
@@ -103,3 +103,51 @@ def test_enhance_audio_end_to_end():
     assert y.dtype == np.float32 and y.shape == x.shape
     assert np.isfinite(y).all()
     assert fx.integrated_loudness(y, SR) == pytest.approx(-18.0, abs=1.0)
+
+
+def test_allpass_is_juce_form_not_unity_gain():
+    """Freeverb/JUCE 'allpass': y[n] = w[n-D] - x[n], w[n] = x[n] +
+    0.5·w[n-D] ⇒ impulse response -1, (1.5-0.5)=1.0 at D, then ×0.5 per
+    D — NOT the flat-magnitude textbook allpass (review r4)."""
+    h = fx._allpass(np.eye(1, 400, 0, dtype=np.float64)[0], 100)
+    assert h[0] == pytest.approx(-1.0)
+    assert h[100] == pytest.approx(1.0)
+    assert h[200] == pytest.approx(0.5)
+    assert h[300] == pytest.approx(0.25)
+
+
+def test_comb_damped_delay_one_no_alias():
+    """delay == 1 lands both recursive coefficients on a[1]; they must SUM
+    (a tuple assignment silently dropped the damping term)."""
+    x = np.zeros(32)
+    x[0] = 1.0
+    y = fx._comb_damped(x, 1, feedback=0.7, damp=0.2)
+    # y[n] = x[n-1] - damp·x[n-2] + (damp + fb(1-damp))·y[n-1] - ... manual:
+    # a = [1, -(0.2 + 0.7*0.8)], b = [0, 1, -0.2]
+    from scipy.signal import lfilter
+    want = lfilter([0.0, 1.0, -0.2], [1.0, -(0.2 + 0.7 * 0.8)], x)
+    np.testing.assert_allclose(y, want, atol=1e-12)
+
+
+def test_freeverb_native_matches_numpy_lfilter_path():
+    """The C++ delay-line freeverb and the dense-lfilter fallback are the
+    same filters (structural vs rational form): outputs agree to float
+    noise, and the native path is what serving's enhance flag rides."""
+    from gsv_tts_tpu.utils.native import native_lib
+
+    lib = native_lib()
+    if lib is None or not getattr(lib, "_has_freeverb", False):
+        pytest.skip("native library not built")
+    rng = np.random.RandomState(0)
+    x = (rng.randn(SR) * 0.1).astype(np.float32)
+    y_native = fx.reverb(x, SR)
+    import os
+
+    os.environ["GSV_DISABLE_NATIVE"] = "1"
+    native_lib.cache_clear()
+    try:
+        y_np = fx.reverb(x, SR)
+    finally:
+        os.environ.pop("GSV_DISABLE_NATIVE", None)
+        native_lib.cache_clear()
+    np.testing.assert_allclose(y_native, y_np, atol=1e-5)
