@@ -46,6 +46,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def freeze_slot(state: "DecodeState", j: int) -> "DecodeState":
+    """Zero a dead slot's counters so its per-chunk K/V appends restart
+    from row 0 and never reach the bucket edge (shared by the batched
+    stream and the wave scheduler)."""
+    return dataclasses.replace(
+        state, kv_len=state.kv_len.at[j].set(0),
+        step_idx=state.step_idx.at[j].set(0),
+        buf_len=state.buf_len.at[j].set(0))
+
+
 def prompt_rows(x, y) -> int:
     """Cache rows a slot prefill + its first decode step need: the padded
     ``[Lx|Ly]`` block the prefill writes, or prompt+1, whichever is
@@ -685,6 +695,45 @@ class T2SEngine:
             y_lens[n] = len(y)
         return xs, ys, bs, x_lens, y_lens
 
+    def _prepare_chunk(self, state: DecodeState, live_mask: List[bool],
+                       n_steps: int) -> Tuple[DecodeState, int, int]:
+        """Pre-chunk bucket bookkeeping shared by
+        :meth:`generate_batched_stream` and the wave scheduler
+        (``runtime/wave.py`` — one definition so a fix covers both):
+
+        * escalate to a bigger S bucket when the ACTIVE slots near the
+          edge (keyed on live slots only: decode_chunk advances kv_len
+          for frozen slots too, so a long-dead slot's phantom kv would
+          drive spurious escalations);
+        * clamp the chunk to the tightest active slot's room when no
+          bigger bucket exists — a slot REFILLED within check_interval
+          of the largest bucket has not passed the post-chunk retire
+          check yet, and unclamped its K/V append would write past the
+          cache edge (the XLA DUS clamps the start index and silently
+          overwrites the last valid rows; the TPU kernel's RMW window
+          runs out of bounds).  attach/refill guards keep kv <= S-1, so
+          at least one step always fits;
+        * re-freeze dead slots whose phantom kv nears the edge.
+
+        Returns ``(state, n_steps, S_cur)``."""
+        B = len(live_mask)
+        S_cur = state.k_cache.shape[2]
+        kv = np.asarray(state.kv_len)
+        kv_active = max((int(kv[j]) for j in range(B) if live_mask[j]),
+                        default=0)
+        if kv_active + n_steps >= S_cur:
+            bigger = [s for s in self.buckets[B] if s > S_cur]
+            if bigger:
+                state = self._escalate(state, bigger[0])
+                S_cur = bigger[0]
+        if kv_active + n_steps > S_cur:
+            n_steps = max(1, S_cur - kv_active)
+        assert kv_active + n_steps <= S_cur, (kv_active, n_steps, S_cur)
+        for j in range(B):
+            if not live_mask[j] and int(kv[j]) + n_steps >= S_cur:
+                state = freeze_slot(state, j)
+        return state, n_steps, S_cur
+
     def _ensure_rows(self, state: DecodeState, B: int,
                      need: int) -> Optional[DecodeState]:
         """Escalate ``state`` until its cache holds ``need`` rows.  Returns
@@ -901,36 +950,8 @@ class T2SEngine:
         while not all(ignore):
             n_steps = 1 if first_chunk else self.check_interval
             first_chunk = False
-            S_cur = state.k_cache.shape[2]
-            kv = np.asarray(state.kv_len)
-            # escalation keyed on ACTIVE slots only — decode_chunk advances
-            # kv_len for frozen slots too, so a long-dead slot's phantom kv
-            # would drive spurious escalations; re-freeze any dead slot
-            # nearing the bucket edge so its K/V append window stays in
-            # bounds (rare: a slot stays dead ~S/n_steps chunks first)
-            kv_active = max((int(kv[j]) for j in range(B) if not ignore[j]),
-                            default=0)
-            if kv_active + n_steps >= S_cur:
-                bigger = [s for s in self.buckets[B] if s > S_cur]
-                if bigger:
-                    state = self._escalate(state, bigger[0])
-                    S_cur = bigger[0]
-            # a slot REFILLED within check_interval of the largest bucket
-            # has not passed the post-chunk retire check yet: unclamped,
-            # its K/V append would write past the cache edge (the XLA DUS
-            # clamps the start index and silently overwrites the last
-            # valid rows).  Clamp the chunk to the tightest active slot's
-            # room; the retire check below then ends it.  attach/refill
-            # guards keep kv <= S-1, so at least one step always fits.
-            if kv_active + n_steps > S_cur:
-                n_steps = max(1, S_cur - kv_active)
-            assert kv_active + n_steps <= S_cur, (kv_active, n_steps, S_cur)
-            for j in range(B):
-                if ignore[j] and int(kv[j]) + n_steps >= S_cur:
-                    state = dataclasses.replace(
-                        state, kv_len=state.kv_len.at[j].set(0),
-                        step_idx=state.step_idx.at[j].set(0),
-                        buf_len=state.buf_len.at[j].set(0))
+            state, n_steps, S_cur = self._prepare_chunk(
+                state, [not ig for ig in ignore], n_steps)
             state, toks = decode_chunk(
                 self.params, cfg, state, n_steps, sa, 0,
                 self._dtype_name(), self.attn_impl)

@@ -32,7 +32,6 @@ the chip round-robin.
 """
 from __future__ import annotations
 
-import dataclasses
 import logging
 import queue
 import threading
@@ -44,8 +43,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .t2s_session import (DecodeState, SampleArgs, T2SEngine, _gather_slots,
-                          decode_chunk, prefill_batch, prefill_slot,
-                          prefill_slots, prompt_rows)
+                          decode_chunk, freeze_slot, prefill_batch,
+                          prefill_slot, prefill_slots, prompt_rows)
 
 __all__ = ["WaveScheduler", "StreamHandle", "WaveOverloadedError"]
 
@@ -440,12 +439,7 @@ class WaveScheduler:
         wave.first_chunk = True
         return True
 
-    @staticmethod
-    def _freeze(state: DecodeState, j: int) -> DecodeState:
-        return dataclasses.replace(
-            state, kv_len=state.kv_len.at[j].set(0),
-            step_idx=state.step_idx.at[j].set(0),
-            buf_len=state.buf_len.at[j].set(0))
+    _freeze = staticmethod(freeze_slot)
 
     def _refill(self, wave: _Wave, jobs: List[Tuple[int, _Request]]) -> bool:
         """Prefill each ``(slot, request)`` job — ONE batched dispatch when
@@ -609,35 +603,14 @@ class WaveScheduler:
                 live = [j for j, s in enumerate(wave.slots) if s.live]
                 B = len(wave.slots)
 
-        # 3. sequence-bucket escalation (``t2s_model.py:425-428``), keyed
-        #    on LIVE slots only: decode_chunk advances kv_len for frozen
-        #    slots too (+n_steps per chunk after their one-time freeze), so
-        #    a long-dead slot's phantom kv would otherwise drive spurious
-        #    escalations to the largest bucket
+        # 3. sequence-bucket escalation / edge clamp / dead-slot refreeze
+        #    (``t2s_model.py:425-428``) — ONE shared definition with
+        #    ``generate_batched_stream`` (T2SEngine._prepare_chunk) so the
+        #    two stay token-exact and a fix covers both
         n_steps = 1 if wave.first_chunk else eng.check_interval
         wave.first_chunk = False
-        S_cur = wave.state.k_cache.shape[2]
-        kv = np.asarray(wave.state.kv_len)
-        kv_active = max(int(kv[j]) for j in live)
-        if kv_active + n_steps >= S_cur:
-            bigger = [s for s in eng.buckets[B] if s > S_cur]
-            if bigger:
-                wave.state = eng._escalate(wave.state, bigger[0])
-                S_cur = bigger[0]
-        # a slot REFILLED within check_interval of the largest bucket has
-        # not passed the post-chunk retire check yet: unclamped, its K/V
-        # append would write past the cache edge.  Clamp the chunk to the
-        # tightest live slot's room (same clamp as
-        # ``generate_batched_stream`` — keep the two token-exact).
-        if kv_active + n_steps > S_cur:
-            n_steps = max(1, S_cur - kv_active)
-        assert kv_active + n_steps <= S_cur, (kv_active, n_steps, S_cur)
-        # a dead slot's phantom kv must never reach the bucket edge (its
-        # K/V append window would read out of bounds): re-freeze it when
-        # it gets close — rare, so the per-slot reset dispatches are cheap
-        for j in range(B):
-            if not wave.slots[j].live and int(kv[j]) + n_steps >= S_cur:
-                wave.state = self._freeze(wave.state, j)
+        wave.state, n_steps, S_cur = eng._prepare_chunk(
+            wave.state, [s.live for s in wave.slots], n_steps)
 
         # 4. one decode chunk for the whole wave
         wave.state, toks = decode_chunk(
