@@ -18,6 +18,10 @@ MODELSCOPE_BASE_URL = "https://modelscope.cn/models/chinokiki/GPTSoVITS-RT/resol
 HUGGINGFACE_BASE_URL = "https://huggingface.co/cnmds/GPTSoVITS-RT/resolve/main/%s?download=true"
 G2P_RELEASE_URL = "https://github.com/chinokikiss/GSV-TTS-Lite/releases/download/g2p/%s"
 
+#: per-read socket timeout for asset downloads: a stalled connection must
+#: fail (and be retried / degraded) instead of hanging TTS() init forever
+DOWNLOAD_TIMEOUT_S = 30.0
+
 _base_url: Optional[str] = None
 
 
@@ -30,7 +34,11 @@ def download_file(url: str, filename) -> bool:
     from tqdm import tqdm
 
     logging.info(f"Downloading model from {url}")
-    response = requests.get(url, stream=True)
+    response = requests.get(url, stream=True, timeout=DOWNLOAD_TIMEOUT_S)
+    # a 404/403 error page must not be saved as the asset (its body's
+    # length matches its own content-length, so the size check passes and
+    # the corruption only surfaces later as a confusing BadZipFile)
+    response.raise_for_status()
     total = int(response.headers.get("content-length", 0))
     bar = tqdm(total=total, unit="iB", unit_scale=True)
     with open(filename, "wb") as f:
@@ -70,9 +78,16 @@ def check_latency(url: str, timeout: float = 3.0):
 
 
 def get_base_url() -> str:
-    """HF-vs-ModelScope latency race (reference ``Download.py:63-87``)."""
-    hf_ok, hf_lat = check_latency("https://huggingface.co", timeout=5)
-    ms_ok, ms_lat = check_latency("https://www.modelscope.cn", timeout=5)
+    """HF-vs-ModelScope latency race (reference ``Download.py:63-87``) —
+    the two probes run CONCURRENTLY, so the cold-start probe phase is
+    bounded by max(latency, timeout), not the sum."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        hf = ex.submit(check_latency, "https://huggingface.co", 5)
+        ms = ex.submit(check_latency, "https://www.modelscope.cn", 5)
+        hf_ok, hf_lat = hf.result()
+        ms_ok, ms_lat = ms.result()
     if ms_ok and not hf_ok:
         return MODELSCOPE_BASE_URL
     if hf_ok and not ms_ok:
@@ -91,9 +106,15 @@ def download_model(filename: str, dir, download_url: Optional[str] = None):
         download_url = _base_url
     url = download_url % filename
     zip_path = Path(dir) / filename
-    if download_file(url, zip_path):
-        unzip_file(zip_path, os.path.dirname(zip_path))
-        os.remove(zip_path)
+    try:
+        if download_file(url, zip_path):
+            unzip_file(zip_path, os.path.dirname(zip_path))
+    finally:
+        # never leave a partial/corrupt multi-hundred-MB zip behind —
+        # failed startups would otherwise accumulate dead files in
+        # ~/.cache/gsv with nothing cleaning them up
+        if zip_path.exists():
+            os.remove(zip_path)
 
 
 def check_pretrained_models(models_dir) -> bool:
@@ -127,11 +148,17 @@ def check_pretrained_models(models_dir) -> bool:
     return all(p.exists() for p in required)
 
 
-def download_bert(models_dir):
+def download_bert(models_dir) -> bool:
     """Fetch the full-precision chinese-roberta (reference downloads either
-    this zip on GPU or the INT8 ONNX on CPU; the JAX engine always uses the
-    full checkpoint)."""
+    this zip on GPU or the INT8 ONNX on CPU, ``TTS.py:125-129``; the JAX
+    engine always uses the full checkpoint).  Called by ``TTS._load_bert``
+    when the BERT dir is missing and the environment is online."""
     if _offline():
         return False
-    download_model("chinese-roberta.zip", models_dir)
+    try:
+        download_model("chinese-roberta.zip", models_dir)
+    except Exception as e:  # noqa: BLE001 — degrade like the bundle path
+        logging.error(f"BERT download failed ({e}); Chinese prosody "
+                      "features will be zero-filled.")
+        return False
     return True

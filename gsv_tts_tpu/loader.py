@@ -211,14 +211,17 @@ def get_gpt_weights(gpt_path, tts_config: Config) -> Gpt:
     # 2..6 routes to the batched whole-step kernel (B=4: 7500 aggregate
     # tok/s vs flash 4000); B>6 falls back to flash attention.
     attn_impl = "xla"
+    # validate unconditionally: a typo'd value must fail where the config
+    # is written, not only on the one (TPU + flash) configuration that
+    # happens to consume it
+    softmax = getattr(tts_config, "t2s_softmax", "rows")
+    if softmax not in ("rows", "shared", "vec"):
+        raise ValueError(
+            f"t2s_softmax must be 'rows', 'shared' or 'vec', got "
+            f"{softmax!r}")
     if getattr(tts_config, "use_flash_attn", False) and tts_config.platform == "tpu":
         attn_impl = "fused_step_q8" if getattr(tts_config, "quant_t2s", False) \
             else "fused_step"
-        softmax = getattr(tts_config, "t2s_softmax", "rows")
-        if softmax not in ("rows", "shared", "vec"):
-            raise ValueError(
-                f"t2s_softmax must be 'rows', 'shared' or 'vec', got "
-                f"{softmax!r}")
         if softmax != "rows":
             # decode_chunk strips the suffix; B=1 ignores it (no per-row
             # bookkeeping to share/vectorize), batched waves switch
@@ -287,8 +290,15 @@ def sovits_to_safetensors(sovits_path: str, output_dir: str, tts_config: Config)
     dict_s2, version = load_sovits_raw(str(sovits_path))
     hps = HParams(dict_s2["config"])
     hps.model.semantic_frame_rate = "25hz"
-    if version is not None:
-        hps.model.version = version
+    if version is None:
+        # same validation get_sovits_weights enforces — without it an
+        # undetectable-version checkpoint converts fine and the dir load
+        # later silently defaults to "v2" (wrong architecture)
+        version = hps.model.get("version")
+        assert version in ("v2", "v2Pro", "v2ProPlus"), (
+            "The SoVITS model is not the v2/v2Pro/v2ProPlus version. "
+            "Cannot convert it to safetensors.")
+    hps.model.version = version
     weights = _to_numpy_state_dict(dict_s2["weight"])
     os.makedirs(output_dir, exist_ok=True)
     from safetensors.numpy import save_file

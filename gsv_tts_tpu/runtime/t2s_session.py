@@ -434,6 +434,13 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
         # the generic path would otherwise hand an interpret impl to the
         # REAL flash-decode kernel (no interpret lowering on CPU)
         attn_impl = "xla"
+    if attn_impl in fused_impls and not (fused_sample or fused_sample_b) \
+            and not fused_ok:
+        # the S/D%128 gate must ALSO bind the generic fallback: left as
+        # "fused_step", transformer_decode_step would re-enter the fused
+        # attention kernel (it checks only B==1 and D%128), whose BLOCK_S
+        # walk runs its last pl.ds window past an odd-S cache
+        attn_impl = "xla"
     if fused_sample_b:
         # batched whole-step kernel (``ops/fused_step.py:_kernel_sample_b``):
         # the packed weight stream is amortized over B slots; only the K/V
@@ -785,7 +792,12 @@ class T2SEngine:
                         repetition_penalty=repetition_penalty, use_prev=True)
         xp, yp, bp = self._pad_prompt(x_ids, y_ids, bert)
         prompt_len = len(x_ids) + len(y_ids)
-        _, S = self._pick_bucket(1, max(prompt_len + 1, len(xp) + len(yp)))
+        # _pick_bucket tolerates a missing batch-1 bucket (nearest B >=
+        # 1), so the escalation ladder must come from the SAME bucket
+        # list — reading self.buckets[1] directly would KeyError mid-
+        # request on a batch-only gpt_cache
+        pick_B, S = self._pick_bucket(1, max(prompt_len + 1, len(xp) + len(yp)))
+        s_ladder = self.buckets[pick_B]
         k_cache, v_cache = self._alloc_cache(1, S)
 
         state, tok0 = prefill_batch(
@@ -812,7 +824,7 @@ class T2SEngine:
                 # bucket escalation, or stop when the largest bucket is full
                 # (the reference decodes until the cache is exactly full,
                 # ``t2s_model.py:425``)
-                bigger = [s for s in self.buckets[1] if s > cur_S]
+                bigger = [s for s in s_ladder if s > cur_S]
                 if not bigger:
                     break
                 state = self._escalate(state, bigger[0])
@@ -1012,10 +1024,7 @@ class T2SEngine:
                 else:
                     ignore[j] = True
                     # freeze the slot: reset kv_len so it stops growing
-                    state = dataclasses.replace(
-                        state, kv_len=state.kv_len.at[j].set(0),
-                        step_idx=state.step_idx.at[j].set(0),
-                        buf_len=state.buf_len.at[j].set(0))
+                    state = freeze_slot(state, j)
 
             # refill every slot that finished this chunk in ONE dispatch
             # (harvests above read the pre-refill state, exactly as the

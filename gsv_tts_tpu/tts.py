@@ -1598,13 +1598,27 @@ class TTS:
         self._load_bert()
 
     def _load_bert(self):
-        try:
-            from .models.roberta import CNRoberta
+        from .models.roberta import CNRoberta
 
+        try:
             self.tts_config.cnroberta = CNRoberta(str(self.cnroberta_path), self.tts_config)
             self._bert_loaded = True
             logging.info("BERT model loaded for Chinese text")
         except FileNotFoundError:
+            # reference auto-downloads the BERT zip when the dir is
+            # missing (``TTS.py:125-129``) — try the same before
+            # degrading to zero features
+            from .download import download_bert
+
+            if download_bert(self.models_dir):
+                try:
+                    self.tts_config.cnroberta = CNRoberta(
+                        str(self.cnroberta_path), self.tts_config)
+                    self._bert_loaded = True
+                    logging.info("BERT model downloaded and loaded")
+                    return
+                except FileNotFoundError:
+                    pass
             logging.warning("BERT model files not found; Chinese synthesis will "
                             "use zero BERT features")
             self._bert_loaded = True  # don't retry every call

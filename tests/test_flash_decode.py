@@ -825,3 +825,66 @@ def test_decode_chunk_vec_softmax_chain_token_exact():
     t_vec8 = run8("fused_step_q8_interpret:vec", params)
     t_xla8 = run8("xla", dq)
     np.testing.assert_array_equal(t_vec8, t_xla8)
+
+
+def test_fused_gate_binds_the_real_impl_generic_fallback():
+    """When the S%128 gate rejects the fused SAMPLING kernels, the generic
+    per-op fallback must not re-enter the fused ATTENTION kernel either
+    (transformer_decode_step checks only B==1/D%128; the kernel's BLOCK_S
+    walk would run past an odd-S cache on real TPU).  With the REAL
+    'fused_step' impl on CPU the downgrade is observable directly: the
+    pallas kernel cannot lower on CPU, so pre-fix this errored."""
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import SampleArgs, decode_chunk, prefill_batch
+
+    cfg = T2SConfig(hidden_dim=128, embedding_dim=128, num_heads=4,
+                    num_layers=2, vocab_size=101, phoneme_vocab_size=50,
+                    eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randint(1, 50, (1, 12)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 100, (1, 9)), jnp.int32)
+    bert = jnp.zeros((1, 12, cfg.bert_dim), jnp.float32)
+    sa = SampleArgs(top_k=1, repetition_penalty=1.0, use_prev=False)
+    outs = {}
+    for impl in ("xla", "fused_step", "fused_step_q8"):
+        shape = (cfg.num_layers, 1, 192, cfg.num_heads, cfg.head_dim)
+        st, _ = prefill_batch(params, cfg, x, y, bert,
+                              jnp.asarray([12], jnp.int32),
+                              jnp.asarray([9], jnp.int32),
+                              jnp.zeros(shape, jnp.float32),
+                              jnp.zeros(shape, jnp.float32),
+                              jax.random.PRNGKey(1), sa, False, "float32")
+        st, toks = decode_chunk(params, cfg, st, 8, sa, 0, "float32", impl)
+        outs[impl] = np.asarray(toks)
+    np.testing.assert_array_equal(outs["xla"], outs["fused_step"])
+    np.testing.assert_array_equal(outs["xla"], outs["fused_step_q8"])
+
+
+def test_batch_only_gpt_cache_escalates_without_keyerror():
+    """An engine built with NO batch-1 bucket (batch-only serving) must
+    still run single-request generation: _pick_bucket tolerates the
+    missing bucket, so the B=1 escalation ladder has to come from the
+    bucket list actually picked (reading buckets[1] raised KeyError at
+    the first bucket edge)."""
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import T2SEngine
+
+    cfg = T2SConfig(hidden_dim=64, embedding_dim=64, num_heads=4,
+                    num_layers=2, vocab_size=101, phoneme_vocab_size=50,
+                    eos=100)
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+    eng = T2SEngine(params, cfg, gpt_cache=[(4, 96), (4, 128)],
+                    dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    # prompt near the first bucket edge so escalation (96 -> 128) triggers
+    x = rng.randint(1, 50, 60).astype(np.int32)
+    y = rng.randint(0, 100, 30).astype(np.int32)
+    bert = np.zeros((60, cfg.bert_dim), np.float32)
+    toks = eng.generate(x, y, bert, top_k=1, rng=jax.random.PRNGKey(0))
+    toks = np.asarray(toks)
+    assert toks.ndim >= 1  # completed without KeyError at the bucket edge
