@@ -68,6 +68,61 @@ def prompt_rows(x, y) -> int:
     return max(len(x) + len(y) + 1, lxp + lyp)
 
 
+class SlotHarvest:
+    """Per-slot incremental-emission bookkeeping, shared by
+    :meth:`T2SEngine.generate_batched_stream` and the wave scheduler
+    (``runtime/wave.py``) — ONE definition so the two stay token-exact
+    and a window-semantics fix covers both.  Reference semantics
+    (``t2s_model.py:655,674-679``): only decode samples BEFORE the
+    interval's last one are emittable mid-stream, nothing at or past the
+    first sampled EOS is ever emitted, and the final harvest trims
+    specials and yields the not-yet-emitted tail."""
+
+    __slots__ = ("samples", "emitted", "eos_seen")
+
+    def __init__(self):
+        self.samples: List[int] = []  # every decode sample so far (host ints)
+        self.emitted = 0  # how many the consumer has received
+        self.eos_seen = False
+
+    def extend(self, toks) -> None:
+        self.samples.extend(int(t) for t in toks)
+
+    def drain_stream(self, eos: int) -> Optional[np.ndarray]:
+        """Newly-final tokens, or None when there is nothing new.  The
+        emittable window is every decode sample EXCEPT the interval's
+        last one (``samples[:-1]``), trimmed at the first EOS."""
+        if self.eos_seen:
+            return None
+        window = self.samples[:-1]
+        hi = len(window)
+        for t in range(self.emitted, len(window)):
+            if window[t] == eos:
+                hi = t
+                self.eos_seen = True
+                break
+        if hi <= self.emitted:
+            return None
+        out = np.asarray(window[self.emitted:hi], np.int64)
+        self.emitted = hi
+        return out
+
+    def drain_final(self, eos: int,
+                    gen: Optional[np.ndarray] = None) -> np.ndarray:
+        """Final-harvest tail: ``gen`` — the full harvest window, defaulting
+        to the host-accumulated ``samples[:-1]`` (``generate_batched_stream``
+        passes the equivalent device ``tok_buf`` window instead) — trimmed
+        at the first EOS, specials dropped, already-emitted prefix
+        skipped."""
+        if gen is None:
+            gen = np.asarray(self.samples[:-1], np.int64)
+        eos_pos = np.nonzero(gen == eos)[0]
+        if eos_pos.size:
+            gen = gen[: eos_pos[0]]
+        gen = gen[gen < eos]
+        return gen.astype(np.int64)[self.emitted:]
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DecodeState:
@@ -755,6 +810,89 @@ class T2SEngine:
             return None
         return self._escalate(state, new_S)
 
+    def _retire_after_chunk(self, last_sample: int, kv_j: int, B: int,
+                            S_cur: int) -> bool:
+        """Post-chunk retire check shared by :meth:`generate_batched_stream`
+        and the wave scheduler: the reference checks EOS only on the
+        interval's LAST sample (``t2s_model.py:655``); a slot within one
+        check interval of the LARGEST S bucket's edge also retires — there
+        is no escalation room left for another full chunk."""
+        if last_sample == self.cfg.eos:
+            return True
+        return (kv_j + self.check_interval >= S_cur
+                and not [s for s in self.buckets[B] if s > S_cur])
+
+    def _refill_slots_prefill(self, state: DecodeState, slot_idx: List[int],
+                              items, sa: "SampleArgs"
+                              ) -> Tuple[DecodeState, bool]:
+        """Prefill ``items`` (``(x, y, bert)`` tuples) into ``slot_idx`` —
+        the refill dispatch shared by :meth:`generate_batched_stream` and
+        the wave scheduler.  Several requests arriving together pay ONE
+        batched dispatch (``prefill_slots``: one weight read + launch
+        instead of k) when the group-padded ``[Lx|Ly]`` block fits a cache
+        bucket at this batch size; otherwise (mismatched x/y splits can pad
+        the GROUP past every bucket although each request fits alone) they
+        fall back to one-at-a-time ``prefill_slot`` dispatches.  Escalates
+        the sequence bucket as needed; raises ``ValueError`` when a single
+        request fits no bucket at this batch size (an unchecked prefill
+        would shape-error out of the jit and take every slot in the wave
+        down with it).  Returns ``(state, used_batched_dispatch)``."""
+        B = state.k_cache.shape[0]
+        items = [(np.asarray(x, np.int32), np.asarray(y, np.int32),
+                  np.asarray(b, np.float32).reshape(len(x), -1))
+                 for x, y, b in items]
+        group = self._pad_prompts(items) if len(items) > 1 else None
+        if group is not None:
+            g_need = max(group[0].shape[1] + group[1].shape[1],
+                         max(prompt_rows(x, y) for x, y, _ in items))
+            new_state = self._ensure_rows(state, B, g_need)
+            if new_state is None:
+                group = None
+            else:
+                state = new_state
+        if group is not None:
+            xr, yr, br, xlr, ylr = group
+            state, _ = prefill_slots(
+                self.params, self.cfg, state,
+                jnp.asarray(slot_idx, I32),
+                jnp.asarray(xr), jnp.asarray(yr), jnp.asarray(br),
+                jnp.asarray(xlr), jnp.asarray(ylr),
+                sa, self._dtype_name(), self.attn_impl)
+            return state, True
+        for j, (x, y, b) in zip(slot_idx, items):
+            new_state = self._ensure_rows(state, B, prompt_rows(x, y))
+            if new_state is None:
+                raise ValueError(
+                    f"prompt for slot {j} needs {prompt_rows(x, y)} cache "
+                    f"rows; no gpt_cache bucket at B={B} holds it")
+            state = new_state
+            xp, yp, bp = self._pad_prompt(x, y, b)
+            state, _ = prefill_slot(
+                self.params, self.cfg, state, j,
+                jnp.asarray(xp[None]), jnp.asarray(yp[None]),
+                jnp.asarray(bp[None]),
+                jnp.asarray(len(x), I32), jnp.asarray(len(y), I32),
+                sa, self._dtype_name(), self.attn_impl)
+        return state, False
+
+    def _gather_live(self, state: DecodeState, live_idx: List[int],
+                     new_B: int) -> Optional[DecodeState]:
+        """Re-pack the live slots into a ``new_B``-slot state (growth or
+        tail compaction; one on-device gather copy, no re-prefill) — shared
+        by :meth:`generate_batched_stream` and the wave scheduler.  Returns
+        None when no sequence bucket at ``new_B`` holds the longest
+        survivor."""
+        kv = np.asarray(state.kv_len)
+        need = int(max((kv[k] for k in live_idx), default=0))
+        new_S = next((s for s in self.buckets[new_B] if s > need), None)
+        if new_S is None:
+            return None
+        slot_map = np.full((new_B,), -1, np.int32)
+        keep = live_idx[:new_B]
+        slot_map[: len(keep)] = keep
+        return _gather_slots(state, jnp.asarray(slot_map), new_S,
+                             self.cfg.vocab_size)
+
     # -- single-utterance generation (``t2s_model.py:385-464``) ------------
 
     def generate(self, x_ids, y_ids, bert, top_k=15, top_p=1.0, temperature=1.0,
@@ -943,12 +1081,9 @@ class T2SEngine:
         slot_orig = list(wave) + [-1] * (B - len(wave))
         slot_start = [int(x_lens[j] + y_lens[j]) for j in range(B)]  # kv pos where generation started
         slot_steps = [0] * B  # decode steps taken for current request
-        # incremental-emission state: every decode sample for the current
-        # request (host ints), how many the consumer has received, and
-        # whether an EOS was sampled (nothing past it is ever emitted)
-        slot_samples: List[List[int]] = [[] for _ in range(B)]
-        slot_emitted = [0] * B
-        slot_eos_seen = [False] * B
+        # incremental-emission state (one shared definition with the wave
+        # scheduler — see :class:`SlotHarvest`)
+        slot_harvest = [SlotHarvest() for _ in range(B)]
         ignore = [j >= len(wave) for j in range(B)]
         next_req = len(wave)
 
@@ -971,50 +1106,34 @@ class T2SEngine:
             for j in range(B):
                 slot_steps[j] += n_steps
                 if not ignore[j]:
-                    slot_samples[j].extend(int(t) for t in toks[j])
+                    slot_harvest[j].extend(toks[j])
             kv = np.asarray(state.kv_len)
             buf = None
             for j in range(B):
                 if ignore[j]:
                     continue
-                # stream out newly-final tokens: the harvest window is every
-                # decode sample EXCEPT the interval's last one, trimmed at
-                # the first EOS — so those are safe to emit now
-                if not slot_eos_seen[j]:
-                    window = slot_samples[j][:-1]
-                    hi = len(window)
-                    for t in range(slot_emitted[j], len(window)):
-                        if window[t] == cfg.eos:
-                            hi = t
-                            slot_eos_seen[j] = True
-                            break
-                    if hi > slot_emitted[j]:
-                        events.append((slot_orig[j],
-                                       np.asarray(window[slot_emitted[j]: hi],
-                                                  np.int64), False))
-                        if not grouped:
-                            yield events.pop()
-                        slot_emitted[j] = hi
-                # the reference checks EOS only on the interval's LAST sample
-                # (``samples[:, 0] == EOS`` at the boundary, t2s_model.py:655)
-                eos_hit = int(toks[j][-1]) == cfg.eos
-                reached = int(kv[j]) + self.check_interval >= S_cur and not [s for s in self.buckets[B] if s > S_cur]
-                if not (eos_hit or reached):
+                # stream out newly-final tokens (shared window semantics
+                # with the wave scheduler — SlotHarvest.drain_stream)
+                out = slot_harvest[j].drain_stream(cfg.eos)
+                if out is not None:
+                    events.append((slot_orig[j], out, False))
+                    if not grouped:
+                        yield events.pop()
+                if not self._retire_after_chunk(int(toks[j][-1]),
+                                                int(kv[j]), B, S_cur):
                     continue
                 if buf is None:
                     buf = np.asarray(state.tok_buf)
                 # harvest (``t2s_model.py:674-679``): the reference window
                 # ``pre_tokens[i, kv-steps+1 : kv]`` excludes both the first
                 # post-prefill sample AND the last written sample, then trims
-                # at the first EOS
+                # at the first EOS — here read from the device tok_buf (the
+                # host-accumulated SlotHarvest default is equivalent)
                 y_len = slot_start[j] - int(np.asarray(state.x_len)[j])
                 gen = buf[j, y_len + 1: y_len + slot_steps[j]]
-                eos_pos = np.nonzero(gen == cfg.eos)[0]
-                if eos_pos.size:
-                    gen = gen[: eos_pos[0]]
-                gen = gen[gen < cfg.eos]
-                gen = gen.astype(np.int64)
-                events.append((slot_orig[j], gen[slot_emitted[j]:], True))
+                events.append((slot_orig[j],
+                               slot_harvest[j].drain_final(cfg.eos, gen),
+                               True))
                 if not grouped:
                     yield events.pop()
 
@@ -1031,59 +1150,18 @@ class T2SEngine:
             # old one-at-a-time order did — a refill only touches its own
             # slot's rows)
             if refill_jobs:
-                items = [(np.asarray(x_list[i], np.int32),
-                          np.asarray(y_list[i], np.int32),
-                          np.asarray(bert_list[i], np.float32))
-                         for _, i in refill_jobs]
-                # fit check BEFORE dispatch: a refill writes its padded
-                # prompt block into the cache, which the initial-wave S
-                # (sized from the FIRST wave only) need not hold
-                group = self._pad_prompts(items) \
-                    if len(refill_jobs) > 1 else None
-                if group is not None:
-                    g_need = max(group[0].shape[1] + group[1].shape[1],
-                                 max(prompt_rows(x, y) for x, y, _ in items))
-                    new_state = self._ensure_rows(state, B, g_need)
-                    if new_state is None:
-                        # mismatched x/y splits pad the GROUP past every
-                        # bucket though each request fits alone — refill
-                        # one at a time instead
-                        group = None
-                    else:
-                        state = new_state
-                if group is not None:
-                    xr, yr, br, xlr, ylr = group
-                    state, _ = prefill_slots(
-                        self.params, cfg, state,
-                        jnp.asarray([j for j, _ in refill_jobs], I32),
-                        jnp.asarray(xr), jnp.asarray(yr), jnp.asarray(br),
-                        jnp.asarray(xlr), jnp.asarray(ylr),
-                        sa, self._dtype_name(), self.attn_impl)
-                else:
-                    for (j, i), (x, y, b) in zip(refill_jobs, items):
-                        new_state = self._ensure_rows(state, B,
-                                                      prompt_rows(x, y))
-                        if new_state is None:
-                            raise ValueError(
-                                f"prompt for request {i} needs "
-                                f"{prompt_rows(x, y)} cache rows; no "
-                                f"gpt_cache bucket at B={B} holds it")
-                        state = new_state
-                        xp, yp, bp = self._pad_prompt(
-                            x, y, b.reshape(len(x), -1))
-                        state, _ = prefill_slot(
-                            self.params, cfg, state, j,
-                            jnp.asarray(xp[None]), jnp.asarray(yp[None]),
-                            jnp.asarray(bp[None]),
-                            jnp.asarray(len(x), I32), jnp.asarray(len(y), I32),
-                            sa, self._dtype_name(), self.attn_impl)
+                # fit checks, escalation and batched-vs-per-slot dispatch
+                # all live in the shared helper (one definition with the
+                # wave scheduler)
+                state, _ = self._refill_slots_prefill(
+                    state, [j for j, _ in refill_jobs],
+                    [(x_list[i], y_list[i], bert_list[i])
+                     for _, i in refill_jobs], sa)
                 for j, i in refill_jobs:
                     slot_orig[j] = i
                     slot_start[j] = len(x_list[i]) + len(y_list[i])
                     slot_steps[j] = 0
-                    slot_samples[j] = []
-                    slot_emitted[j] = 0
-                    slot_eos_seen[j] = False
+                    slot_harvest[j] = SlotHarvest()
                     self.refills += 1
                 refill_jobs = []
 
@@ -1098,31 +1176,22 @@ class T2SEngine:
                     sizes = sorted(self.buckets.keys())
                     smaller = next((b for b in sizes
                                     if b >= len(live_idx) and b < B), None)
-                    if smaller is not None:
-                        kvn = np.asarray(state.kv_len)
-                        need = int(max(kvn[k] for k in live_idx))
-                        new_S = next((s for s in self.buckets[smaller]
-                                      if s > need), None)
-                        if new_S is not None:
-                            slot_map = np.full((smaller,), -1, np.int32)
-                            slot_map[:len(live_idx)] = live_idx
-                            state = _gather_slots(
-                                state, jnp.asarray(slot_map), new_S,
-                                cfg.vocab_size)
+                    new_state = self._gather_live(state, live_idx, smaller) \
+                        if smaller is not None else None
+                    if new_state is not None:
+                        state = new_state
 
-                            def remap(lst, fill):
-                                return [lst[k] for k in live_idx] + \
-                                    [fill] * (smaller - len(live_idx))
+                        def remap(lst, fill):
+                            return [lst[k] for k in live_idx] + \
+                                [fill] * (smaller - len(live_idx))
 
-                            slot_orig = remap(slot_orig, -1)
-                            slot_start = remap(slot_start, 0)
-                            slot_steps = remap(slot_steps, 0)
-                            slot_samples = remap(slot_samples, [])
-                            slot_emitted = remap(slot_emitted, 0)
-                            slot_eos_seen = remap(slot_eos_seen, False)
-                            ignore = remap(ignore, True)
-                            B = smaller
-                            self.compactions += 1
+                        slot_orig = remap(slot_orig, -1)
+                        slot_start = remap(slot_start, 0)
+                        slot_steps = remap(slot_steps, 0)
+                        slot_harvest = remap(slot_harvest, SlotHarvest())
+                        ignore = remap(ignore, True)
+                        B = smaller
+                        self.compactions += 1
 
             if grouped and events:
                 yield events

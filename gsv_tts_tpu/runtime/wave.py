@@ -21,7 +21,7 @@ module turns the same slot machinery (``prefill_batch`` / ``prefill_slot``
 * The wave grows and shrinks between batch buckets: when requests queue
   and no slot is free it resizes to the next larger ``gpt_cache`` batch
   bucket, and when live slots drop to <= B/2 it compacts the survivors
-  into the smallest bucket that fits (``_gather_slots`` — one on-device
+  into the smallest bucket that fits (``T2SEngine._gather_live`` — one on-device
   gather copy, no re-prefill), so a lone tail request decodes at the B=1
   kernel rate instead of burning a B=4 wave.
 
@@ -42,13 +42,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .t2s_session import (DecodeState, SampleArgs, T2SEngine, _gather_slots,
+from .t2s_session import (DecodeState, SampleArgs, SlotHarvest, T2SEngine,
                           decode_chunk, freeze_slot, prefill_batch,
-                          prefill_slot, prefill_slots, prompt_rows)
+                          prompt_rows)
 
 __all__ = ["WaveScheduler", "StreamHandle", "WaveOverloadedError"]
-
-I32 = jnp.int32
 
 
 class WaveOverloadedError(RuntimeError):
@@ -107,13 +105,11 @@ class StreamHandle:
 
 
 class _Slot:
-    __slots__ = ("handle", "samples", "emitted", "eos_seen", "live")
+    __slots__ = ("handle", "harvest", "live")
 
     def __init__(self, handle: Optional[StreamHandle] = None):
         self.handle = handle
-        self.samples: List[int] = []
-        self.emitted = 0
-        self.eos_seen = False
+        self.harvest = SlotHarvest()
         self.live = handle is not None
 
 
@@ -466,44 +462,18 @@ class WaveScheduler:
             admit.append((j, req))
         if not admit:
             return False
-        need = max(self._prompt_need(r.x, r.y) for _, r in admit)
-        # a BATCHED refill writes the group-padded [Lx|Ly] block into every
-        # refilled slot, which can exceed each per-request need when x/y
-        # splits are mismatched across the group — size the escalation from
-        # the group pad, and fall back to one-at-a-time refills when the
-        # group pad overflows every bucket though each request fits alone
-        group = eng._pad_prompts([(r.x, r.y, r.bert) for _, r in admit]) \
-            if len(admit) > 1 else None
-        if group is not None:
-            g_need = max(need, group[0].shape[1] + group[1].shape[1])
-            if g_need > S_cur and self._pick_S(B, g_need - 1) is None:
-                group = None
-            else:
-                need = g_need
         try:
-            if need > S_cur:
-                wave.state = eng._escalate(wave.state,
-                                           self._pick_S(B, need - 1))
+            # group-pad fit checks, escalation and batched-vs-per-slot
+            # dispatch live in the shared engine helper (one definition
+            # with ``generate_batched_stream``)
+            state, batched = eng._refill_slots_prefill(
+                wave.state, [j for j, _ in admit],
+                [(r.x, r.y, r.bert) for _, r in admit], wave.sa)
+            if state.k_cache.shape[2] != S_cur:
                 wave.n_resizes += 1
-            if group is not None:
-                xs, ys, bs, x_lens, y_lens = group
-                wave.state, _ = prefill_slots(
-                    eng.params, eng.cfg, wave.state,
-                    jnp.asarray([j for j, _ in admit], I32),
-                    jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(bs),
-                    jnp.asarray(x_lens), jnp.asarray(y_lens),
-                    wave.sa, eng._dtype_name(), eng.attn_impl)
+            if batched:
                 wave.n_batched_refills += 1
-            else:
-                for j, req in admit:
-                    xp, yp, bp = eng._pad_prompt(req.x, req.y, req.bert)
-                    wave.state, _ = prefill_slot(
-                        eng.params, eng.cfg, wave.state, j,
-                        jnp.asarray(xp[None]), jnp.asarray(yp[None]),
-                        jnp.asarray(bp[None]),
-                        jnp.asarray(len(req.x), I32),
-                        jnp.asarray(len(req.y), I32),
-                        wave.sa, eng._dtype_name(), eng.attn_impl)
+            wave.state = state
         except Exception as exc:
             # popped-but-not-installed requests are invisible to _run's
             # wave-failure sweep (neither pending nor slots) — fail their
@@ -519,22 +489,13 @@ class WaveScheduler:
     def _resize(self, wave: _Wave, new_B: int) -> bool:
         """Gather live slots into a ``new_B``-slot wave (growth or
         compaction).  Returns False when no compatible S bucket exists."""
-        eng = self.engine
-        state = wave.state
-        kv = np.asarray(state.kv_len)
         live_idx = [j for j, s in enumerate(wave.slots) if s.live]
-        need = int(kv[live_idx].max()) if live_idx else 0
-        new_S = self._pick_S(new_B, max(need, 0))
-        if new_S is None:
+        new_state = self.engine._gather_live(wave.state, live_idx, new_B)
+        if new_state is None:
             return False
-        slot_map = np.full((new_B,), -1, np.int32)
-        new_slots: List[_Slot] = []
-        for j, old in enumerate(live_idx[:new_B]):
-            slot_map[j] = old
-            new_slots.append(wave.slots[old])
+        new_slots = [wave.slots[old] for old in live_idx[:new_B]]
         new_slots += [_Slot() for _ in range(new_B - len(new_slots))]
-        wave.state = _gather_slots(state, jnp.asarray(slot_map), new_S,
-                                   eng.cfg.vocab_size)
+        wave.state = new_state
         wave.slots = new_slots
         wave.n_resizes += 1
         return True
@@ -623,32 +584,16 @@ class WaveScheduler:
         #    ``generate_batched_stream``: samples[:-1], trimmed at EOS)
         for j in live:
             slot = wave.slots[j]
-            slot.samples.extend(int(t) for t in toks[j])
+            slot.harvest.extend(toks[j])
             if slot.handle.cancelled:
                 continue  # picked up at the next round's freeze pass
-            if not slot.eos_seen:
-                window = slot.samples[:-1]
-                hi = len(window)
-                for t in range(slot.emitted, len(window)):
-                    if window[t] == cfg.eos:
-                        hi = t
-                        slot.eos_seen = True
-                        break
-                if hi > slot.emitted:
-                    slot.handle._emit(
-                        np.asarray(window[slot.emitted:hi], np.int64), False)
-                    slot.emitted = hi
-            eos_hit = int(toks[j][-1]) == cfg.eos
-            reached = (int(kv[j]) + eng.check_interval >= S_cur
-                       and not [s for s in eng.buckets[B] if s > S_cur])
-            if not (eos_hit or reached):
+            out = slot.harvest.drain_stream(cfg.eos)
+            if out is not None:
+                slot.handle._emit(out, False)
+            if not eng._retire_after_chunk(int(toks[j][-1]), int(kv[j]),
+                                           B, S_cur):
                 continue
-            gen = np.asarray(slot.samples[:-1], np.int64)
-            eos_pos = np.nonzero(gen == cfg.eos)[0]
-            if eos_pos.size:
-                gen = gen[:eos_pos[0]]
-            gen = gen[gen < cfg.eos]
-            slot.handle._emit(gen[slot.emitted:], True)
+            slot.handle._emit(slot.harvest.drain_final(cfg.eos), True)
             slot.live = False
             wave.n_finished += 1
             wave.state = self._freeze(wave.state, j)

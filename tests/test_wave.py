@@ -649,8 +649,11 @@ def test_failed_refill_fails_popped_handles(engine, monkeypatch):
         def bad_prefill_slot(*a, **k):
             raise RuntimeError("synthetic refill failure")
 
-        monkeypatch.setattr(wmod, "prefill_slot", bad_prefill_slot)
-        monkeypatch.setattr(wmod, "prefill_slots", bad_prefill_slot)
+        # slot refills dispatch through the shared engine helper, which
+        # resolves prefill_slot/prefill_slots in t2s_session's namespace
+        from gsv_tts_tpu.runtime import t2s_session as tsmod
+        monkeypatch.setattr(tsmod, "prefill_slot", bad_prefill_slot)
+        monkeypatch.setattr(tsmod, "prefill_slots", bad_prefill_slot)
         monkeypatch.setattr(wmod, "prefill_batch", bad_prefill_slot)
         xb, yb, bb = _inputs(32, engine.cfg)
         hb = sched.attach(xb, yb, bb, top_k=1)
