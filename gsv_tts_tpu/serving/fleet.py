@@ -244,6 +244,9 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
                          " a replica 503s and the router fails over/sheds")
     ap.add_argument("--batch-window-ms", type=float, default=0.0)
     ap.add_argument("--batch-max", type=int, default=4)
+    ap.add_argument("--voices", default=None,
+                    help="JSON voice registry for the OpenAI-compatible "
+                         "surface (forwarded to every replica)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -261,7 +264,7 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
         devices = list(range(int(out.stdout.strip().splitlines()[-1])))
 
     passthrough: List[str] = []
-    for flag in ("models_dir", "gpt", "sovits", "dtype"):
+    for flag in ("models_dir", "gpt", "sovits", "dtype", "voices"):
         v = getattr(args, flag)
         if v:
             passthrough += ["--" + flag.replace("_", "-"), str(v)]

@@ -355,10 +355,14 @@ def create_router_app(backends: List[str], **kw) -> "web.Application":
     app.on_cleanup.append(router.stop)
     app.router.add_get("/", router.root)
     app.router.add_get("/health", router.health)
-    for path in ("/tts/stream", "/tts/stream/batched", "/tts/batched"):
+    for path in ("/tts/stream", "/tts/stream/batched", "/tts/batched",
+                 "/v1/audio/speech"):
         app.router.add_post(path, router.proxy)
     app.router.add_get("/tts", router.proxy)
     app.router.add_post("/tts", router.proxy)
+    # OpenAI-compat read-only listings: any backend can answer
+    app.router.add_get("/v1/models", router.proxy)
+    app.router.add_get("/v1/audio/voices", router.proxy)
     # audio files live on the backend that synthesized them — fan out
     app.router.add_get("/audio/{filename}", router.proxy_audio)
     for path in ("/set_gpt_weights", "/set_sovits_weights"):

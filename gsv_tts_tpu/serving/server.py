@@ -15,6 +15,9 @@ Endpoint-compatible with the reference FastAPI server
   GET  /set_gpt_weights       – hot model switch (``personal_api.py:538-557``)
   GET  /set_sovits_weights
   GET  /health                – liveness + engine metrics
+  POST /v1/audio/speech       – OpenAI Audio API compatibility (beyond the
+  GET  /v1/models               reference; serving/openai_compat.py)
+  GET  /v1/audio/voices
 
 Built on aiohttp (no FastAPI dependency); the engine's async wrappers
 serialize device work behind the engine lock.
@@ -280,7 +283,9 @@ class TTSServer:
             "service": "gsv-tts-lite-tpu",
             "endpoints": ["/tts/stream", "/tts/stream/batched", "/tts/batched",
                           "/tts", "/set_gpt_weights", "/set_sovits_weights",
-                          "/audio/{filename}", "/health"],
+                          "/audio/{filename}", "/health",
+                          "/v1/audio/speech", "/v1/models",
+                          "/v1/audio/voices"],
         })
 
     async def health(self, request: web.Request) -> web.Response:
@@ -786,7 +791,8 @@ class TTSServer:
 
 
 #: routes gated by graceful drain (POST /drain) and counted as in-flight
-SYNTH_PATHS = ("/tts", "/tts/stream", "/tts/stream/batched", "/tts/batched")
+SYNTH_PATHS = ("/tts", "/tts/stream", "/tts/stream/batched", "/tts/batched",
+               "/v1/audio/speech")
 
 
 @web.middleware
@@ -806,7 +812,8 @@ async def _drain_middleware(request: web.Request, handler):
 
 
 def create_app(tts, asr_fn=None, batch_window_ms: float = 0.0,
-               batch_max: int = 4, stream_share: bool = False) -> "web.Application":
+               batch_max: int = 4, stream_share: bool = False,
+               voices: Optional[Dict[str, dict]] = None) -> "web.Application":
     server = TTSServer(tts, asr_fn=asr_fn, batch_window_ms=batch_window_ms,
                        batch_max=batch_max, stream_share=stream_share)
     app = web.Application(middlewares=[_drain_middleware])
@@ -827,6 +834,9 @@ def create_app(tts, asr_fn=None, batch_window_ms: float = 0.0,
     app.router.add_post("/tts", server.tts_v2)
     app.router.add_get("/set_gpt_weights", server.set_gpt_weights)
     app.router.add_get("/set_sovits_weights", server.set_sovits_weights)
+    from .openai_compat import add_openai_routes
+
+    add_openai_routes(app, server, voices)
     return app
 
 
@@ -881,6 +891,11 @@ def main():
                          "(per-request override via \"shared\": true/false; "
                          "shared streams use batched-mode sampling "
                          "semantics)")
+    ap.add_argument("--voices", default=None,
+                    help="JSON voice registry for the OpenAI-compatible "
+                         "surface (POST /v1/audio/speech): maps voice "
+                         "names to {speaker_audio, prompt_audio, "
+                         "prompt_text} bundles")
     ap.add_argument("--max-streams", type=int, default=None,
                     help="admission cap on concurrent shared streaming "
                          "clients: past it /tts/stream returns 503 + "
@@ -913,10 +928,16 @@ def main():
         tts.load_sovits_model(args.sovits)
     from .asr import make_asr_fn
 
+    voices = None
+    if args.voices:
+        from .openai_compat import load_voices
+
+        voices = load_voices(args.voices)
     web.run_app(create_app(tts, asr_fn=make_asr_fn(),
                            batch_window_ms=args.batch_window_ms,
                            batch_max=args.batch_max,
-                           stream_share=args.stream_share),
+                           stream_share=args.stream_share,
+                           voices=voices),
                 host=args.host, port=args.port)
 
 
