@@ -166,8 +166,12 @@ class _OpenAISpeech:
                               param="voice")
         spk = await self.server._resolve_audio(spec["speaker_audio"])
         prompt = await self.server._resolve_audio(spec["prompt_audio"])
-        prompt_text = await self.server._resolve_prompt(
-            prompt, spec.get("prompt_text"))
+        try:
+            prompt_text = await self.server._resolve_prompt(
+                prompt, spec.get("prompt_text"))
+        except web.HTTPBadRequest as e:
+            # "prompt_text required, no ASR backend" in the OpenAI envelope
+            return _error(400, e.text, param="voice")
         return spk, prompt, prompt_text
 
     @staticmethod
@@ -203,7 +207,11 @@ class _OpenAISpeech:
     async def speech(self, request: web.Request) -> web.StreamResponse:
         from .server import parse_json
 
-        req = await parse_json(request)
+        try:
+            req = await parse_json(request)
+        except web.HTTPBadRequest as e:
+            # re-shape the generic 400 into the OpenAI error envelope
+            return _error(400, json.loads(e.text).get("error", e.text))
         text = req.get("input")
         if not text or not isinstance(text, str):
             return _error(400, "'input' is required", param="input")

@@ -107,13 +107,14 @@ def test_speech_error_envelope(client_factory):
         r = await client.post("/v1/audio/speech", json={
             "input": "x", "voice": "alloy", "speed": 9.0})
         out.append((r.status, await r.json()))
-        # malformed JSON body → clean 400
+        # malformed JSON body → clean 400 in the OpenAI envelope too
         r = await client.post("/v1/audio/speech", data=b"{nope")
-        out.append((r.status, None))
+        out.append((r.status, await r.json()))
         return out
 
-    (s_in, e_in), (s_v, e_v), (s_f, e_f), (s_sp, e_sp), (s_js, _) = \
+    (s_in, e_in), (s_v, e_v), (s_f, e_f), (s_sp, e_sp), (s_js, e_js) = \
         client_factory(go)
+    assert "JSON" in e_js["error"]["message"]
     assert s_in == 400 and e_in["error"]["param"] == "input"
     assert s_v == 400 and "alloy" in e_v["error"]["message"]
     assert s_f == 415 and "wav" in str(e_f["error"]["message"])
