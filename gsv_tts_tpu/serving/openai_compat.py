@@ -55,24 +55,17 @@ compat-server extension; OpenAI itself has no voice-list endpoint).
 from __future__ import annotations
 
 import base64
-import functools
-import io
 import json
+import logging
 import time
 from typing import Any, Dict, Optional
 
-import numpy as np
 from aiohttp import web
 
-from .server import pack_raw, pack_wav
+from .server import (SF_FORMATS, _supported_media_types, pack_audio,
+                     pack_raw, pack_wav)
 
 __all__ = ["add_openai_routes", "load_voices"]
-
-#: formats that never need an encoder probe
-_ALWAYS = ("wav", "pcm")
-#: soundfile-encodable candidates (mp3/opus are NOT: libsndfile builds
-#: here lack lame/opus, and there is no pure-Python encoder)
-_SF_FORMATS = {"flac": "FLAC", "aac": "AAC", "ogg": "OGG"}
 
 _CONTENT_TYPES = {"wav": "audio/wav", "pcm": "audio/pcm",
                   "flac": "audio/flac", "aac": "audio/aac",
@@ -95,22 +88,12 @@ def load_voices(path: str) -> Dict[str, dict]:
     return voices
 
 
-@functools.lru_cache(maxsize=1)
 def _supported_formats() -> tuple:
-    out = list(_ALWAYS)
-    try:
-        import soundfile as sf
-
-        for name, fmt in _SF_FORMATS.items():
-            try:
-                buf = io.BytesIO()
-                sf.write(buf, np.zeros(64, np.float32), 32000, format=fmt)
-                out.append(name)
-            except Exception:
-                pass
-    except ImportError:
-        pass
-    return tuple(out)
+    """OpenAI format names available here: wav/pcm always, plus whatever
+    the server's shared soundfile probe can encode (one probe, one
+    packing switch — ``server._supported_media_types``/``pack_audio``)."""
+    gated = tuple(f for f in _supported_media_types() if f in SF_FORMATS)
+    return ("wav", "pcm") + gated
 
 
 def _error(status: int, message: str, param: Optional[str] = None,
@@ -121,16 +104,12 @@ def _error(status: int, message: str, param: Optional[str] = None,
         status=status, headers=headers)
 
 
-def _pack(data: np.ndarray, rate: int, fmt: str) -> bytes:
+def _pack(data, rate: int, fmt: str) -> bytes:
     if fmt == "pcm":
         return pack_raw(data)
     if fmt == "wav":
         return pack_wav(data, rate)
-    import soundfile as sf  # gated by the _supported_formats() check
-
-    buf = io.BytesIO()
-    sf.write(buf, np.asarray(data, np.float32), rate, format=_SF_FORMATS[fmt])
-    return buf.getvalue()
+    return pack_audio(data, rate, fmt)  # gated by _supported_formats()
 
 
 class _OpenAISpeech:
@@ -140,6 +119,7 @@ class _OpenAISpeech:
     def __init__(self, server, voices: Optional[Dict[str, dict]]):
         self.server = server
         self.voices = voices or {}
+        self.started = int(time.time())  # /v1/models "created" epoch
 
     # -- request resolution --------------------------------------------
 
@@ -218,7 +198,7 @@ class _OpenAISpeech:
         fmt = str(req.get("response_format", "wav")).lower()
         supported = _supported_formats()
         if fmt not in supported:
-            known = fmt in ("mp3", "opus") or fmt in _SF_FORMATS
+            known = fmt in ("mp3", "opus") or fmt in SF_FORMATS
             return _error(
                 415 if known else 400,
                 f"response_format '{fmt}' is not available on this server; "
@@ -229,30 +209,82 @@ class _OpenAISpeech:
         kw = self._sampling_kw(req)
         if isinstance(kw, web.Response):
             return kw
-        resolved = await self._resolve_voice(req)
-        if isinstance(resolved, web.Response):
-            return resolved
-        spk, prompt, prompt_text = resolved
+        try:  # validate BEFORE any SSE prepare — a bad value after the 200
+            chunk = int(req.get("stream_chunk", 25))
+        except (TypeError, ValueError):
+            return _error(400, "stream_chunk must be an integer",
+                          param="stream_chunk")
+        try:
+            resolved = await self._resolve_voice(req)
+            if isinstance(resolved, web.Response):
+                return resolved
+            spk, prompt, prompt_text = resolved
 
-        if str(req.get("stream_format", "audio")) == "sse":
-            return await self._speech_sse(request, req, text, fmt, speed,
-                                          kw, spk, prompt, prompt_text)
+            if str(req.get("stream_format", "audio")) == "sse":
+                return await self._speech_sse(request, req, text, fmt, speed,
+                                              kw, chunk, spk, prompt,
+                                              prompt_text)
 
-        t0 = time.perf_counter()
-        clip = await self.server.tts.infer_async(
-            spk_audio_path=spk, prompt_audio_path=prompt,
-            prompt_audio_text=prompt_text, text=text, speed=speed, **kw)
-        self.server.timings.record("ttfa_s", time.perf_counter() - t0)
-        return web.Response(body=_pack(clip.audio_data, clip.samplerate, fmt),
-                            content_type=_CONTENT_TYPES[fmt])
+            t0 = time.perf_counter()
+            clip = await self.server.tts.infer_async(
+                spk_audio_path=spk, prompt_audio_path=prompt,
+                prompt_audio_text=prompt_text, text=text, speed=speed, **kw)
+            # whole-utterance time — NOT the ttfa_s reservoir (that one is
+            # first-chunk latency on the streaming routes; mixing them
+            # would skew /health and /metrics percentiles)
+            self.server.timings.record("synth_s", time.perf_counter() - t0)
+            return web.Response(
+                body=_pack(clip.audio_data, clip.samplerate, fmt),
+                content_type=_CONTENT_TYPES[fmt])
+        except web.HTTPException as e:
+            # keep the status, re-shape the body into the OpenAI envelope
+            # (resolution failures raise aiohttp HTTP errors)
+            return _error(e.status, e.text or str(e.reason),
+                          err_type="invalid_request_error"
+                          if e.status < 500 else "server_error")
+        except Exception as e:  # noqa: BLE001 — envelope, not a raw 500 page
+            logging.exception("openai speech failure")
+            return _error(500, str(e), err_type="server_error")
 
-    async def _speech_sse(self, request, req, text, fmt, speed, kw,
+    async def _speech_sse(self, request, req, text, fmt, speed, kw, chunk,
                           spk, prompt, prompt_text) -> web.StreamResponse:
-        """OpenAI ``stream_format: "sse"``: pcm16 deltas as they decode."""
+        """OpenAI ``stream_format: "sse"``: pcm16 deltas as they decode.
+
+        Honors the server's ``--stream-share`` default (and a per-request
+        ``"shared"`` override) exactly like the native ``/tts/stream``:
+        shared clients join the batched wave, and ``--max-streams``
+        admission sheds past-capacity clients with a clean 503 +
+        Retry-After in the OpenAI envelope BEFORE the SSE starts."""
         if fmt not in ("wav", "pcm"):
             return _error(400, "stream_format 'sse' supports response_format"
                                " wav/pcm only (deltas are pcm frames)",
                           param="stream_format")
+        from .server import truthy
+
+        tts = self.server.tts
+        shared = truthy(req.get("shared", self.server.stream_share))
+        release_admission = None
+        if shared and hasattr(tts, "admit_shared_client"):
+            from ..runtime.wave import WaveOverloadedError
+
+            try:
+                release_admission = tts.admit_shared_client()
+            except WaveOverloadedError:
+                return _error(
+                    503, "server at capacity (max concurrent shared "
+                         "streams reached)", err_type="server_error",
+                    headers={"Retry-After": "1"})
+        try:
+            return await self._speech_sse_body(
+                request, text, fmt, speed, kw, chunk, spk, prompt,
+                prompt_text, shared, release_admission is not None)
+        finally:
+            if release_admission is not None:
+                release_admission()
+
+    async def _speech_sse_body(self, request, text, fmt, speed, kw, chunk,
+                               spk, prompt, prompt_text, shared,
+                               admitted) -> web.StreamResponse:
         resp = web.StreamResponse(headers={
             "Content-Type": "text/event-stream",
             "Cache-Control": "no-cache",
@@ -262,11 +294,16 @@ class _OpenAISpeech:
         t0 = time.perf_counter()
         first = True
         total = 0
-        agen = self.server.tts.infer_stream_async(
-            spk_audio_path=spk, prompt_audio_path=prompt,
-            prompt_audio_text=prompt_text, text=text, speed=speed,
-            stream_chunk=int(req.get("stream_chunk", 25)), debug=False,
-            **kw)
+        if shared:
+            agen = self.server.tts.stream_shared_async(
+                spk_audio_path=spk, prompt_audio_path=prompt,
+                prompt_audio_text=prompt_text, text=text, speed=speed,
+                stream_chunk=chunk, debug=False, admitted=admitted, **kw)
+        else:
+            agen = self.server.tts.infer_stream_async(
+                spk_audio_path=spk, prompt_audio_path=prompt,
+                prompt_audio_text=prompt_text, text=text, speed=speed,
+                stream_chunk=chunk, debug=False, **kw)
         try:
             async for clip in agen:
                 if first:
@@ -301,8 +338,8 @@ class _OpenAISpeech:
 
     async def models(self, request: web.Request) -> web.Response:
         tts = self.server.tts
-        data = [{"id": str(m), "object": "model", "owned_by": "gsv-tts-tpu"}
-                for m in tts.get_gpt_list()]
+        data = [{"id": str(m), "object": "model", "created": self.started,
+                 "owned_by": "gsv-tts-tpu"} for m in tts.get_gpt_list()]
         return web.json_response({"object": "list", "data": data})
 
     async def voices_list(self, request: web.Request) -> web.Response:

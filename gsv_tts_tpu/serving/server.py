@@ -114,16 +114,23 @@ def pack_wav(data: np.ndarray, rate: int) -> bytes:
     return wave_header_chunk(pack_raw(data), sample_rate=rate)
 
 
+#: soundfile-gated encodings (mp3/opus are NOT encodable: libsndfile
+#: builds here lack lame/opus and no pure-Python encoder is practical)
+SF_FORMATS = {"ogg": "OGG", "aac": "AAC", "flac": "FLAC"}
+
+
 @functools.lru_cache(maxsize=1)
 def _supported_media_types() -> tuple:
-    """wav/raw always; ogg/aac only if the optional soundfile backend can
-    actually encode them (probed once — importability alone is not enough:
-    libsndfile builds differ in codec support)."""
+    """wav/raw always; ogg/aac/flac only if the optional soundfile backend
+    can actually encode them (probed once — importability alone is not
+    enough: libsndfile builds differ in codec support).  api_v2 itself
+    accepts only the reference's wav/raw/ogg/aac set; flac is probed for
+    the OpenAI-compat surface."""
     out = ["wav", "raw"]
     try:
         import soundfile as sf
 
-        for fmt, name in (("OGG", "ogg"), ("AAC", "aac")):
+        for name, fmt in SF_FORMATS.items():
             try:
                 buf = io.BytesIO()
                 sf.write(buf, np.zeros(64, np.float32), 32000, format=fmt)
@@ -144,7 +151,7 @@ def pack_audio(data: np.ndarray, rate: int, media_type: str) -> bytes:
         return pack_raw(data)
     if media_type == "wav":
         return pack_wav(data, rate)
-    if media_type in ("ogg", "aac"):
+    if media_type in SF_FORMATS:
         try:
             import soundfile as sf
         except ImportError:
@@ -156,8 +163,8 @@ def pack_audio(data: np.ndarray, rate: int, media_type: str) -> bytes:
                 }), content_type="application/json")
         try:
             buf = io.BytesIO()
-            fmt = {"ogg": "OGG", "aac": "AAC"}[media_type]
-            sf.write(buf, np.asarray(data, np.float32), rate, format=fmt)
+            sf.write(buf, np.asarray(data, np.float32), rate,
+                     format=SF_FORMATS[media_type])
             return buf.getvalue()
         except Exception as e:  # encoder present but can't do this codec
             raise web.HTTPUnsupportedMediaType(

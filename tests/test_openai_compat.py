@@ -107,6 +107,13 @@ def test_speech_error_envelope(client_factory):
         r = await client.post("/v1/audio/speech", json={
             "input": "x", "voice": "alloy", "speed": 9.0})
         out.append((r.status, await r.json()))
+        # non-numeric stream_chunk must 400 BEFORE the SSE prepare (after
+        # the 200 + headers it could only abort the connection)
+        r = await client.post("/v1/audio/speech", json={
+            "input": "x", "voice": "alloy", "stream_format": "sse",
+            "stream_chunk": "fast"})
+        assert r.status == 400
+        assert (await r.json())["error"]["param"] == "stream_chunk"
         # malformed JSON body → clean 400 in the OpenAI envelope too
         r = await client.post("/v1/audio/speech", data=b"{nope")
         out.append((r.status, await r.json()))
@@ -169,7 +176,42 @@ def test_models_and_voices_listings(client_factory):
     models, voices = client_factory(go)
     assert models["object"] == "list" and len(models["data"]) == 1
     assert models["data"][0]["object"] == "model"
+    # the full OpenAI Model schema (strict clients validate `created`)
+    assert set(models["data"][0]) == {"id", "object", "created", "owned_by"}
+    assert isinstance(models["data"][0]["created"], int)
     assert voices["voices"] == ["alloy"]
+
+
+def test_sse_admission_shed_openai_envelope(engine, assets, monkeypatch):  # noqa: F811
+    """With --stream-share + --max-streams at capacity, the OpenAI SSE
+    path sheds with 503 + Retry-After in the OpenAI envelope BEFORE any
+    SSE bytes — same admission contract as the native /tts/stream."""
+    from gsv_tts_tpu.runtime.wave import WaveOverloadedError
+    from gsv_tts_tpu.serving.server import create_app
+
+    def deny():
+        raise WaveOverloadedError("synthetic capacity")
+
+    monkeypatch.setattr(engine, "admit_shared_client", deny)
+    app = create_app(engine, stream_share=True, voices={
+        "alloy": {"speaker_audio": assets["spk"],
+                  "prompt_audio": assets["prompt"],
+                  "prompt_text": "hello there."}})
+
+    async def body():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/audio/speech", json={
+                "input": "x", "voice": "alloy", "stream_format": "sse"})
+            return r.status, r.headers.get("Retry-After"), await r.json()
+        finally:
+            await client.close()
+
+    status, retry, err = asyncio.run(body())
+    assert status == 503 and retry == "1"
+    assert err["error"]["type"] == "server_error"
+    assert "capacity" in err["error"]["message"]
 
 
 def test_speech_gated_by_drain(client_factory):
