@@ -71,6 +71,16 @@ class Config:
     # (cnroberta.py:17-98) — ~4× faster linear layers on AVX-512 CPU hosts,
     # 4× smaller weights; features drift by the int8 rounding (opt-in).
     quant_bert: bool = False
+    # Shape-bucket the featurizer jit programs (models/roberta.py,
+    # models/hubert.py): pad BERT token batches to a row/column ladder and
+    # reference audio to 0.5 s multiples (masked attention + masked
+    # group-norm keep the valid rows numerically equivalent).  Bounds the
+    # number of XLA compiles when serving arbitrary text lengths /
+    # user-uploaded reference audio — without it every novel shape pays a
+    # fresh trace+compile (the reference's torch eager featurizers have no
+    # such cliff, cnhubert.py:24-35).  Opt-in: padding changes XLA
+    # reduction tiling, so features drift ~1 ulp vs the exact-shape run.
+    featurizer_buckets: bool = False
     gpt_cache: list = None
     sovits_cache: list = None
     cnroberta: Any = None  # lazily-attached BERT featurizer (see models/roberta.py)

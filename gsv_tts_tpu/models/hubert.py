@@ -68,20 +68,49 @@ class HubertConfig:
 from ..ops.norms import layer_norm as _layer_norm  # noqa: E402
 
 
-def _group_norm(x, g, b, num_groups, eps=1e-5):
-    """torch GroupNorm on [B, C, T] with groups == C (per-channel)."""
+def _group_norm(x, g, b, num_groups, eps=1e-5, valid=None):
+    """torch GroupNorm on [B, C, T] with groups == C (per-channel).
+
+    ``valid`` ([B] int32, optional) restricts the statistics to the first
+    ``valid[b]`` timesteps — the bucketed featurizer path pads T with
+    frames that must not shift the per-channel mean/var (GroupNorm is the
+    one cross-frame op in the conv extractor)."""
     dtype = x.dtype
     B, C, T = x.shape
     x32 = x.astype(F32).reshape(B, num_groups, C // num_groups, T)
-    mean = jnp.mean(x32, axis=(2, 3), keepdims=True)
-    var = jnp.var(x32, axis=(2, 3), keepdims=True)
+    if valid is None:
+        mean = jnp.mean(x32, axis=(2, 3), keepdims=True)
+        var = jnp.var(x32, axis=(2, 3), keepdims=True)
+    else:
+        m = (jnp.arange(T)[None, :] < valid[:, None]).astype(F32)[:, None, None, :]
+        cnt = (valid.astype(F32) * (C // num_groups))[:, None, None, None]
+        mean = jnp.sum(x32 * m, axis=(2, 3), keepdims=True) / cnt
+        d = (x32 - mean) * m
+        var = jnp.sum(d * d, axis=(2, 3), keepdims=True) / cnt
     x32 = (x32 - mean) * jax.lax.rsqrt(var + eps)
     x32 = x32.reshape(B, C, T)
     return (x32 * g.astype(F32)[None, :, None] + b.astype(F32)[None, :, None]).astype(dtype)
 
 
-def feature_extractor(p: Dict[str, jnp.ndarray], cfg: HubertConfig, x: jnp.ndarray):
-    """waveform [B, T] → [B, C, frames]."""
+def conv_out_length(length: int, cfg: HubertConfig, n_layers: Optional[int] = None) -> int:
+    """Frames produced from ``length`` samples after the first ``n_layers``
+    conv-extractor layers (all of them by default) — torch's floor rule."""
+    ks = cfg.conv_kernel if n_layers is None else cfg.conv_kernel[:n_layers]
+    ss = cfg.conv_stride if n_layers is None else cfg.conv_stride[:n_layers]
+    for k, s in zip(ks, ss):
+        length = (length - k) // s + 1
+    return int(length)
+
+
+def feature_extractor(p: Dict[str, jnp.ndarray], cfg: HubertConfig, x: jnp.ndarray,
+                      valid_l0: Optional[jnp.ndarray] = None):
+    """waveform [B, T] → [B, C, frames].
+
+    ``valid_l0`` ([B] int32, optional): number of layer-0 output frames whose
+    conv windows lie entirely inside the un-padded waveform — group-norm
+    statistics are restricted to them on the bucketed path (frames strictly
+    below that bound see identical samples as the exact-shape run, so their
+    values match up to XLA reduction tiling)."""
     h = x[:, None, :]
     for i, (k, s) in enumerate(zip(cfg.conv_kernel, cfg.conv_stride)):
         w = p[f"feature_extractor.conv_layers.{i}.conv.weight"]
@@ -90,7 +119,7 @@ def feature_extractor(p: Dict[str, jnp.ndarray], cfg: HubertConfig, x: jnp.ndarr
         if i == 0 and cfg.feat_extract_norm == "group":
             h = _group_norm(h, p["feature_extractor.conv_layers.0.layer_norm.weight"],
                             p["feature_extractor.conv_layers.0.layer_norm.bias"],
-                            num_groups=cfg.conv_dim[0])
+                            num_groups=cfg.conv_dim[0], valid=valid_l0)
         elif cfg.feat_extract_norm == "layer":
             h = h.transpose(0, 2, 1)
             h = _layer_norm(h, p[f"feature_extractor.conv_layers.{i}.layer_norm.weight"],
@@ -100,7 +129,7 @@ def feature_extractor(p: Dict[str, jnp.ndarray], cfg: HubertConfig, x: jnp.ndarr
     return h
 
 
-def encoder_layer(p, pfx, x, n_heads, eps):
+def encoder_layer(p, pfx, x, n_heads, eps, mask_bias=None):
     B, T, D = x.shape
     Dh = D // n_heads
     res = x
@@ -111,6 +140,10 @@ def encoder_layer(p, pfx, x, n_heads, eps):
     k = k.reshape(B, T, n_heads, Dh).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, n_heads, Dh).transpose(0, 2, 1, 3)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=F32) / math.sqrt(Dh)
+    if mask_bias is not None:
+        # pad keys get -1e9: exp underflows to exact 0 in the f32 softmax,
+        # so valid-frame rows match the unpadded program
+        scores = scores + mask_bias
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     attn = jnp.einsum("bhqk,bhkd->bhqd", probs, v).transpose(0, 2, 1, 3).reshape(B, T, D)
     attn = linear(attn, p[pfx + "attention.out_proj.weight"], p[pfx + "attention.out_proj.bias"])
@@ -126,16 +159,30 @@ def encoder_layer(p, pfx, x, n_heads, eps):
     return x
 
 
-def hubert_forward(p: Dict[str, jnp.ndarray], cfg: HubertConfig, wav: jnp.ndarray) -> jnp.ndarray:
+def hubert_forward(p: Dict[str, jnp.ndarray], cfg: HubertConfig, wav: jnp.ndarray,
+                   n_frames: Optional[jnp.ndarray] = None,
+                   valid_l0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """wav [B, T] (16 kHz, zero-mean-unit-var normalized upstream) →
-    last_hidden_state [B, frames, hidden]."""
-    h = feature_extractor(p, cfg, wav)  # [B, C, F]
+    last_hidden_state [B, frames, hidden].
+
+    Bucketed path (``n_frames``/``valid_l0`` [B] int32 set): ``wav`` is
+    zero-padded to a shape bucket; group-norm stats are masked, projected
+    features are zeroed at pad frames (so the positional conv sees the same
+    zero padding the exact-shape run sees at its boundary), and attention
+    masks pad keys.  Rows ``< n_frames[b]`` then match the exact-shape
+    program up to XLA reduction tiling; the caller trims the tail."""
+    h = feature_extractor(p, cfg, wav, valid_l0=valid_l0)  # [B, C, F]
     h = h.transpose(0, 2, 1)
     if cfg.feat_proj_layer_norm:
         h = _layer_norm(h, p["feature_projection.layer_norm.weight"],
                         p["feature_projection.layer_norm.bias"], cfg.layer_norm_eps)
     h = linear(h, p["feature_projection.projection.weight"],
                p["feature_projection.projection.bias"])
+    mask_bias = None
+    if n_frames is not None:
+        fmask = jnp.arange(h.shape[1])[None, :] < n_frames[:, None]  # [B, F]
+        h = h * fmask[:, :, None].astype(h.dtype)
+        mask_bias = jnp.where(fmask, 0.0, -1e9).astype(F32)[:, None, None, :]
 
     # convolutional positional embedding (kernel 128, groups 16, weight-norm
     # folded at load); even kernel → trim the last output element
@@ -151,7 +198,7 @@ def hubert_forward(p: Dict[str, jnp.ndarray], cfg: HubertConfig, wav: jnp.ndarra
                     cfg.layer_norm_eps)
     for i in range(cfg.num_hidden_layers):
         h = encoder_layer(p, f"encoder.layers.{i}.", h, cfg.num_attention_heads,
-                          cfg.layer_norm_eps)
+                          cfg.layer_norm_eps, mask_bias=mask_bias)
     return h
 
 
@@ -197,6 +244,15 @@ class CNHubert:
         sd = {k.removeprefix("hubert."): v for k, v in sd.items()}
         self.params = params_from_torch_state_dict(sd, dtype=self.dtype)
         self._fwd = jax.jit(lambda p, w: hubert_forward(p, self.cfg, w))
+        # bucketed variant: pad the waveform to BUCKET_SAMPLES multiples so
+        # arbitrary reference-audio lengths reuse a bounded set of compiled
+        # programs (every novel length otherwise pays a full XLA compile)
+        self.buckets = bool(getattr(tts_config, "featurizer_buckets", False))
+        self._fwd_masked = jax.jit(
+            lambda p, w, nf, v0: hubert_forward(p, self.cfg, w, n_frames=nf,
+                                                valid_l0=v0))
+
+    BUCKET_SAMPLES = 8000  # 0.5 s at 16 kHz
 
     def __call__(self, wav16k: np.ndarray, normalize: bool = False) -> jnp.ndarray:
         """wav [B, T] → [B, frames, 768].
@@ -205,6 +261,11 @@ class CNHubert:
         which feeds the raw waveform straight into ``HubertModel``
         (``TTS.py:1566``); ``normalize=True`` applies the Wav2Vec2 feature
         extractor's zero-mean/unit-var normalization (``cnhubert.py:28-31``).
+
+        With ``Config.featurizer_buckets`` the waveform is zero-padded to
+        the next 0.5 s bucket and run through the masked program; the
+        output is trimmed back to the exact frame count (single-row calls
+        — the engine's prompt/VC path — are unaffected by the row policy).
         """
         wav = np.asarray(wav16k, np.float32)
         if wav.ndim == 1:
@@ -213,4 +274,18 @@ class CNHubert:
             mean = wav.mean(axis=-1, keepdims=True)
             std = wav.std(axis=-1, keepdims=True)
             wav = (wav - mean) / np.sqrt(std ** 2 + 1e-7)
-        return self._fwd(self.params, jnp.asarray(wav, self.dtype))
+        T = wav.shape[1]
+        if not self.buckets:
+            return self._fwd(self.params, jnp.asarray(wav, self.dtype))
+        pad_T = max(self.BUCKET_SAMPLES,
+                    -(-T // self.BUCKET_SAMPLES) * self.BUCKET_SAMPLES)
+        if pad_T != T:
+            wav = np.pad(wav, ((0, 0), (0, pad_T - T)))
+        n_frames = conv_out_length(T, self.cfg)
+        valid_l0 = conv_out_length(T, self.cfg, n_layers=1)
+        B = wav.shape[0]
+        out = self._fwd_masked(
+            self.params, jnp.asarray(wav, self.dtype),
+            jnp.full((B,), n_frames, jnp.int32),
+            jnp.full((B,), valid_l0, jnp.int32))
+        return out[:, :n_frames]

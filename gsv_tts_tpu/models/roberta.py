@@ -318,13 +318,34 @@ class CNRoberta:
                            if k.startswith(("embeddings.", "encoder."))}
             self._fwd = jax.jit(lambda p, ids, mask: bert_hidden_minus3(
                 p, self.cfg, ids, mask))
+        self.buckets = bool(getattr(tts_config, "featurizer_buckets", False))
+
+    # column (token-length) bucket granularity and row ladder base: serving
+    # sees arbitrary segment lengths and batch sizes — without bucketing,
+    # every novel (rows, maxlen) pair is a fresh XLA trace+compile
+    COL_BUCKET = 32
+
+    @staticmethod
+    def _row_bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
 
     def __call__(self, word2ph_list: List[Dict[str, list]]) -> List[np.ndarray]:
         texts = ["".join(w["word"]) for w in word2ph_list]
         encoded = [self.tokenizer.encode(t) for t in texts]
         maxlen = max(len(e) for e in encoded)
-        ids = np.zeros((len(texts), maxlen), np.int32)
-        mask = np.zeros((len(texts), maxlen), np.int32)
+        n_rows = len(texts)
+        if self.buckets:
+            # pad columns to a 32-token grid and rows to the power-of-two
+            # ladder; the attention mask's -1e9 bias underflows to exact 0
+            # after softmax, and rows are independent, so the valid rows
+            # match the unbucketed program up to XLA reduction tiling
+            maxlen = -(-maxlen // self.COL_BUCKET) * self.COL_BUCKET
+            n_rows = self._row_bucket(n_rows)
+        ids = np.zeros((n_rows, maxlen), np.int32)
+        mask = np.zeros((n_rows, maxlen), np.int32)
         for i, e in enumerate(encoded):
             ids[i, : len(e)] = e
             mask[i, : len(e)] = 1

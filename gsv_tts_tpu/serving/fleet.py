@@ -236,6 +236,7 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--quant-t2s", action="store_true")
     ap.add_argument("--quant-bert", action="store_true")
+    ap.add_argument("--featurizer-buckets", action="store_true")
     ap.add_argument("--t2s-softmax", choices=("rows", "shared", "vec"), default="rows")
     ap.add_argument("--stream-share", action="store_true")
     ap.add_argument("--max-streams", type=int, default=None,
@@ -272,6 +273,8 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
         passthrough.append("--quant-t2s")
     if args.quant_bert:
         passthrough.append("--quant-bert")
+    if args.featurizer_buckets:
+        passthrough.append("--featurizer-buckets")
     if args.t2s_softmax != "rows":
         passthrough += ["--t2s-softmax", args.t2s_softmax]
     if args.stream_share:

@@ -886,6 +886,13 @@ def main():
                          "~4x faster linear layers on AVX-512 CPU hosts, "
                          "4x smaller weights; features drift by the int8 "
                          "rounding")
+    ap.add_argument("--featurizer-buckets", action="store_true",
+                    help="shape-bucket the BERT/hubert featurizer programs "
+                         "(token grid + 0.5 s audio buckets with masked "
+                         "attention/stats): bounds XLA compiles when "
+                         "serving arbitrary text lengths or user-uploaded "
+                         "reference audio; features drift ~1 ulp vs the "
+                         "exact-shape programs")
     ap.add_argument("--device", type=int, default=None,
                     help="pin this server's engine to jax.devices()[N] — "
                          "the single-host dp scale-out unit: one server "
@@ -928,7 +935,8 @@ def main():
 
     tts = TTS(models_dir=args.models_dir, dtype=args.dtype,
               quant_t2s=args.quant_t2s, t2s_softmax=args.t2s_softmax,
-              quant_bert=args.quant_bert, wave_max_clients=args.max_streams)
+              quant_bert=args.quant_bert, wave_max_clients=args.max_streams,
+              featurizer_buckets=args.featurizer_buckets)
     if args.gpt:
         tts.load_gpt_model(args.gpt)
     if args.sovits:

@@ -211,12 +211,14 @@ class TTS:
         quant_t2s: bool = False,
         t2s_softmax: str = "rows",
         quant_bert: bool = False,
+        featurizer_buckets: bool = False,
     ):
         self.tts_config = Config(dtype=dtype, platform=device)
         self.tts_config.use_flash_attn = use_flash_attn
         self.tts_config.quant_t2s = quant_t2s
         self.tts_config.t2s_softmax = t2s_softmax
         self.tts_config.quant_bert = quant_bert
+        self.tts_config.featurizer_buckets = featurizer_buckets
         self.tts_config.gpt_cache = gpt_cache
         self.tts_config.sovits_cache = sorted(sovits_cache) if sovits_cache else []
 
