@@ -1586,7 +1586,20 @@ class TTS:
         wav16k = np.concatenate([wav16k, np.zeros(int(16000 * 0.3), np.float32)])
         ssl = cnhubert_model(wav16k[None])  # [1, frames, 768]
         ssl = jnp.transpose(ssl, (0, 2, 1))
-        codes = sovits_model.extract_latent(sovits.params, ssl)
+        if self.tts_config.featurizer_buckets:
+            # RVQ is per-frame and ssl_proj is a no-pad strided conv, so
+            # zero-padding the frame axis and trimming the codes is exact;
+            # this keeps extract_latent's op shapes on a bounded ladder
+            # alongside the bucketed hubert program
+            F = int(ssl.shape[-1])
+            k = int(np.asarray(sovits.params["ssl_proj.weight"]).shape[-1])
+            n_codes = (F - k) // 2 + 1
+            pad_F = -(-F // 64) * 64
+            if pad_F != F:
+                ssl = jnp.pad(ssl, ((0, 0), (0, 0), (0, pad_F - F)))
+            codes = sovits_model.extract_latent(sovits.params, ssl)[..., :n_codes]
+        else:
+            codes = sovits_model.extract_latent(sovits.params, ssl)
         return np.asarray(codes[0, 0])
 
     # -- misc helpers ---------------------------------------------------

@@ -193,3 +193,27 @@ def test_cnroberta_bucket_compile_bound(tmp_path):
         # 8 distinct maxlens x 2 row counts -> at most (1,32)/(2,32)/(1,64)/
         # (2,64) style buckets; far fewer than the 16 exact-shape programs
         assert size() <= 4
+
+
+def test_extract_latent_pad_neutral():
+    """Zero-padding the SSL frame axis and trimming the codes reproduces the
+    exact-shape RVQ codes (per-frame nearest-codebook lookup over a no-pad
+    strided conv) — the tts._get_prompt bucketing contract."""
+    from gsv_tts_tpu.models import sovits as jsv
+
+    rng = np.random.RandomState(5)
+    D, k = 32, 2
+    p = {
+        "ssl_proj.weight": jnp.asarray(rng.randn(D, D, k).astype(np.float32) * 0.2),
+        "ssl_proj.bias": jnp.asarray(rng.randn(D).astype(np.float32) * 0.1),
+        "quantizer.vq.layers.0._codebook.embed":
+            jnp.asarray(rng.randn(64, D).astype(np.float32)),
+    }
+    F = 41
+    ssl = rng.randn(1, D, F).astype(np.float32)
+    exact = np.asarray(jsv.extract_latent(p, jnp.asarray(ssl)))
+    n_codes = (F - k) // 2 + 1
+    assert exact.shape[-1] == n_codes
+    padded = np.asarray(jsv.extract_latent(
+        p, jnp.asarray(np.pad(ssl, ((0, 0), (0, 0), (0, 64 - F))))))
+    np.testing.assert_array_equal(padded[..., :n_codes], exact)
