@@ -356,10 +356,16 @@ def main():
                     default="rows",
                     help="batched decode softmax bookkeeping (see the HTTP "
                          "server's flag of the same name)")
+    ap.add_argument("--featurizer-buckets", action="store_true",
+                    help="shape-bucket BERT/hubert featurizer programs — "
+                         "the WebUI takes user-uploaded reference audio, "
+                         "which otherwise compiles one featurizer program "
+                         "per novel length (see the HTTP server's flag)")
     args = ap.parse_args()
 
     tts = TTS(models_dir=args.models_dir, quant_t2s=args.quant_t2s,
-              t2s_softmax=args.t2s_softmax)
+              t2s_softmax=args.t2s_softmax,
+              featurizer_buckets=args.featurizer_buckets)
     if args.gpt:
         tts.load_gpt_model(args.gpt)
     if args.sovits:
