@@ -342,7 +342,11 @@ class CNRoberta:
             # ladder; the attention mask's -1e9 bias underflows to exact 0
             # after softmax, and rows are independent, so the valid rows
             # match the unbucketed program up to XLA reduction tiling
-            maxlen = -(-maxlen // self.COL_BUCKET) * self.COL_BUCKET
+            padded = -(-maxlen // self.COL_BUCKET) * self.COL_BUCKET
+            # never let the bucket push a valid input past the position
+            # table (a text that fits exactly must still fit bucketed);
+            # an input that was already too long stays too long
+            maxlen = max(maxlen, min(padded, self.cfg.max_position_embeddings))
             n_rows = self._row_bucket(n_rows)
         ids = np.zeros((n_rows, maxlen), np.int32)
         mask = np.zeros((n_rows, maxlen), np.int32)
