@@ -62,6 +62,9 @@ class FleetSupervisor:
         self.procs: Dict[int, subprocess.Popen] = {}
         self.restarts: Dict[int, int] = {d: 0 for d in self.devices}
         self.dead: List[int] = []
+        #: replicas being deliberately cycled by ``rolling_restart`` — the
+        #: crash monitor must not treat their planned exit as a crash
+        self.restarting: set = set()
 
     # -- replica lifecycle ---------------------------------------------------
 
@@ -173,7 +176,8 @@ class FleetSupervisor:
                     pending[d] = now + self.backoff_s * (
                         2 ** (self.restarts[d] - 1))
             for d, proc in list(self.procs.items()):
-                if proc.poll() is None or d in self.dead or d in pending:
+                if (proc.poll() is None or d in self.dead or d in pending
+                        or d in self.restarting):
                     continue
                 self.restarts[d] += 1
                 if self.restarts[d] > self.max_restarts:
@@ -187,6 +191,85 @@ class FleetSupervisor:
                             self.restarts[d], self.max_restarts, delay)
                 pending[d] = time.monotonic() + delay
 
+    async def rolling_restart(self, drain_timeout_s: float = 60.0,
+                              health_timeout_s: float = 300.0,
+                              interval_s: float = 0.5) -> bool:
+        """Cycle every live replica ONE AT A TIME, hitless behind the
+        router: POST /drain (synthesis 503s → the router's capacity
+        failover routes around it), wait for its in-flight streams to
+        finish, terminate, respawn (with ``--warmup`` in ``server_args``
+        the new process compiles before listening), and wait for /health
+        200 before touching the next replica.  Pair with ``--warmup`` for
+        zero-compile-hit deploys; the reference's single process can only
+        hard-restart (its clients see connection resets).
+
+        Returns True when every replica cycled back to healthy; stops
+        early (leaving the remaining replicas serving) if one fails to
+        come back within ``health_timeout_s``.
+        """
+        import aiohttp
+
+        async def _health(session, url):
+            async with session.get(
+                    url + "/health",
+                    timeout=aiohttp.ClientTimeout(total=3)) as r:
+                return r.status, (await r.json() if r.status == 200 else {})
+
+        async with aiohttp.ClientSession() as session:
+            for d in list(self.devices):
+                if d in self.dead:
+                    continue
+                url = f"http://{self.host}:{self.port_for(d)}"
+                self.restarting.add(d)
+                try:
+                    # drain, then wait for in-flight streams to finish
+                    # (an unreachable replica is simply cycled)
+                    try:
+                        await session.post(
+                            url + "/drain", json={"enable": True},
+                            timeout=aiohttp.ClientTimeout(total=5))
+                        deadline = time.monotonic() + drain_timeout_s
+                        while time.monotonic() < deadline:
+                            status, h = await _health(session, url)
+                            if status != 200 or not h.get("inflight"):
+                                break
+                            await asyncio.sleep(interval_s)
+                    except Exception:  # noqa: BLE001 — dead replica: respawn
+                        pass
+                    proc = self.procs.get(d)
+                    if proc is not None and proc.poll() is None:
+                        proc.terminate()
+                        try:
+                            await asyncio.to_thread(proc.wait, 10)
+                        except subprocess.TimeoutExpired:
+                            proc.kill()
+                            await asyncio.to_thread(proc.wait, 5)
+                    try:
+                        self.spawn(d)
+                    except OSError as exc:
+                        log.error("fleet: rolling restart spawn device=%d "
+                                  "failed: %s", d, exc)
+                        return False
+                    deadline = time.monotonic() + health_timeout_s
+                    up = False
+                    while time.monotonic() < deadline:
+                        try:
+                            status, _ = await _health(session, url)
+                            if status == 200:
+                                up = True
+                                break
+                        except Exception:  # noqa: BLE001 — still starting
+                            pass
+                        await asyncio.sleep(interval_s)
+                    if not up:
+                        log.error("fleet: rolling restart device=%d never "
+                                  "became healthy; stopping the roll", d)
+                        return False
+                    log.info("fleet: rolling restart device=%d done", d)
+                finally:
+                    self.restarting.discard(d)
+        return True
+
     def shutdown(self, grace_s: float = 10.0):
         for proc in self.procs.values():
             if proc.poll() is None:
@@ -198,6 +281,43 @@ class FleetSupervisor:
             except subprocess.TimeoutExpired:
                 proc.kill()
                 proc.wait(timeout=5)
+
+
+def add_fleet_routes(app, fleet: FleetSupervisor):
+    """Fleet ops surface on the fronting router app: POST /fleet/restart
+    kicks off a hitless rolling restart in the background (409 while one
+    is already running); GET /fleet/status reports supervisor state and
+    the last roll's outcome."""
+    from aiohttp import web
+
+    roll = {"task": None}
+
+    async def fleet_restart(request):
+        t = roll["task"]
+        if t is not None and not t.done():
+            return web.json_response(
+                {"error": "rolling restart already in progress"}, status=409)
+        roll["task"] = asyncio.create_task(fleet.rolling_restart())
+        return web.json_response({"status": "restarting",
+                                  "devices": fleet.devices})
+
+    async def fleet_status(request):
+        t = roll["task"]
+        last_ok = None
+        if t is not None and t.done() and not t.cancelled():
+            last_ok = (t.result() if t.exception() is None else False)
+        return web.json_response({
+            "devices": fleet.devices,
+            "dead": fleet.dead,
+            "restarts": {str(d): n for d, n in fleet.restarts.items()},
+            "pids": {str(d): p.pid for d, p in fleet.procs.items()},
+            "rolling_restart_active": bool(t is not None and not t.done()),
+            "last_rolling_restart_ok": last_ok,
+        })
+
+    app.router.add_post("/fleet/restart", fleet_restart)
+    app.router.add_get("/fleet/status", fleet_status)
+    return app
 
 
 def main():  # pragma: no cover - thin CLI over the tested pieces
@@ -239,6 +359,11 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
     ap.add_argument("--featurizer-buckets", action="store_true")
     ap.add_argument("--t2s-softmax", choices=("rows", "shared", "vec"), default="rows")
     ap.add_argument("--stream-share", action="store_true")
+    ap.add_argument("--warmup", action="store_true",
+                    help="each replica compiles its serving programs "
+                         "BEFORE listening (server --warmup): wait_healthy "
+                         "then means 'ready to serve compile-free', and a "
+                         "rolling restart is hitless")
     ap.add_argument("--max-streams", type=int, default=None,
                     help="per-replica admission cap on concurrent shared "
                          "streaming clients (server --max-streams): past it"
@@ -279,6 +404,8 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
         passthrough += ["--t2s-softmax", args.t2s_softmax]
     if args.stream_share:
         passthrough.append("--stream-share")
+    if args.warmup:
+        passthrough.append("--warmup")
     if args.max_streams is not None:
         passthrough += ["--max-streams", str(args.max_streams)]
     if args.batch_window_ms:
@@ -293,6 +420,7 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
 
     app = create_router_app(fleet.backend_urls(),
                             max_outstanding=args.max_outstanding)
+    add_fleet_routes(app, fleet)
 
     async def _start(app):
         # monitor FIRST: a replica that crashes during model load/compile

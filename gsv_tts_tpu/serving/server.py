@@ -305,6 +305,7 @@ class TTSServer:
             "status": "ok",
             "draining": self.draining,
             "inflight": self._inflight,
+            "warmed": bool(getattr(self.tts, "_warmed", False)),
             "device": str(dev) if dev is not None else str(jax.devices()[0]),
             "gpt_models": [str(p) for p in self.tts.get_gpt_list()],
             "sovits_models": [str(p) for p in self.tts.get_sovits_list()],
@@ -910,6 +911,14 @@ def main():
                          "surface (POST /v1/audio/speech): maps voice "
                          "names to {speaker_audio, prompt_audio, "
                          "prompt_text} bundles")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run one short synthesis (and one shared-wave "
+                         "stream under --stream-share) BEFORE listening, "
+                         "so the serving programs are compiled when the "
+                         "first request lands — makes fleet rolling "
+                         "restarts (POST /drain → restart) hitless; with "
+                         "--voices the first registry voice's assets are "
+                         "used, else synthetic references")
     ap.add_argument("--max-streams", type=int, default=None,
                     help="admission cap on concurrent shared streaming "
                          "clients: past it /tts/stream returns 503 + "
@@ -948,6 +957,12 @@ def main():
         from .openai_compat import load_voices
 
         voices = load_voices(args.voices)
+    if args.warmup:
+        # compile the serving programs before the socket opens: /health
+        # stays unreachable (= unhealthy to the router / fleet
+        # wait_healthy) until the first request can be served compile-free
+        voice = next(iter(voices.values())) if voices else None
+        tts.warmup(voice=voice, stream=args.stream_share)
     web.run_app(create_app(tts, asr_fn=make_asr_fn(),
                            batch_window_ms=args.batch_window_ms,
                            batch_max=args.batch_max,

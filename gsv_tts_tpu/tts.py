@@ -264,6 +264,8 @@ class TTS:
 
         self.audio_queue = AudioQueue(self.samplerate)
         self._infer_lock = threading.Lock()
+        #: flipped by ``warmup()``; surfaced as /health "warmed"
+        self._warmed = False
         # shared-wave streaming (``stream_shared``): one scheduler per GPT
         # model, created lazily; concurrent clients bypass _infer_lock, so
         # the rng chain and the featurize caches get their own locks
@@ -527,6 +529,78 @@ class TTS:
         first-chunk TTFA) — the engine's observability surface; also exported
         by the HTTP server's /health endpoint."""
         return self.timings.summary()
+
+    def warmup(self, voice: Optional[dict] = None, text: Optional[str] = None,
+               stream: bool = False, gpt_model=None, sovits_model=None):
+        """Precompile the serving-path programs before traffic arrives.
+
+        A restarted server answers /health as soon as the process is up,
+        but its first real request still pays the XLA compiles (prefill +
+        decode bucket + vocoder: ~20-60 s cold on TPU even with the
+        persistent compile cache primed, minutes without).  ``warmup()``
+        runs one short synthesis through ``infer`` — and through the
+        shared wave scheduler + streaming vocoder when ``stream=True`` —
+        so a fleet rolling restart (POST /drain → restart → ``--warmup``)
+        is hitless.  The reference has no analogue: its first request
+        after ``personal_api.py`` startup pays the CUDA-graph capture
+        (``t2s_model.py:210-298``).
+
+        ``voice`` is a voices-registry bundle ({"speaker_audio",
+        "prompt_audio", "prompt_text"}) to warm with production assets;
+        without one, synthetic sine references are written to a temp dir
+        (compiles are shape-keyed, not content-keyed, so synthetic audio
+        warms the same programs).  The default ``text`` gains a Chinese
+        prefix when the BERT assets are present so the zh featurizer
+        program compiles too.  Returns per-phase wall seconds.
+        """
+        import tempfile
+        import time as _time
+
+        from .utils.audio_io import save_wav
+
+        if text is None:
+            text = "warm up, testing one two three."
+            if Path(self.cnroberta_path).exists():
+                text = "预热完成。 " + text
+        stats: Dict[str, float] = {}
+        t0 = _time.perf_counter()
+        with tempfile.TemporaryDirectory(prefix="gsv_warmup_") as tmp:
+            if voice:
+                spk = voice["speaker_audio"]
+                prompt = voice["prompt_audio"]
+                ptext = voice.get("prompt_text") or "one two three four five."
+            else:
+                sr = self.samplerate
+                rng = np.random.RandomState(0)
+
+                def _sine(path, seconds, freq):
+                    t = np.arange(int(sr * seconds)) / sr
+                    wav = (0.3 * np.sin(2 * np.pi * freq * t)
+                           + 0.01 * rng.randn(len(t))).astype(np.float32)
+                    save_wav(path, wav, sr)
+                    return path
+
+                spk = _sine(f"{tmp}/warmup_spk.wav", 0.7, 220.0)
+                prompt = _sine(f"{tmp}/warmup_prompt.wav", 0.6, 330.0)
+                ptext = "one two three four five."
+            clip = self.infer(spk, prompt, ptext, text,
+                              gpt_model=gpt_model, sovits_model=sovits_model)
+            assert len(clip.audio_data) > 0
+            stats["infer_s"] = _time.perf_counter() - t0
+            if stream:
+                t1 = _time.perf_counter()
+                n = 0
+                for chunk in self.stream_shared(
+                        spk, prompt, ptext, text, debug=False,
+                        gpt_model=gpt_model, sovits_model=sovits_model):
+                    n += len(chunk.audio_data)
+                assert n > 0
+                stats["stream_s"] = _time.perf_counter() - t1
+        stats["total_s"] = _time.perf_counter() - t0
+        self._warmed = True
+        logging.info("warmup done: %s",
+                     {k: round(v, 2) for k, v in stats.items()})
+        return stats
 
     def infer_stream(self, spk_audio_path, prompt_audio_path, prompt_audio_text,
                      text, return_subtitles: bool = False, is_cut_text: bool = True,

@@ -514,3 +514,25 @@ def test_sovits_finetune_roundtrip(assets, engine, tmp_path):
         assert len(clip.audio_data) > 1000
     finally:
         engine.unload_sovits_model(str(out))
+
+
+def test_warmup_compiles_serving_paths(engine):
+    """``TTS.warmup()`` (server ``--warmup``): one synthetic-reference
+    synthesis precompiles the serving programs — with ``stream=True`` the
+    shared-wave + streaming-vocoder path too — and flips the /health
+    ``warmed`` flag.  No real voice assets are required."""
+    assert engine._warmed is False or engine._warmed is True  # attr exists
+    stats = engine.warmup(stream=True)
+    assert engine._warmed is True
+    assert stats["infer_s"] > 0
+    assert stats["stream_s"] > 0
+    assert stats["total_s"] >= stats["infer_s"]
+
+
+def test_warmup_with_registry_voice(assets, engine):
+    """A voices-registry bundle warms with production assets instead of
+    the synthetic sine references."""
+    stats = engine.warmup(voice={"speaker_audio": assets["spk"],
+                                 "prompt_audio": assets["prompt"],
+                                 "prompt_text": "hello there."})
+    assert stats["total_s"] > 0 and "stream_s" not in stats

@@ -241,3 +241,84 @@ def test_supervisor_backoff_does_not_block_other_restarts(tmp_path):
     assert len(fast_marker.read_text()) >= 3
     assert len(slow_marker.read_text()) == 1  # only the initial spawn
     fleet.shutdown()
+
+
+def test_rolling_restart_cycles_replicas_one_at_a_time(tmp_path):
+    """rolling_restart (POST /fleet/restart): each replica is drained,
+    cycled, and its REPLACEMENT must be healthy before the next replica is
+    touched; the crash monitor never counts the planned exit against the
+    restart budget.  Stub replicas log start/drain events so the
+    one-at-a-time ordering is asserted, and the /fleet/* ops surface is
+    driven end to end."""
+    import aiohttp
+    from aiohttp import web as aioweb
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from gsv_tts_tpu.serving.fleet import add_fleet_routes
+
+    log_file = tmp_path / "events.log"
+    stub = tmp_path / "stub_replica.py"
+    stub.write_text(
+        "import sys, time\n"
+        "from aiohttp import web\n"
+        "port, log = int(sys.argv[1]), sys.argv[2]\n"
+        "open(log, 'a').write(f'start:{port}:{time.monotonic()}\\n')\n"
+        "async def health(req):\n"
+        "    return web.json_response({'status': 'ok', 'inflight': 0})\n"
+        "async def drain(req):\n"
+        "    open(log, 'a').write(f'drain:{port}:{time.monotonic()}\\n')\n"
+        "    return web.json_response({'draining': True})\n"
+        "app = web.Application()\n"
+        "app.router.add_get('/health', health)\n"
+        "app.router.add_post('/drain', drain)\n"
+        "web.run_app(app, host='127.0.0.1', port=port, print=None)\n")
+
+    fleet = FleetSupervisor(
+        [0, 1], ports_base=46110,
+        cmd_factory=lambda d, p: [sys.executable, str(stub), str(p),
+                                  str(log_file)],
+        max_restarts=2, backoff_s=0.01)
+    fleet.spawn_all()
+    old_pids = {d: p.pid for d, p in fleet.procs.items()}
+    try:
+        async def go():
+            monitor = asyncio.create_task(fleet.monitor(interval_s=0.05))
+            assert await fleet.wait_healthy(timeout_s=120, interval_s=0.1)
+
+            app = aioweb.Application()
+            add_fleet_routes(app, fleet)
+            client = TestClient(TestServer(app))
+            await client.start_server()
+            try:
+                r = await client.post("/fleet/restart")
+                assert r.status == 200
+                assert (await r.json())["status"] == "restarting"
+                deadline = time.monotonic() + 120
+                while time.monotonic() < deadline:
+                    s = await (await client.get("/fleet/status")).json()
+                    if not s["rolling_restart_active"]:
+                        break
+                    await asyncio.sleep(0.1)
+                assert s["last_rolling_restart_ok"] is True, s
+                # both replicas were replaced and are healthy again
+                assert {d: p.pid for d, p in fleet.procs.items()} != old_pids
+                assert await fleet.wait_healthy(timeout_s=60, interval_s=0.1)
+                # planned exits never touched the crash-restart budget
+                assert fleet.restarts == {0: 0, 1: 0} and not fleet.dead, s
+            finally:
+                await client.close()
+            monitor.cancel()
+
+        asyncio.run(go())
+
+        # ordering: replica 1 is drained only AFTER replica 0's
+        # replacement process started (one at a time, health-gated)
+        events = [ln.split(":")[:2] for ln in
+                  log_file.read_text().splitlines()]
+        p0, p1 = str(fleet.port_for(0)), str(fleet.port_for(1))
+        tail = events[2:]  # the two initial starts come first
+        assert [e for e in tail if e[0] == "drain"] == [["drain", p0],
+                                                        ["drain", p1]]
+        assert tail.index(["start", p0]) < tail.index(["drain", p1])
+    finally:
+        fleet.shutdown()

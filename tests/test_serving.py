@@ -139,6 +139,8 @@ def test_root_and_health(client_factory):
     assert "/tts/stream" in info["endpoints"]
     assert health["status"] == "ok"
     assert len(health["gpt_models"]) == 1
+    # --warmup flips this via TTS.warmup(); unwarmed engines report False
+    assert health["warmed"] in (False, True)
 
 
 def test_sse_stream(client_factory, assets):  # noqa: F811
