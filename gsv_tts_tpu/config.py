@@ -105,6 +105,11 @@ class GlobalConfig:
         self.chinese_g2p = None
         self.japanese_g2p = None
         self.english_g2p = None
+        # auto-built G2P instances, cached per (lang, models_dir) so TTS
+        # facades with different models_dir never see each other's engines
+        # (the reference scopes its singletons to GlobalConfig for the same
+        # reason, Config.py:98-108)
+        self._g2p_auto: dict = {}
 
 
 global_config = GlobalConfig()

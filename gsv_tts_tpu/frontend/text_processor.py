@@ -84,43 +84,54 @@ def get_semantic_length(text: str, en_weight: float = 1.75) -> float:
     return cjk + en * en_weight
 
 
+# a run of pause punctuation closes the clause it follows; 2+ latin/CJK
+# periods count as a pause run too (single periods are sentence enders)
+_PAUSE_RUN = re.compile(r"[，,；;：:、~・…]+|[\.。]{2,}")
+_LEADING_ENDERS = re.compile(r"^[!！?？.。]+")
+
+
+def _iter_clauses(sentence: str):
+    """Yield pause-terminated clauses of ``sentence`` (each clause carries
+    its closing punctuation run; a punct-free tail is its own clause)."""
+    pos = 0
+    for m in _PAUSE_RUN.finditer(sentence):
+        yield sentence[pos:m.end()]
+        pos = m.end()
+    if pos < len(sentence):
+        yield sentence[pos:]
+
+
 def cut_text(text: str, cut_minlen: int = 10) -> List[str]:
     sentences = _split_sentences(text)
     if not sentences:
         return []
-    for ch in text:
-        if ch == "\n":
-            sentences[0] = "\n" + sentences[0]
+    # sentence segmentation eats leading newlines; restore them on cut 0
+    n_leading_nl = len(text) - len(text.lstrip("\n"))
+    if n_leading_nl:
+        sentences[0] = "\n" * n_leading_nl + sentences[0]
+
+    # greedy clause merge: a cut closes once its estimated semantic length
+    # reaches cut_minlen; a too-short tail rides the previous cut
+    cuts: List[str] = []
+    buf = ""
+    for clause in (c for s in sentences for c in _iter_clauses(s)):
+        buf += clause
+        if get_semantic_length(buf) >= cut_minlen:
+            cuts.append(buf)
+            buf = ""
+    if buf:
+        if cuts:
+            cuts[-1] += buf
         else:
-            break
+            cuts = [buf]
 
-    punds_pattern = r"([，,；;：:、~・…]+|[\.。]{2,})"
-    clauses: List[str] = []
-    for sentence in sentences:
-        parts = re.split(punds_pattern, sentence)
-        for i in range(0, len(parts) - 1, 2):
-            clauses.append(parts[i] + parts[i + 1])
-        if len(parts) % 2 != 0 and parts[-1]:
-            clauses.append(parts[-1])
-
-    text_cuts: List[str] = []
-    current = ""
-    for clause in clauses:
-        current += clause
-        if get_semantic_length(current) >= cut_minlen:
-            text_cuts.append(current)
-            current = ""
-    if current:
-        if text_cuts:
-            text_cuts[-1] += current
-        else:
-            text_cuts.append(current)
-
-    for i in range(1, len(text_cuts)):
-        while text_cuts[i] and text_cuts[i][0] in ("!", "！", "?", "？", ".", "。"):
-            text_cuts[i - 1] += text_cuts[i][0]
-            text_cuts[i] = text_cuts[i][1:]
-    return [t for t in text_cuts if t]
+    # sentence enders stranded at a cut's head belong to the previous cut
+    for i in range(1, len(cuts)):
+        m = _LEADING_ENDERS.match(cuts[i])
+        if m:
+            cuts[i - 1] += m.group(0)
+            cuts[i] = cuts[i][m.end():]
+    return [c for c in cuts if c]
 
 
 def get_phones_and_bert(texts, tts_config):
@@ -148,7 +159,8 @@ def get_phones_and_bert(texts, tts_config):
 
         for segment in segments:
             phones_raw, _word2ph, norm_text = text_to_phonemes(
-                segment["text"], segment["lang"])
+                segment["text"], segment["lang"],
+                models_dir=getattr(tts_config, "models_dir", None))
             phones = phonemes_to_ids(phones_raw)
             word2ph["word"] += _word2ph["word"]
             word2ph["ph"] += _word2ph["ph"]

@@ -231,6 +231,9 @@ class TTS:
         self.models_dir = Path(models_dir)
         if global_config.models_dir is None:
             global_config.models_dir = self.models_dir
+        # the frontend keys its auto-built G2P engines on this, so two TTS
+        # facades with different models_dir never share a lexicon
+        self.tts_config.models_dir = self.models_dir
         if global_config.use_jieba_fast is None:
             global_config.use_jieba_fast = use_jieba_fast
 
@@ -347,7 +350,7 @@ class TTS:
 
         for language in languages:
             if language in ("en", "zh", "ja"):
-                text_to_phonemes(" .", language)
+                text_to_phonemes(" .", language, models_dir=self.models_dir)
                 logging.info(f"Loaded language module: {language}")
             else:
                 logging.warning(f'Language "{language}" not found.')
@@ -550,8 +553,15 @@ class TTS:
         without one, synthetic sine references are written to a temp dir
         (compiles are shape-keyed, not content-keyed, so synthetic audio
         warms the same programs).  The default ``text`` gains a Chinese
-        prefix when the BERT assets are present so the zh featurizer
-        program compiles too.  Returns per-phase wall seconds.
+        prefix when the BERT assets are present AND this models_dir has a
+        usable zh G2P backend, so the zh featurizer program compiles too.
+
+        Scope: one short synthesis warms the buckets *its* shapes hit —
+        full "first request compile-free" across all bucket sizes
+        additionally relies on the primed persistent compile cache
+        (``utils/timing.enable_compilation_cache``); a longer first request
+        in an unprimed process still pays that bucket's compile.  Returns
+        per-phase wall seconds.
         """
         import tempfile
         import time as _time
@@ -561,7 +571,20 @@ class TTS:
         if text is None:
             text = "warm up, testing one two three."
             if Path(self.cnroberta_path).exists():
-                text = "预热完成。 " + text
+                # Opportunistic: a zh prefix additionally compiles the zh
+                # featurizer program — but only when this models_dir has a
+                # working pinyin backend (pypinyin or a bundled lexicon).
+                # Warmup must never fail because zh assets are absent.
+                zh_prefix = "预热完成。"
+                try:
+                    from .frontend.g2p import text_to_phonemes
+
+                    text_to_phonemes(zh_prefix, "zh", models_dir=self.models_dir)
+                    text = zh_prefix + " " + text
+                except Exception as exc:  # no zh G2P backend here
+                    logging.warning(
+                        "warmup: zh prefix skipped (no usable zh G2P for "
+                        "models_dir=%s: %s)", self.models_dir, exc)
         stats: Dict[str, float] = {}
         t0 = _time.perf_counter()
         with tempfile.TemporaryDirectory(prefix="gsv_warmup_") as tmp:
@@ -585,7 +608,8 @@ class TTS:
                 ptext = "one two three four five."
             clip = self.infer(spk, prompt, ptext, text,
                               gpt_model=gpt_model, sovits_model=sovits_model)
-            assert len(clip.audio_data) > 0
+            if len(clip.audio_data) == 0:  # not assert: must survive python -O
+                raise RuntimeError("warmup synthesis produced no audio")
             stats["infer_s"] = _time.perf_counter() - t0
             if stream:
                 t1 = _time.perf_counter()
@@ -594,7 +618,8 @@ class TTS:
                         spk, prompt, ptext, text, debug=False,
                         gpt_model=gpt_model, sovits_model=sovits_model):
                     n += len(chunk.audio_data)
-                assert n > 0
+                if n == 0:
+                    raise RuntimeError("warmup stream produced no audio")
                 stats["stream_s"] = _time.perf_counter() - t1
         stats["total_s"] = _time.perf_counter() - t0
         self._warmed = True

@@ -1096,3 +1096,35 @@ def test_en_gru_lts_matches_reference_numpy(tmp_path):
     for word in ("blorptastic", "quixotry", "vexnor", "hello", "xylophone",
                  "gsvttslite", "aaaa", "qwertyuiop"):
         assert gru.predict(word) == ref.predict(word), word
+
+
+def test_auto_g2p_scoped_per_models_dir(tmp_path):
+    """Auto-built G2P engines are keyed per models_dir (two TTS facades in
+    one process never share a lexicon), while an explicitly injected engine
+    still wins over models_dir routing (the oracle-test pattern)."""
+    from gsv_tts_tpu.frontend.g2p import text_to_phonemes
+    from gsv_tts_tpu.frontend.g2p.chinese import ChineseG2P
+
+    def make_dir(name, tone):
+        d = tmp_path / name / "g2p" / "zh"
+        d.mkdir(parents=True)
+        (d / "pinyin.txt").write_text(f"你\tni{tone}\n好\thao{tone}\n", "utf-8")
+        return tmp_path / name
+
+    dir_a, dir_b = make_dir("a", 3), make_dir("b", 2)
+    old = global_config.chinese_g2p
+    global_config.chinese_g2p = None
+    try:
+        ph_a, _, _ = text_to_phonemes("你好", "zh", models_dir=dir_a)
+        ph_b, _, _ = text_to_phonemes("你好", "zh", models_dir=dir_b)
+        assert ph_a != ph_b  # each models_dir sees its own lexicon
+        # returning to dir_a reuses the cached engine (no rebuild churn)
+        eng_a = global_config._g2p_auto["zh"][str(dir_a)]
+        assert text_to_phonemes("你好", "zh", models_dir=dir_a)[0] == ph_a
+        assert global_config._g2p_auto["zh"][str(dir_a)] is eng_a
+        # a deliberately installed engine is honored, not silently replaced
+        global_config.chinese_g2p = ChineseG2P(lexicon={"你": "ni4", "好": "hao4"})
+        ph_inj, _, _ = text_to_phonemes("你好", "zh", models_dir=dir_a)
+        assert ph_inj not in (ph_a, ph_b)
+    finally:
+        global_config.chinese_g2p = old
