@@ -161,6 +161,11 @@ class FleetSupervisor:
             now = time.monotonic()
             for d in [d for d, t in pending.items() if now >= t]:
                 del pending[d]
+                if d in self.restarting:
+                    # rolling_restart took this device over mid-backoff; a
+                    # spawn here would double-bind the port and orphan the
+                    # replica rolling_restart brings up — drop the entry
+                    continue
                 try:
                     self.spawn(d)
                 except OSError as exc:
@@ -228,14 +233,21 @@ class FleetSupervisor:
                         await session.post(
                             url + "/drain", json={"enable": True},
                             timeout=aiohttp.ClientTimeout(total=5))
-                        deadline = time.monotonic() + drain_timeout_s
-                        while time.monotonic() < deadline:
-                            status, h = await _health(session, url)
-                            if status != 200 or not h.get("inflight"):
-                                break
-                            await asyncio.sleep(interval_s)
                     except Exception:  # noqa: BLE001 — dead replica: respawn
                         pass
+                    else:
+                        deadline = time.monotonic() + drain_timeout_s
+                        while time.monotonic() < deadline:
+                            try:
+                                status, h = await _health(session, url)
+                                if status != 200 or not h.get("inflight"):
+                                    break
+                            except Exception:  # noqa: BLE001 — transient
+                                # health-poll hiccup (e.g. a timeout while
+                                # the replica finishes streams) must not
+                                # hard-kill in-flight work: keep waiting
+                                pass
+                            await asyncio.sleep(interval_s)
                     proc = self.procs.get(d)
                     if proc is not None and proc.poll() is None:
                         proc.terminate()
@@ -290,7 +302,20 @@ def add_fleet_routes(app, fleet: FleetSupervisor):
     the last roll's outcome."""
     from aiohttp import web
 
-    roll = {"task": None}
+    roll = {"task": None, "last_ok": None}
+
+    def _record_roll_outcome(t):
+        # retrieve the exception here (not lazily in /fleet/status) so an
+        # unexpected failure is logged instead of dying as an asyncio
+        # "Task exception was never retrieved" warning
+        if t.cancelled():
+            roll["last_ok"] = False
+            log.warning("fleet: rolling restart task cancelled")
+        elif t.exception() is not None:
+            roll["last_ok"] = False
+            log.error("fleet: rolling restart task failed: %r", t.exception())
+        else:
+            roll["last_ok"] = bool(t.result())
 
     async def fleet_restart(request):
         t = roll["task"]
@@ -298,14 +323,13 @@ def add_fleet_routes(app, fleet: FleetSupervisor):
             return web.json_response(
                 {"error": "rolling restart already in progress"}, status=409)
         roll["task"] = asyncio.create_task(fleet.rolling_restart())
+        roll["task"].add_done_callback(_record_roll_outcome)
         return web.json_response({"status": "restarting",
                                   "devices": fleet.devices})
 
     async def fleet_status(request):
         t = roll["task"]
-        last_ok = None
-        if t is not None and t.done() and not t.cancelled():
-            last_ok = (t.result() if t.exception() is None else False)
+        last_ok = roll["last_ok"]
         return web.json_response({
             "devices": fleet.devices,
             "dead": fleet.dead,
