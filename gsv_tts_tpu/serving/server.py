@@ -778,7 +778,14 @@ class TTSServer:
         # checkpoint load + device upload takes seconds — NEVER on the
         # event loop (every SSE stream and /health would stall past the
         # router's probe timeout, fleet-wide since the switch is fanned out)
-        await asyncio.get_running_loop().run_in_executor(None, switch)
+        try:
+            await asyncio.get_running_loop().run_in_executor(None, switch)
+        except Exception as exc:  # noqa: BLE001 — bad/corrupt/malicious
+            # checkpoint: the old model is still loaded (load-first flow);
+            # answer with a clean envelope, not an unhandled 500
+            logging.warning("set_gpt_weights(%s) failed: %s", path, exc)
+            return web.json_response(
+                {"message": f"failed to load GPT weights: {exc}"}, status=400)
         return web.json_response({"message": "success"})
 
     async def set_sovits_weights(self, request: web.Request) -> web.Response:
@@ -794,7 +801,13 @@ class TTSServer:
                 for model in old:
                     self.tts.unload_sovits_model(model)
 
-        await asyncio.get_running_loop().run_in_executor(None, switch)
+        try:
+            await asyncio.get_running_loop().run_in_executor(None, switch)
+        except Exception as exc:  # noqa: BLE001 — see set_gpt_weights
+            logging.warning("set_sovits_weights(%s) failed: %s", path, exc)
+            return web.json_response(
+                {"message": f"failed to load SoVITS weights: {exc}"},
+                status=400)
         return web.json_response({"message": "success"})
 
 
