@@ -16,6 +16,7 @@ import argparse
 import dataclasses
 import functools
 import json
+import os
 import sys
 import time
 
@@ -1069,6 +1070,120 @@ def bench_vocoder_batched(frames25: int = 25, n_text: int = 30,
     return out
 
 
+def bench_serving_round(B: int = 4, chunk: int = 25, bucket: int = 512,
+                        k_pair=(4, 16), reps: int = 3, impl: str = None,
+                        n_text: int = 30):
+    """MEASURE streams/chip instead of modeling it (VERDICT r4 #2).
+
+    One serving round = one 25-token decode chunk for a B=4 wave
+    (``decode_chunk``, fused kernel) + the fused batched vocoder over the
+    4 fresh chunks (``_stream_batch_fused_jit`` — quantizer + MRTE + enc_p
+    + flow + HiFi-GAN in one program).  K rounds are chained through a
+    ``lax.scan`` inside ONE jit (the ``tools/stream_probe.py`` technique:
+    the carry feeds forward, so tunnel RTT and dispatch overhead are out
+    of the number), and the per-round DEVICE time is the MARGINAL rate
+    between a K-long and a k-short chain: (t_K - t_k) / (K - k).
+
+    Capacity: each round produces 1 s of audio for each of the B streams
+    (25 semantic tokens @ 25 Hz), so
+        streams/chip = B / round_seconds.
+    The chained cache state grows kv_len by ``chunk`` per round exactly
+    like a live wave; K is capped so the longest chain stays inside the
+    production ``bucket``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gsv_tts_tpu.utils.timing import enable_compilation_cache
+    enable_compilation_cache()
+
+    from gsv_tts_tpu.models import sovits as jsv
+    from gsv_tts_tpu.models import t2s as t2s_model
+    from gsv_tts_tpu.models.t2s import T2SConfig
+    from gsv_tts_tpu.runtime.t2s_session import (SampleArgs, decode_chunk,
+                                                 prefill_batch)
+    from gsv_tts_tpu.runtime.vocoder_batch import _stream_batch_fused_jit
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.bfloat16 if platform in ("tpu", "axon") else jnp.float32
+    dtype_name = jnp.dtype(dtype).name
+    if impl is None:
+        impl = "fused_step" if platform == "tpu" else "xla"
+
+    cfg = T2SConfig()
+    params = t2s_model.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    params["predict_w"] = params["predict_w"] * 0.05
+    sa = SampleArgs(use_prev=False, repetition_penalty=1.0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(1, 700, (B, 64)), jnp.int32)
+    y = jnp.asarray(rng.randint(0, 1024, (B, 64)), jnp.int32)
+    bert = jnp.zeros((B, 64, cfg.bert_dim), jnp.float32)
+    shape = (cfg.num_layers, B, bucket, cfg.num_heads, cfg.head_dim)
+    state0, _ = prefill_batch(params, cfg, x, y, bert,
+                              jnp.full((B,), 60, jnp.int32),
+                              jnp.full((B,), 60, jnp.int32),
+                              jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                              jax.random.PRNGKey(1), sa, True, dtype_name)
+
+    scfg = jsv.SovitsConfig()  # production dims (1025-bin spec, full HiFi-GAN)
+    sparams = jsv.init_params(jax.random.PRNGKey(7), scfg, dtype=dtype)
+    overlap = 5
+    Bc = ((chunk + 31) // 32) * 32
+    Np = ((n_text + 31) // 32) * 32
+    flow_bucket = 55 if 2 * chunk <= 55 else 128
+    codes_len = jnp.full((B,), chunk, jnp.int32)
+    text = jnp.asarray(rng.randint(0, 732, (B, Np)), jnp.int32)
+    text_len = jnp.full((B,), n_text, jnp.int32)
+    ge = jnp.asarray(rng.randn(B, scfg.gin_channels, 1).astype(np.float32) * 0.1,
+                     dtype)
+    vnoise = jnp.zeros((B, scfg.inter_channels, 2 * Bc), dtype)
+    y_ov0 = jnp.zeros((B, scfg.hidden_channels, overlap), dtype)
+    vsi = jnp.zeros((B,), jnp.int32)
+    blend = jnp.ones((B,), bool)
+
+    max_k = (bucket - 64 - chunk) // chunk  # keep kv_len inside the bucket
+    k_lo, k_hi = min(k_pair), min(max(k_pair), max_k)
+
+    def round_body(carry, _):
+        st, y_ov = carry
+        st, toks = decode_chunk(params, cfg, st, chunk, sa, 0, dtype_name, impl)
+        codes = jnp.clip(toks.astype(jnp.int32), 0, scfg.quantizer_bins - 1)  # [B, chunk]
+        codes = jnp.pad(codes[:, None, :], [(0, 0), (0, 0), (0, Bc - chunk)])
+        audio, _attn, y_ov = _stream_batch_fused_jit(
+            sparams, scfg, codes, codes_len, text, text_len, ge, vnoise,
+            y_ov, vsi, blend, overlap, flow_bucket)
+        # tiny per-round checksum keeps the vocoder alive in the graph
+        return (st, y_ov), jnp.sum(audio[:, 0, :8])
+
+    chains = {
+        k: jax.jit(lambda s, k=k: jax.lax.scan(
+            round_body, (s, y_ov0), None, length=k))
+        for k in (k_lo, k_hi)
+    }
+
+    times = {}
+    for k, fn in chains.items():
+        (st, _), sums = fn(state0)        # compile + warm
+        np.asarray(sums)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            (st, _), sums = fn(state0)
+            np.asarray(sums)              # host fetch = real sync on axon
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+
+    round_s = (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+    return {
+        "platform": platform,
+        "impl": impl,
+        "k_pair": [k_lo, k_hi],
+        "chain_wall_s": {str(k): round(v, 4) for k, v in times.items()},
+        "round_ms_measured": round(round_s * 1e3, 2),
+        "streams_per_chip_measured": round(B / round_s, 1),
+    }
+
+
 def _guard_device_reachable(timeout_s: int = 600):
     """Fail FAST (with a recordable JSON line) instead of hanging forever
     when the TPU tunnel is dead: with a dead axon relay, jax backend init
@@ -1129,8 +1244,24 @@ def main():
                     help="vocoder path for --saturation: cross-client "
                          "micro-batched (production), per-client solo "
                          "(dispatch-bound over the tunnel), or none")
+    ap.add_argument("--serving-round", action="store_true",
+                    help="measure device-seconds per serving round (decode "
+                         "B=4 chunk + fused batched vocoder, scan-chained "
+                         "into one dispatch) and exit — the MEASURED "
+                         "streams/chip, not the capacity model")
+    ap.add_argument("--serving-round-impl", default=None,
+                    help="attn impl for --serving-round (default: fused_step "
+                         "on TPU; try fused_step_q8)")
     args = ap.parse_args()
     _guard_device_reachable()
+
+    if args.serving_round:
+        sr = bench_serving_round(impl=args.serving_round_impl)
+        print(json.dumps({"metric": "serving_round_ms",
+                          "value": sr["round_ms_measured"],
+                          "unit": "ms device per B=4 round (1 s audio x4)",
+                          "vs_baseline": 0, "extra": sr}))
+        return
 
     if args.saturation:
         sat = bench_saturation(
@@ -1330,6 +1461,41 @@ def main():
                           file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# sovits bench failed: {e}", file=sys.stderr)
+    # MEASURED capacity (VERDICT r4 #2): K serving rounds scan-chained into
+    # one dispatch, marginal device time per round.  A novel compiled chain
+    # (nested scan over the fused kernel + vocoder program) runs in its own
+    # subprocess with a hard timeout — a pathological Mosaic compile must
+    # not take the whole bench (or the tunnel relay) down with it.
+    try:
+        import subprocess
+        variants = [("", None)]
+        if extra.get("q8_b1_tok_s"):
+            variants.append(("_q8", "fused_step_q8"))
+        for suffix, sr_impl in variants:
+            cmd = [sys.executable, os.path.abspath(__file__), "--serving-round"]
+            if sr_impl:
+                cmd += ["--serving-round-impl", sr_impl]
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=1500)
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")]
+            if line:
+                sr = json.loads(line[-1])["extra"]
+                extra[f"serving_round_ms_measured{suffix}"] = \
+                    sr["round_ms_measured"]
+                extra[f"e2e_streams_per_chip_measured{suffix}"] = \
+                    sr["streams_per_chip_measured"]
+                print(f"# MEASURED serving round{suffix or ' (bf16)'}: "
+                      f"{sr['round_ms_measured']:.1f} ms device per B=4 "
+                      f"round -> ~{sr['streams_per_chip_measured']:.0f} "
+                      f"realtime streams/chip (chained, tunnel-free)",
+                      file=sys.stderr)
+            else:
+                print(f"# serving-round probe{suffix} produced no JSON "
+                      f"(rc={r.returncode}): {r.stderr[-300:]}",
+                      file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# serving-round probe failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "gpt_decode_tok_s",
         "value": round(stats["tok_s"], 2),
