@@ -1332,6 +1332,21 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"# q8 bench failed: {e}", file=sys.stderr)
     try:
+        # int4 nibble-streaming decode (opt-in "fused_step_q4" /
+        # TTS(quant_t2s="int4"), r5 VERDICT item 6): halves the q8 weight
+        # DMA again; recorded next to the q8 numbers so the A/B shares the
+        # bench window (tunnel variance makes cross-window deltas noisy)
+        n1 = bench_t2s_decode(n_tokens=min(args.tokens, 400),
+                              chunk=args.chunk, impl="fused_step_q4")
+        n4 = bench_batched_decode(impl="fused_step_q4")
+        print(f"# q4: B=1 {n1['tok_s']:.0f} tok/s "
+              f"({n1['decode_ms_per_token']:.3f} ms/tok), "
+              f"B=4 {n4['agg_tok_s']:.0f} agg tok/s", file=sys.stderr)
+        extra.update(q4_b1_tok_s=round(n1["tok_s"], 0),
+                     q4_b4_agg_tok_s=round(n4["agg_tok_s"], 0))
+    except Exception as e:  # noqa: BLE001
+        print(f"# q4 bench failed: {e}", file=sys.stderr)
+    try:
         # shared-max softmax variants (":shsm"): the B=4 head-to-head and
         # the B=8 wave the q8+shared combo newly gates (rows/bf16 stop at 6)
         s4 = bench_batched_decode(impl="fused_step_q8:shsm")
@@ -1496,6 +1511,33 @@ def main():
                       file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"# serving-round probe failed: {e}", file=sys.stderr)
+    # Real-checkpoint gauntlet (VERDICT r4 #5): if someone has staged the
+    # released s1v3/s2Gv2ProPlus assets (see CHECKPOINT_VERIFY.json's
+    # staging_manifest), run the full mel-parity + q8-quality verification
+    # unprompted and record it in the bench artifact.
+    try:
+        import subprocess
+
+        from verify_checkpoints import find_staged_assets
+        staged = find_staged_assets("s1v3.ckpt", "s2Gv2ProPlus.pth")
+        if staged:
+            print(f"# real checkpoints staged in {staged}: running the "
+                  f"mel-parity gauntlet", file=sys.stderr)
+            cmd = [sys.executable,
+                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "verify_checkpoints.py"),
+                   "--models-dir", staged, "--quant"]
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=3600)
+            tail = [ln for ln in r.stdout.strip().splitlines()][-6:]
+            extra["real_checkpoint_gauntlet"] = {
+                "rc": r.returncode, "models_dir": staged, "tail": tail}
+            for ln in tail:
+                print(f"# gauntlet: {ln}", file=sys.stderr)
+        else:
+            extra["real_checkpoint_gauntlet"] = "not staged (see CHECKPOINT_VERIFY.json staging_manifest)"
+    except Exception as e:  # noqa: BLE001
+        print(f"# real-checkpoint gauntlet failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "gpt_decode_tok_s",
         "value": round(stats["tok_s"], 2),

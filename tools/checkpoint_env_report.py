@@ -40,6 +40,80 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 HOSTS = ["huggingface.co", "www.modelscope.cn", "github.com"]
 
+# Exact staging recipe (VERDICT r4 item 5): anyone with network can stage
+# /tmp/gsv_assets from this list; verify_checkpoints.py and bench.py
+# auto-detect the staged real checkpoints and run the full mel-parity +
+# q8-quality gauntlet unprompted.  URLs are the download manager's own
+# templates (gsv_tts_tpu/download.py:17-19, mirroring reference
+# Download.py:11-12,147-148) plus the upstream GPT-SoVITS pretrained repo
+# for the two flagship checkpoints (which the reference's downloader also
+# does NOT fetch — they are user-provided, reference Loader.py:111,59).
+STAGING_MANIFEST = {
+    "stage_dir": "/tmp/gsv_assets  (or any dir via --models-dir / "
+                 "GSV_MODELS_DIR; auto-detected by verify_checkpoints.py "
+                 "and bench.py)",
+    "assets": [
+        {
+            "file": "s1v3.ckpt",
+            "purpose": "flagship t2s AR model (24L/512H)",
+            "approx_bytes": "~155e6",
+            "source": "https://huggingface.co/lj1995/GPT-SoVITS/resolve/"
+                      "main/s1v3.ckpt (upstream GPT-SoVITS pretrained repo)",
+        },
+        {
+            "file": "s2Gv2ProPlus.pth",
+            "purpose": "flagship SoVITS generator (v2ProPlus)",
+            "approx_bytes": "~200e6",
+            "md5_first_8kib": "66b313e39455b57ab1b0bc0b239c9d0a",
+            "md5_note": "first-8KiB md5 from the version sniffer table "
+                        "(loader.py HASH_PRETRAINED, reference Loader.py:26)",
+            "source": "https://huggingface.co/lj1995/GPT-SoVITS/resolve/"
+                      "main/v2Pro/s2Gv2ProPlus.pth",
+        },
+        {
+            "file": "chinese-hubert-base/ + g2p/ + sv/"
+                    "pretrained_eres2netv2w24s4ep4.ckpt",
+            "purpose": "featurizer bundle (hubert ~189 MB, sv 214 MB, g2p "
+                       "lexicons)",
+            "source": [
+                "https://modelscope.cn/models/chinokiki/GPTSoVITS-RT/"
+                "resolve/master/pretrained_models5.zip  (MS flavor: "
+                "includes g2p)",
+                "https://huggingface.co/cnmds/GPTSoVITS-RT/resolve/main/"
+                "pretrained_models6.zip?download=true  (HF flavor) + "
+                "https://github.com/chinokikiss/GSV-TTS-Lite/releases/"
+                "download/g2p/g2p.zip",
+            ],
+            "note": "unzip into the stage dir; or just run "
+                    "gsv_tts_tpu.download.check_pretrained_models(dir) "
+                    "with network",
+        },
+        {
+            "file": "chinese-roberta-wwm-ext-large/",
+            "purpose": "zh BERT featurizer (optional: engine runs with "
+                       "use_bert=False without it)",
+            "source": "https://modelscope.cn/models/chinokiki/GPTSoVITS-RT/"
+                      "resolve/master/chinese-roberta.zip (or the HF "
+                      "template with the same filename)",
+        },
+        {
+            "file": "spk.wav / prompt.wav",
+            "purpose": ">=3 s reference speech for the prompt side "
+                       "(any real voice recording works; the gauntlet "
+                       "uses them for speaker/prompt audio)",
+            "source": "user-provided",
+        },
+    ],
+    "run_after_staging": [
+        "python verify_checkpoints.py            # auto-detects the stage "
+        "dir, full mel-parity vs the reference torch pipeline",
+        "python verify_checkpoints.py --quant    # + q8 quality gate "
+        "(real TPU)",
+        "python bench.py                         # auto-runs the gauntlet "
+        "and records it in the bench artifact",
+    ],
+}
+
 
 def probe_network() -> dict:
     out = {"dns": {}, "http": {}, "download_manager": {}}
@@ -220,6 +294,7 @@ def main() -> int:
                     "verify_checkpoints.py (full mel-parity gauntlet incl. "
                     "--quant quality gate) is ready and runs the moment "
                     "s1v3.ckpt / s2Gv2ProPlus.pth reach disk."),
+        "staging_manifest": STAGING_MANIFEST,
         "network": probe_network(),
         "assets_on_disk": inventory(args.assets),
     }

@@ -34,6 +34,30 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
+#: real-scale size floors (bytes) — tiny random fixtures are far below these
+_REAL_MIN = {"gpt": 100e6, "sovits": 90e6}
+
+
+def find_staged_assets(gpt_name: str, sovits_name: str) -> str:
+    """Auto-detect a staged real-checkpoint dir (VERDICT r4 item 5): scan
+    the canonical stage locations for REAL-SCALE flagship checkpoints (size
+    classification — tiny fixtures never reach 100 MB) so the gauntlet runs
+    unprompted the moment assets appear."""
+    candidates = [os.environ.get("GSV_MODELS_DIR", ""), "/tmp/gsv_assets",
+                  os.path.expanduser("~/gsv_models"),
+                  os.path.expanduser("~/gsv_assets")]
+    for d in candidates:
+        if not d or not os.path.isdir(d):
+            continue
+        g = os.path.join(d, gpt_name)
+        s = os.path.join(d, sovits_name)
+        if (os.path.exists(g) and os.path.getsize(g) >= _REAL_MIN["gpt"]
+                and os.path.exists(s)
+                and os.path.getsize(s) >= _REAL_MIN["sovits"]):
+            return d
+    return ""
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--models-dir", default=os.environ.get("GSV_MODELS_DIR", ""))
@@ -56,6 +80,10 @@ def main() -> int:
     args = ap.parse_args()
 
     models_dir = os.path.expanduser(args.models_dir) if args.models_dir else ""
+    if not models_dir:
+        models_dir = find_staged_assets(args.gpt, args.sovits)
+        if models_dir:
+            print(f"auto-detected staged real checkpoints in {models_dir}")
     gpt_path = os.path.join(models_dir, args.gpt) if models_dir else ""
     sovits_path = os.path.join(models_dir, args.sovits) if models_dir else ""
     hubert_dir = os.path.join(models_dir, "chinese-hubert-base") if models_dir else ""
@@ -80,6 +108,12 @@ def main() -> int:
         for cand in ("examples/ref.wav", "examples/prompt.wav"):
             if os.path.exists(os.path.join(REPO, cand)):
                 ref_audio = os.path.join(REPO, cand)
+                break
+    if ref_audio is None:  # staged dirs carry their own reference speech
+        for name in ("spk.wav", "prompt.wav"):
+            cand = os.path.join(models_dir, name)
+            if os.path.exists(cand):
+                ref_audio = cand
                 break
     if ref_audio is None or not os.path.exists(ref_audio):
         print("SKIPPED: no --ref-audio wav provided")
