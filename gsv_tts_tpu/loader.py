@@ -188,6 +188,34 @@ def remap_gpt_state_dict(weight: Dict[str, np.ndarray], n_layer: int) -> Dict[st
     }
 
 
+def resolve_t2s_attn_impl(tts_config: Config) -> str:
+    """Map the facade flags (use_flash_attn / quant_t2s / t2s_softmax) to
+    the engine attn_impl string, validating unconditionally — a typo'd
+    value must fail where the config is written, not only on the one
+    (TPU + flash) configuration that happens to consume it."""
+    softmax = getattr(tts_config, "t2s_softmax", "rows")
+    if softmax not in ("rows", "shared", "vec"):
+        raise ValueError(
+            f"t2s_softmax must be 'rows', 'shared' or 'vec', got "
+            f"{softmax!r}")
+    quant_mode = getattr(tts_config, "quant_t2s", False)
+    if quant_mode not in (False, True, "int8", "int4"):
+        raise ValueError(
+            f"quant_t2s must be False, True ('int8'), 'int8' or 'int4', "
+            f"got {quant_mode!r}")
+    attn_impl = "xla"
+    if getattr(tts_config, "use_flash_attn", False) and tts_config.platform == "tpu":
+        attn_impl = {False: "fused_step", True: "fused_step_q8",
+                     "int8": "fused_step_q8",
+                     "int4": "fused_step_q4"}[quant_mode]
+        if softmax != "rows":
+            # decode_chunk strips the suffix; B=1 ignores it (no per-row
+            # bookkeeping to share/vectorize), batched waves switch
+            # kernels ("shared" → :shsm, "vec" → :vec)
+            attn_impl += ":shsm" if softmax == "shared" else ":vec"
+    return attn_impl
+
+
 def get_gpt_weights(gpt_path, tts_config: Config) -> Gpt:
     gpt_path = str(gpt_path)
     if os.path.isdir(gpt_path):
@@ -210,23 +238,7 @@ def get_gpt_weights(gpt_path, tts_config: Config) -> Gpt:
     # flash 1632 vs XLA 1477 tok/s; S=1024: 1755 vs 1539 vs 1098.  B in
     # 2..6 routes to the batched whole-step kernel (B=4: 7500 aggregate
     # tok/s vs flash 4000); B>6 falls back to flash attention.
-    attn_impl = "xla"
-    # validate unconditionally: a typo'd value must fail where the config
-    # is written, not only on the one (TPU + flash) configuration that
-    # happens to consume it
-    softmax = getattr(tts_config, "t2s_softmax", "rows")
-    if softmax not in ("rows", "shared", "vec"):
-        raise ValueError(
-            f"t2s_softmax must be 'rows', 'shared' or 'vec', got "
-            f"{softmax!r}")
-    if getattr(tts_config, "use_flash_attn", False) and tts_config.platform == "tpu":
-        attn_impl = "fused_step_q8" if getattr(tts_config, "quant_t2s", False) \
-            else "fused_step"
-        if softmax != "rows":
-            # decode_chunk strips the suffix; B=1 ignores it (no per-row
-            # bookkeeping to share/vectorize), batched waves switch
-            # kernels ("shared" → :shsm, "vec" → :vec)
-            attn_impl += ":shsm" if softmax == "shared" else ":vec"
+    attn_impl = resolve_t2s_attn_impl(tts_config)
     engine = T2SEngine(params, cfg, gpt_cache=gpt_cache,
                        dtype=tts_config.dtype, attn_impl=attn_impl)
     return Gpt(engine, params, cfg, config)

@@ -352,8 +352,10 @@ def transformer_decode_step(params, cfg: T2SConfig, x, k_cache, v_cache, kv_len,
     # whole-step sampling kernel — its fallback is bf16 flash)
     attn_impl = {"fused_step": "flash",
                  "fused_step_q8": "flash",
+                 "fused_step_q4": "flash",
                  "fused_step_interpret": "flash_interpret",
-                 "fused_step_q8_interpret": "flash_interpret"}.get(
+                 "fused_step_q8_interpret": "flash_interpret",
+                 "fused_step_q4_interpret": "flash_interpret"}.get(
         attn_impl, attn_impl)
 
     if attn_impl in ("fused", "fused_interpret"):

@@ -315,7 +315,7 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
                    logits_vmem, k_win, v_win,
                    w_sem, ws_sem, pw_sem, kv_sem, win_rsem, win_wsem, row_sem,
                    *, L, S, H, D, M, V, Vp, CHV, block_s, sa, suppressed,
-                   quant=False, ablate=None, eps=1e-5):
+                   quant=False, quant4=False, ablate=None, eps=1e-5):
     """Whole decode step, DMA-issue-minimized: the four per-layer weight
     matrices arrive as ONE packed [D, 3D+D+2M] transfer (mlp2 pre-transposed
     so every matrix is row-major over D), and the K/V appends batch into a
@@ -331,6 +331,10 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
     no_mlp = ablate in ("mlp", "mm_off")
     no_head = ablate in ("head", "mm_off")
     no_walk = ablate == "walk"
+    # int4 mode rides the int8 machinery (same scale page, same post-matmul
+    # scale chain) — only the page width (halved) and the in-VMEM unpack
+    # differ, so every scale/bias gate below checks ``anyq``
+    anyq = quant or quant4
 
     length = scalar_ref[0]
     if no_walk:
@@ -356,7 +360,8 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
     # ("wprio0") and measure.
     n_wsplit = {"wsplit": 2, "wsplit4": 4}.get(ablate, 1)
     w_prio = 0 if ablate == "wprio0" else 1
-    halfW = W_total // n_wsplit  # 6144/2/4 stay 128-multiples
+    Wp_l = W_total // 2 if quant4 else W_total  # packed page lane count
+    halfW = Wp_l // n_wsplit  # 6144/2/4 stay 128-multiples
     # "deep3": triple-buffer the weight pages (two page DMAs in flight)
     # to close the per-layer issue gap — the page for layer i+1 is only
     # issued when layer i begins, so each layer boundary serializes one
@@ -376,7 +381,7 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
                     w_packed_ref.at[layer, :, pl.ds(h * halfW, halfW)],
                     w_all.at[slot, :, pl.ds(h * halfW, halfW)],
                     w_sem.at[slot, h]).start(priority=w_prio)
-        if quant:
+        if anyq:
             pltpu.make_async_copy(w_scale_ref.at[layer], ws_all.at[slot],
                                   ws_sem.at[slot]).start(priority=w_prio)
 
@@ -386,7 +391,7 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
                 w_packed_ref.at[0, :, pl.ds(h * halfW, halfW)],
                 w_all.at[slot, :, pl.ds(h * halfW, halfW)],
                 w_sem.at[slot, h]).wait()
-        if quant:
+        if anyq:
             pltpu.make_async_copy(w_scale_ref.at[0], ws_all.at[slot],
                                   ws_sem.at[slot]).wait()
 
@@ -482,18 +487,34 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
         # compute dtype (every int8 value is exact in bf16) and apply the
         # per-lane scale AFTER the matmul on the tiny output row (for the
         # transposed mlp2 block the lane is the CONTRACTED channel, so the
-        # scale moves onto the m1 activation instead — both exact in ℝ)
-        ws_row = ws_all[slot][0:1] if quant else None
+        # scale moves onto the m1 activation instead — both exact in ℝ).
+        # int4 mode: the byte page holds two nibbles per lane pair; the
+        # unpack reconstructs the block's lanes in original order, after
+        # which the scale/bias chain is identical
+        ws_row = ws_all[slot][0:1] if anyq else None
 
         def wslice(lo, hi):
+            if quant4:
+                return _unpack_int4(
+                    w_all[slot][:, lo // 2:lo // 2 + (hi - lo) // 2], cdtype)
             w = w_all[slot][:, lo:hi]
             return w.astype(cdtype) if quant else w
+
+        def wdot(xin, lo, hi):
+            # output-lane blocks: int4 dots the two nibble halves and
+            # concatenates the small outputs (bit-identical, no full-width
+            # weight materialization)
+            if quant4:
+                return _dot_int4(
+                    xin, w_all[slot][:, lo // 2:lo // 2 + (hi - lo) // 2],
+                    cdtype, mxu_decomp=(ablate == "q4mxu"))
+            return jnp.dot(xin, wslice(lo, hi), preferred_element_type=F32)
 
         if no_attn_mm:
             qkv = jnp.concatenate([xc, xc, xc], axis=1).astype(F32)
         else:
-            qkv = jnp.dot(xc, wslice(0, O_OUT), preferred_element_type=F32)
-            if quant:
+            qkv = wdot(xc, 0, O_OUT)
+            if anyq:
                 qkv = qkv * ws_row[:, :O_OUT]
         qkv = qkv + qkv_b_ref[i][0:1].astype(F32)
         q = qkv[:, :D]
@@ -564,9 +585,8 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
             if no_attn_mm:
                 h = attn_out.astype(F32)
             else:
-                h = jnp.dot(attn_out, wslice(O_OUT, O_M1),
-                            preferred_element_type=F32)
-                if quant:
+                h = wdot(attn_out, O_OUT, O_M1)
+                if anyq:
                     h = h * ws_row[:, O_OUT:O_M1]
             h = x + h + out_b_ref[i][0:1].astype(F32)
             mean = jnp.mean(h, axis=-1, keepdims=True)
@@ -577,12 +597,11 @@ def _kernel_sample(scalar_ref,  # [kv_len, pe_idx, last_tok, buf_len, suppress]
             if no_mlp:
                 x_scr[:] = h
             else:
-                m1 = jnp.dot(h.astype(cdtype), wslice(O_M1, O_M2),
-                             preferred_element_type=F32)
-                if quant:
+                m1 = wdot(h.astype(cdtype), O_M1, O_M2)
+                if anyq:
                     m1 = m1 * ws_row[:, O_M1:O_M2]
                 m1 = jnp.maximum(m1 + mlp1_b_ref[i][0:1].astype(F32), 0.0)
-                if quant:
+                if anyq:
                     # mlp2ᵀ's lane is the CONTRACTED channel: fold its
                     # scale into the [1, M] activation before the matmul
                     m1 = m1 * ws_row[:, O_M2:]
@@ -754,7 +773,8 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
                              kv_len, x_len, last_tok, buf_len, step_idx,
                              gumbel, *, sa, suppress_until: int = 0,
                              suppressed=(), interpret: bool = False,
-                             quant: bool = False, ablate=None):
+                             quant: bool = False, quant4: bool = False,
+                             ablate=None):
     """One FULL decode step in a single kernel launch (B = 1): embedding,
     all transformer layers, in-place KV append, logits head, and sampling.
 
@@ -785,7 +805,14 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
 
     pw_pad = params["predict_w_padded"] if "predict_w_padded" in params else \
         jnp.pad(params["predict_w"], ((0, 0), (0, Vp - V)))
-    if quant:
+    if quant4:
+        # int4 nibble stream (halves the q8 DMA again; r5)
+        if "layers_packed_q4" in params:
+            w_packed, w_scale = (params["layers_packed_q4"],
+                                 params["layers_scale_page_q4"])
+        else:
+            w_packed, w_scale = pack_layer_weights_int4(layers)
+    elif quant:
         # int8 weight stream (halves the per-step HBM DMA that bounds B=1)
         if "layers_packed_q8" in params:
             w_packed, w_scale = (params["layers_packed_q8"],
@@ -820,7 +847,7 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
         _kernel_sample, L=L, S=S, H=H, D=D, M=M, V=V, Vp=Vp, CHV=CHV,
         block_s=block_s, sa=sa,
         suppressed=tuple(suppressed) if suppress_until else (),
-        quant=quant, ablate=ablate)
+        quant=quant, quant4=quant4, ablate=ablate)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -840,8 +867,9 @@ def fused_decode_step_sample(params, k_cache, v_cache, tok_buf,
                   any_, any_],                # caches
         out_specs=[smem, vmem, any_, any_],
         scratch_shapes=[
-            pltpu.VMEM((n_wslots, D, W), jnp.int8 if quant else dtype),  # packed weights
-            pltpu.VMEM((n_wslots, 8, W if quant else 128), F32),  # per-lane scales
+            pltpu.VMEM((n_wslots, D, W // 2 if quant4 else W),
+                       jnp.int8 if (quant or quant4) else dtype),  # packed weights
+            pltpu.VMEM((n_wslots, 8, W if (quant or quant4) else 128), F32),  # per-lane scales
             pltpu.VMEM((2, D, CHV), dtype),      # predict head chunks
             pltpu.VMEM((2, 2, block_s, D), dtype),  # kv walk (2 slots × K/V)
             pltpu.VMEM((1, D), F32),             # activation carry
@@ -945,7 +973,8 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
                      w_sem, ws_sem, b_sem, pw_sem, kv_sem, row_sem, win_rsem,
                      win_wsem,
                      *, B, L, S, H, D, M, V, Vp, CHV, block_s, sa, suppressed,
-                     quant=False, ablate=None, softmax="rows", eps=1e-5):
+                     quant=False, quant4=False, ablate=None, softmax="rows",
+                     eps=1e-5):
     # measurement-only ablations (bench.py --breakdown-b4): same modes as
     # the B=1 kernel — attribute the per-step time between the weight
     # stream, the strided walk, the MXU chain, and the per-row VPU tails
@@ -953,6 +982,10 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
     no_mlp = ablate in ("mlp", "mm_off")
     no_head = ablate in ("head", "mm_off")
     no_walk = ablate == "walk"
+    # int4 rides the int8 machinery (see _kernel_sample): same scale page
+    # (biases on row 1), same post-matmul scale chain — only the page width
+    # (halved) and the in-VMEM nibble unpack differ
+    anyq = quant or quant4
     lengths = [scalar_ref[b] for b in range(B)]
     if no_walk:
         lengths = [ln * 0 for ln in lengths]
@@ -1014,7 +1047,7 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
     def start_layer_load(layer, slot):
         pltpu.make_async_copy(w_packed_ref.at[layer], w_all.at[slot],
                               w_sem.at[slot]).start(priority=1)
-        if quant:
+        if anyq:
             # biases ride row 1 of the scale page — no separate bias DMA
             pltpu.make_async_copy(w_scale_ref.at[layer], ws_all.at[slot],
                                   ws_sem.at[slot]).start(priority=1)
@@ -1025,7 +1058,7 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
     def wait_layer_load(slot):
         pltpu.make_async_copy(w_packed_ref.at[0], w_all.at[slot],
                               w_sem.at[slot]).wait()
-        if quant:
+        if anyq:
             pltpu.make_async_copy(w_scale_ref.at[0], ws_all.at[slot],
                                   ws_sem.at[slot]).wait()
         else:
@@ -1119,18 +1152,31 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
         wait_layer_load(slot)
 
         # int8 mode: see _kernel_sample — per-lane scales applied on the
-        # [B, ·] outputs (or folded into m1 for the transposed mlp2 block)
-        ws_row = ws_all[slot][0:1] if quant else None
+        # [B, ·] outputs (or folded into m1 for the transposed mlp2 block);
+        # int4 mode: same chain after the in-VMEM nibble unpack
+        ws_row = ws_all[slot][0:1] if anyq else None
 
         def wslice(lo, hi):
+            if quant4:
+                return _unpack_int4(
+                    w_all[slot][:, lo // 2:lo // 2 + (hi - lo) // 2], cdtype)
             w = w_all[slot][:, lo:hi]
             return w.astype(cdtype) if quant else w
+
+        def wdot(xin, lo, hi):
+            # see _kernel_sample: int4 output-lane blocks avoid the
+            # full-width weight concat (bit-identical output)
+            if quant4:
+                return _dot_int4(
+                    xin, w_all[slot][:, lo // 2:lo // 2 + (hi - lo) // 2],
+                    cdtype, mxu_decomp=(ablate == "q4mxu"))
+            return jnp.dot(xin, wslice(lo, hi), preferred_element_type=F32)
 
         def bias_row(lo, hi):
             # quant: biases ride row 1 of the streamed scale page (f32
             # values pre-rounded through the model dtype, so this reads
             # bit-identically to the bf16 bias page's .astype(F32) chain)
-            if quant:
+            if anyq:
                 return ws_all[slot][1:2, lo:hi]
             return b_all[slot][0:1, lo:hi].astype(F32)
 
@@ -1138,8 +1184,8 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
         if no_attn_mm:
             qkv = jnp.concatenate([xc, xc, xc], axis=1).astype(F32)
         else:
-            qkv = jnp.dot(xc, wslice(0, O_OUT), preferred_element_type=F32)
-            if quant:
+            qkv = wdot(xc, 0, O_OUT)
+            if anyq:
                 qkv = qkv * ws_row[:, :O_OUT]
         qkv = qkv + bias_row(0, O_OUT)
         q = qkv[:, :D]
@@ -1273,9 +1319,8 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
         if no_attn_mm:
             h = (acc / l_exp)
         else:
-            h = jnp.dot((acc / l_exp).astype(cdtype), wslice(O_OUT, O_M1),
-                        preferred_element_type=F32)
-            if quant:
+            h = wdot((acc / l_exp).astype(cdtype), O_OUT, O_M1)
+            if anyq:
                 h = h * ws_row[:, O_OUT:O_M1]
         h = x + h + bias_row(O_OUT, O_M1)
         mean = jnp.mean(h, axis=-1, keepdims=True)
@@ -1286,12 +1331,11 @@ def _kernel_sample_b(scalar_ref,  # [5*B]: kv_len | pe_idx | last_tok | buf_len 
         if no_mlp:
             h2 = h
         else:
-            m1 = jnp.dot(h.astype(cdtype), wslice(O_M1, O_M2),
-                         preferred_element_type=F32)
-            if quant:
+            m1 = wdot(h.astype(cdtype), O_M1, O_M2)
+            if anyq:
                 m1 = m1 * ws_row[:, O_M1:O_M2]
             m1 = jnp.maximum(m1 + bias_row(O_M1, O_M2), 0.0)
-            if quant:
+            if anyq:
                 m1 = m1 * ws_row[:, O_M2:]
             m2 = jax.lax.dot_general(
                 m1.astype(cdtype), wslice(O_M2, 4 * D + 2 * M),
@@ -1420,7 +1464,8 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
                                      step_idx, gumbel, *, sa,
                                      suppress_until: int = 0,
                                      suppressed=(), interpret: bool = False,
-                                     quant: bool = False, ablate=None,
+                                     quant: bool = False,
+                                     quant4: bool = False, ablate=None,
                                      block_s: int = None,
                                      softmax: str = "rows"):
     """One FULL batched decode step in a single kernel launch: per-row
@@ -1462,10 +1507,10 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
     # falls back to flash+XLA above B = 6.  The q8 + shared-softmax combo
     # lifts both blockers (6.3 MiB pages; no per-row VPU loops to pad
     # 6→8 sublanes), so it may gate up to a B = 8 wave.
-    max_b = 8 if (quant and softmax in ("shared", "vec")) else 6
+    max_b = 8 if ((quant or quant4) and softmax in ("shared", "vec")) else 6
     assert 1 <= B <= max_b, (
         f"batched whole-step kernel supports at most {max_b} slots "
-        f"(quant={quant}, softmax={softmax})")
+        f"(quant={quant}, quant4={quant4}, softmax={softmax})")
     D = H * Dh
     layers = params["layers"]
     M = layers["mlp1_w"].shape[-1]
@@ -1483,12 +1528,13 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
     # CHV=384 while the engine's suppressed B=4 variant OOMed by 172 KB)
     CHV = _pw_chunk(Vp) if B <= 2 else 128  # lane slices need CHV % 128 == 0
     if block_s is None:
-        if quant and B <= 4:
-            # int8 weight pages free ~6 MB of the 2-slot scratch: spend it
-            # on 128-row walk blocks (fewer strided DMA issues — measured
-            # +5% at B=4 on v5e; bf16 B=4 at block 128 OOMs scoped vmem)
+        if (quant or quant4) and B <= 4:
+            # int8/int4 weight pages free >=6 MB of the 2-slot scratch:
+            # spend it on 128-row walk blocks (fewer strided DMA issues —
+            # measured +5% at B=4 on v5e; bf16 B=4 at block 128 OOMs
+            # scoped vmem)
             block_s = min(BLOCK_S, S)
-        elif quant:
+        elif quant or quant4:
             # q8 B = 5..8 (shared softmax): 64-row blocks keep the walk
             # scratch at ~2 MB so the whole config stays under the 16 MiB
             # scoped-vmem default
@@ -1500,7 +1546,13 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
 
     pw_pad = params["predict_w_padded"] if "predict_w_padded" in params else \
         jnp.pad(params["predict_w"], ((0, 0), (0, Vp - V)))
-    if quant:
+    if quant4:
+        if "layers_packed_q4" in params:
+            w_packed, w_scale = (params["layers_packed_q4"],
+                                 params["layers_scale_page_q4"])
+        else:
+            w_packed, w_scale = pack_layer_weights_int4(layers)
+    elif quant:
         if "layers_packed_q8" in params:
             w_packed, w_scale = (params["layers_packed_q8"],
                                  params["layers_scale_page"])
@@ -1510,7 +1562,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
         w_packed = params["layers_packed"] if "layers_packed" in params else \
             pack_layer_weights(layers)
         w_scale = jnp.zeros((L, 8, 128), F32)  # unused dummy (static gate)
-    if quant:
+    if quant or quant4:
         # biases ride row 1 of the scale page — the bias-page operand and
         # its per-layer DMA disappear (tiny dummy keeps the arity static)
         bias_page = jnp.zeros((L, 8, 128), dtype)
@@ -1540,7 +1592,7 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
         _kernel_sample_b, B=B, L=L, S=S, H=H, D=D, M=M, V=V, Vp=Vp, CHV=CHV,
         block_s=block_s, sa=sa,
         suppressed=tuple(suppressed) if suppress_until else (),
-        quant=quant, ablate=ablate, softmax=softmax)
+        quant=quant, quant4=quant4, ablate=ablate, softmax=softmax)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1557,11 +1609,12 @@ def fused_decode_step_sample_batched(params, k_cache, v_cache, tok_buf,
                   any_, any_],                   # caches (aliased in place)
         out_specs=[smem, vmem, any_, any_],
         scratch_shapes=[
-            pltpu.VMEM((2, D, 4 * D + 2 * M),
-                       jnp.int8 if quant else dtype),   # packed weights
-            pltpu.VMEM((2, 8, (4 * D + 2 * M) if quant else 128), F32),  # scales
-            pltpu.VMEM((2, 8, 128 if quant else 4 * D + 2 * M),
-                       dtype),                          # bias pages (dummy at q8)
+            pltpu.VMEM((2, D, (2 * D + M) if quant4 else (4 * D + 2 * M)),
+                       jnp.int8 if (quant or quant4) else dtype),   # packed weights
+            pltpu.VMEM((2, 8, (4 * D + 2 * M) if (quant or quant4) else 128),
+                       F32),                            # scales
+            pltpu.VMEM((2, 8, 128 if (quant or quant4) else 4 * D + 2 * M),
+                       dtype),                          # bias pages (dummy at q8/q4)
             pltpu.VMEM((2, D, CHV), dtype),             # predict head chunks
             pltpu.VMEM((2, 2, B, block_s, D), dtype),   # kv walk (strided)
             pltpu.VMEM((B, 8, D), dtype),               # emb 8-row stages
@@ -1663,6 +1716,98 @@ def pack_layer_weights_int8(layers):
     page = jnp.zeros((L, 8, W), F32).at[:, 0].set(s[:, 0]) \
         .at[:, 1].set(bias.astype(wdtype).astype(F32))
     return q, page
+
+
+def pack_layer_weights_int4(layers):
+    """Symmetric per-lane int4 quantization of the packed weight stream:
+    returns ``(q4 [L, D, W/2] int8, scale_page [L, 8, W] f32)`` — two
+    nibbles per byte, halving the q8 stream again (the B=1 step is still
+    stream-bound after q8: bench.py --breakdown-b4 put the weight pages at
+    ~910 GB/s marginal with a fixed residue, so int4's ~38 MB/step is the
+    next rung).  VERDICT r4 item 6.
+
+    Nibble layout (probe-cleared on real TPU, tools/int4_probe.py): within
+    each logical block [start, start+N) of the packed lane layout
+    (qkv | out | mlp1 | mlp2ᵀ), byte lane ``start/2 + j`` holds
+    ``lo = q[start + j]`` in bits 0-3 and ``hi = q[start + N/2 + j]`` in
+    bits 4-7.  The kernel's unpack —
+        b = byte.astype(i32); hi = b >> 4; lo = ((b & 15) ^ 8) - 8;
+        concat([lo, hi], lanes)
+    — reconstructs the block's full-width lanes IN ORIGINAL ORDER, so the
+    matmuls, the per-lane scale application, and the bias chain are
+    bit-identical to the q8 kernel's on these values: the ONLY difference
+    vs q8 is the coarser rounding (scale = max|w|/7 per lane).  The scale
+    page layout matches ``pack_layer_weights_int8`` (row 0 scales, row 1
+    biases rounded through the model dtype, rows 2-7 zero)."""
+    wdtype = layers["qkv_b"].dtype
+    w = pack_layer_weights(layers).astype(F32)
+    s = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 7.0          # [L, 1, W]
+    s = jnp.where(s > 0, s, 1.0)
+    q = jnp.clip(jnp.round(w / s), -7, 7).astype(jnp.int32)
+    L, D, W = w.shape
+    Dd = layers["out_w"].shape[-1]
+    M = layers["mlp1_w"].shape[-1]
+    parts = []
+    for start, end in ((0, 3 * Dd), (3 * Dd, 4 * Dd),
+                       (4 * Dd, 4 * Dd + M), (4 * Dd + M, 4 * Dd + 2 * M)):
+        half = (end - start) // 2
+        lo = q[:, :, start:start + half]
+        hi = q[:, :, start + half:end]
+        parts.append(jnp.bitwise_or(jnp.bitwise_and(lo, 15),
+                                    jnp.left_shift(jnp.bitwise_and(hi, 15),
+                                                   4)))
+    packed = jnp.concatenate(parts, axis=-1).astype(jnp.int8)     # [L, D, W/2]
+    bias = jnp.concatenate([
+        layers["qkv_b"], layers["out_b"], layers["mlp1_b"],
+        layers["mlp2_b"], jnp.zeros((L, M - Dd), wdtype)], axis=-1)
+    page = jnp.zeros((L, 8, W), F32).at[:, 0].set(s[:, 0]) \
+        .at[:, 1].set(bias.astype(wdtype).astype(F32))
+    return packed, page
+
+
+def _unpack_int4_halves(pb, cdtype):
+    """[D, N/2] packed int8 → two [D, N/2] compute-dtype weight halves
+    (block lanes [0, N/2) and [N/2, N) — see pack_layer_weights_int4;
+    every int4 value is exact in bf16)."""
+    b = pb.astype(jnp.int32)
+    hi = jax.lax.shift_right_arithmetic(b, 4)
+    lo = jnp.bitwise_xor(jnp.bitwise_and(b, 15), 8) - 8
+    return lo.astype(cdtype), hi.astype(cdtype)
+
+
+def _unpack_int4(pb, cdtype):
+    """[D, N/2] packed int8 → [D, N] weights in original lane order.  Used
+    where the full-width operand is unavoidable (the transposed mlp2 block,
+    whose lanes are the CONTRACTED channel: splitting its matmul would
+    reorder the f32 accumulation and break the dequant-oracle exactness);
+    the output-lane blocks dot the two halves separately and concatenate
+    the small outputs instead (measured faster: no [D, N] VMEM concat)."""
+    lo, hi = _unpack_int4_halves(pb, cdtype)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def _dot_int4(x, pb, cdtype, mxu_decomp=False):
+    """x @ unpack(pb) for output-lane blocks, without materializing the
+    full-width weight: each output column's dot runs over the full
+    contraction either way, so concatenating the two [B, N/2] OUTPUTS is
+    bit-identical to the single matmul on the concatenated weights.
+
+    ``mxu_decomp`` (measurement-only ablation "q4mxu"): byte = 16*hi + lo
+    exactly, so S1 = x@byte = 16*Hi + Lo in exact arithmetic — compute S1
+    and Hi on the MXU and recover Lo = S1 - 16*Hi, skipping the lo-nibble
+    VPU chain entirely (4 fewer elementwise passes, one extra matmul).
+    NOT bit-exact vs the dequant oracle (the f32 recovery reorders
+    rounding) — bounds how fast int4 COULD go, not a shipping mode."""
+    if mxu_decomp:
+        b = pb.astype(jnp.int32)
+        hi = jax.lax.shift_right_arithmetic(b, 4).astype(cdtype)
+        s1 = jnp.dot(x, pb.astype(cdtype), preferred_element_type=F32)
+        hi_o = jnp.dot(x, hi, preferred_element_type=F32)
+        return jnp.concatenate([s1 - 16.0 * hi_o, hi_o], axis=1)
+    lo, hi = _unpack_int4_halves(pb, cdtype)
+    return jnp.concatenate(
+        [jnp.dot(x, lo, preferred_element_type=F32),
+         jnp.dot(x, hi, preferred_element_type=F32)], axis=1)
 
 
 def _round_up_128(x: int) -> int:

@@ -469,9 +469,13 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
     # their quantized kernels (the batched one also unlocks 128-row walk
     # blocks); only the B>6 flash fallback stays bf16.
     quant = attn_impl in ("fused_step_q8", "fused_step_q8_interpret")
+    # "fused_step_q4": int4 nibble stream — halves the q8 DMA again (r5)
+    quant4 = attn_impl in ("fused_step_q4", "fused_step_q4_interpret")
     fused_impls = ("fused_step", "fused_step_interpret",
-                   "fused_step_q8", "fused_step_q8_interpret")
-    interp_impls = ("fused_step_interpret", "fused_step_q8_interpret")
+                   "fused_step_q8", "fused_step_q8_interpret",
+                   "fused_step_q4", "fused_step_q4_interpret")
+    interp_impls = ("fused_step_interpret", "fused_step_q8_interpret",
+                    "fused_step_q4_interpret")
     fused_sample = attn_impl in fused_impls and B == 1 and fused_ok
     # B > 6 falls back to flash+XLA: the 2-slot weight scratch no longer fits
     # the 16 MiB scoped-vmem budget, and measured scaling says it wouldn't
@@ -480,7 +484,7 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
     # any B > 4 config per chip).  EXCEPTION: q8 + shared softmax (":shsm")
     # or the exact vectorized softmax (":vec") drop both blockers (6.3 MiB
     # int8 pages, no per-row loops) and gate up to B = 8.
-    max_fused_b = 8 if (quant and ablate and
+    max_fused_b = 8 if ((quant or quant4) and ablate and
                         (ablate.startswith("shsm") or
                          ablate.startswith("vec"))) else 6
     fused_sample_b = attn_impl in fused_impls and 1 < B <= max_fused_b \
@@ -510,7 +514,14 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
         params = dict(params)
         params.setdefault("predict_w_padded", jnp.pad(
             params["predict_w"], ((0, 0), (0, Vp - V))))
-        if quant:
+        if quant4:
+            from ..ops.fused_step import pack_layer_weights_int4
+
+            if "layers_packed_q4" not in params:
+                q4, scale4 = pack_layer_weights_int4(params["layers"])
+                params["layers_packed_q4"] = q4
+                params["layers_scale_page_q4"] = scale4
+        elif quant:
             from ..ops.fused_step import pack_layer_weights_int8
 
             if "layers_packed_q8" not in params:
@@ -531,7 +542,7 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
                 g, sa=sa, suppress_until=suppress_until,
                 suppressed=cfg.suppressed_tokens + (cfg.eos,),
                 interpret=(attn_impl in interp_impls), quant=quant,
-                ablate=ablate)
+                quant4=quant4, ablate=ablate)
             new = DecodeState(
                 k_cache=kc, v_cache=vc,
                 kv_len=st.kv_len + 1, x_len=st.x_len,
@@ -562,7 +573,14 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
         # consumer-friendly placement that persistent params don't get
         params.setdefault("predict_w_padded", jnp.pad(
             params["predict_w"], ((0, 0), (0, Vp - V))))
-        if quant:
+        if quant4:
+            from ..ops.fused_step import pack_layer_weights_int4
+
+            if "layers_packed_q4" not in params:
+                q4, scale4 = pack_layer_weights_int4(params["layers"])
+                params["layers_packed_q4"] = q4
+                params["layers_scale_page_q4"] = scale4
+        elif quant:
             from ..ops.fused_step import pack_layer_weights_int8
 
             if "layers_packed_q8" not in params:
@@ -582,7 +600,7 @@ def decode_chunk(params, cfg: T2SConfig, state: DecodeState, n_steps: int,
                 g, sa=sa, suppress_until=suppress_until,
                 suppressed=cfg.suppressed_tokens + (cfg.eos,),
                 interpret=(attn_impl in interp_impls),
-                quant=quant, ablate=ablate)
+                quant=quant, quant4=quant4, ablate=ablate)
             new = DecodeState(
                 k_cache=kc, v_cache=vc,
                 kv_len=st.kv_len + 1, x_len=st.x_len,

@@ -378,7 +378,8 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
     ap.add_argument("--gpt", default=None)
     ap.add_argument("--sovits", default=None)
     ap.add_argument("--dtype", default=None)
-    ap.add_argument("--quant-t2s", action="store_true")
+    ap.add_argument("--quant-t2s", nargs="?", const="int8", default=False,
+                    choices=("int8", "int4"))
     ap.add_argument("--quant-bert", action="store_true")
     ap.add_argument("--featurizer-buckets", action="store_true")
     ap.add_argument("--t2s-softmax", choices=("rows", "shared", "vec"), default="rows")
@@ -419,7 +420,7 @@ def main():  # pragma: no cover - thin CLI over the tested pieces
         if v:
             passthrough += ["--" + flag.replace("_", "-"), str(v)]
     if args.quant_t2s:
-        passthrough.append("--quant-t2s")
+        passthrough += ["--quant-t2s", str(args.quant_t2s)]
     if args.quant_bert:
         passthrough.append("--quant-bert")
     if args.featurizer_buckets:

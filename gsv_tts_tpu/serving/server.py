@@ -882,11 +882,13 @@ def main():
     ap.add_argument("--batch-max", type=int, default=4,
                     help="max requests per coalesced batch (the fused "
                          "batched decode kernel peaks at 4 slots/wave)")
-    ap.add_argument("--quant-t2s", action="store_true",
-                    help="int8 weight-streaming GPT decode (fused_step_q8):"
-                         " ~+30-40%% B=1 / +10-17%% B=4 decode throughput on"
-                         " TPU; sampled tokens shift by the int8 rounding"
-                         " error vs the bf16 default")
+    ap.add_argument("--quant-t2s", nargs="?", const="int8", default=False,
+                    choices=("int8", "int4"),
+                    help="quantized weight-streaming GPT decode: bare flag "
+                         "or 'int8' = fused_step_q8 (~+30-40%% B=1 decode "
+                         "throughput on TPU), 'int4' = fused_step_q4 "
+                         "(halves the weight stream again); sampled tokens "
+                         "shift by the rounding error vs the bf16 default")
     ap.add_argument("--t2s-softmax", choices=("rows", "shared", "vec"),
                     default="rows",
                     help="batched decode kernel softmax bookkeeping: "

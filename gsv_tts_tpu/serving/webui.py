@@ -349,7 +349,8 @@ def main():
     ap.add_argument("--models-dir", default=None)
     ap.add_argument("--gpt", default=None)
     ap.add_argument("--sovits", default=None)
-    ap.add_argument("--quant-t2s", action="store_true",
+    ap.add_argument("--quant-t2s", nargs="?", const="int8", default=False,
+                    choices=("int8", "int4"),
                     help="int8 weight-streaming GPT decode (see the HTTP "
                          "server's flag of the same name)")
     ap.add_argument("--t2s-softmax", choices=("rows", "shared", "vec"),

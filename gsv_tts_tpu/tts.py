@@ -208,7 +208,7 @@ class TTS:
         wave_max_clients: Optional[int] = None,
         stream_vocoder: str = "bucketed",
         vocoder_batch: bool = True,
-        quant_t2s: bool = False,
+        quant_t2s=False,  # False | True/"int8" (fused_step_q8) | "int4"
         t2s_softmax: str = "rows",
         quant_bert: bool = False,
         featurizer_buckets: bool = False,
