@@ -1090,6 +1090,13 @@ def bench_serving_round(B: int = 4, chunk: int = 25, bucket: int = 512,
     The chained cache state grows kv_len by ``chunk`` per round exactly
     like a live wave; K is capped so the longest chain stays inside the
     production ``bucket``.
+
+    MEASURE ON A QUIET HOST: a starved axon client poisons even the
+    marginal rate (a CPU-saturating co-process inflated this from 15.5 to
+    277 ms/round — the tunnel client needs cycles to feed the dispatch
+    stream).  Quiet-box r5 reading: 15.5 ms/round → ~258 streams/chip,
+    ABOVE the ~197-216 capacity model (the model adds prefill share and
+    conservative vocoder grouping on top of this steady-state rate).
     """
     import jax
     import jax.numpy as jnp

@@ -210,6 +210,24 @@ class TTSServer:
         #: around a draining replica automatically)
         self.draining = False
         self._inflight = 0
+        #: backend-compile counter (soak/leak observability, r5): a healthy
+        #: long-running server compiles each bucketed program ONCE — this
+        #: number must plateau; unbounded growth = a shape leaking into the
+        #: jit cache keys (tools/soak.py watches it alongside RSS and
+        #: jax.live_arrays())
+        self._compile_count = 0
+
+        def _on_event_duration(event: str, duration: float, **kw):
+            if "backend_compile" in event:
+                self._compile_count += 1
+
+        try:
+            import jax.monitoring
+
+            jax.monitoring.register_event_duration_secs_listener(
+                _on_event_duration)
+        except Exception:  # noqa: BLE001 — observability must never block
+            pass
         self.batcher = None
         if batch_window_ms > 0:
             from .batcher import MicroBatcher
@@ -310,6 +328,10 @@ class TTSServer:
             "gpt_models": [str(p) for p in self.tts.get_gpt_list()],
             "sovits_models": [str(p) for p in self.tts.get_sovits_list()],
             "timings": {**self.timings.summary(), **engine_timings},
+            # leak observability (tools/soak.py): compiles must plateau,
+            # live device arrays must stay bounded across churn
+            "backend_compiles": self._compile_count,
+            "live_arrays": len(jax.live_arrays()),
         }
         if self.batcher is not None:
             payload["batcher"] = self.batcher.stats
@@ -348,7 +370,11 @@ class TTSServer:
         def clean(name: str) -> str:
             return re.sub(r"[^a-zA-Z0-9_]", "_", name)
 
-        lines = ["# TYPE gsv_up gauge", "gsv_up 1"]
+        import jax
+
+        lines = ["# TYPE gsv_up gauge", "gsv_up 1",
+                 f"gsv_backend_compiles {self._compile_count}",
+                 f"gsv_live_arrays {len(jax.live_arrays())}"]
         engine_timings = (self.tts.get_timings()
                           if hasattr(self.tts, "get_timings") else {})
         for name, st in sorted({**self.timings.summary(),
