@@ -1542,7 +1542,12 @@ class TTS:
                 y_ov, jnp.int32(0), 1, False)
             audio = self._flow_dec_bucketed(
                 sovits, z_p[:, :, :t50], mask[:, :, :t50], ge, use_buckets)
-            return audio, attn[0][..., :t50, :text.shape[-1]]
+            # slice attn in NUMPY: t50 varies per request, and an eager
+            # device-array slice compiles a fresh dynamic_slice/squeeze
+            # executable per shape — unbounded jit-cache (and, on CPU,
+            # LLVM mmap-section) growth under sustained serving; the r5
+            # soak killed a server this way at vm.max_map_count
+            return audio, np.asarray(attn)[0][..., :t50, :text.shape[-1]]
         t_lat = int(t50 / speed) + 1 if speed != 1 else t50
         noise = (jax.random.normal(self._next_rng(), (1, cfg.inter_channels, t_lat),
                                    jnp.float32) * noise_scale).astype(dtype)
@@ -1551,7 +1556,7 @@ class TTS:
             p, cfg, jnp.asarray(codes), jnp.asarray(text), ge, noise,
             speed=speed, slice_indices=si)
         audio = self._flow_dec_bucketed(sovits, z_p, y_mask, ge_out, use_buckets)
-        return audio, attn[0]
+        return audio, np.asarray(attn)[0]  # numpy: see bucketed branch
 
     def _sovits_decode_stream(self, sovits: Sovits, codes, text, ge, noise_scale,
                               speed, y_overlap, valid_start_idx, overlap_len):
@@ -1597,8 +1602,10 @@ class TTS:
                 jnp.asarray(y_ov, dtype),
                 jnp.asarray([valid_start_idx], np.int32),
                 jnp.asarray([blend]), overlap_len, bucket)
-            audio = audio[:, :, : t_valid * cfg.samples_per_frame]
-            attn = attn[..., :2 * n, :text.shape[-1]]
+            # numpy slicing (t_valid / n vary per chunk): an eager device
+            # slice would compile per shape — see _sovits_decode
+            audio = np.asarray(audio)[:, :, : t_valid * cfg.samples_per_frame]
+            attn = np.asarray(attn)[..., :2 * n, :text.shape[-1]]
             return audio, attn[0], new_overlap
         t_lat = int(t_valid / speed) + 1 if speed != 1 else t_valid
         noise = (jax.random.normal(self._next_rng(), (1, cfg.inter_channels, t_lat),
@@ -1608,7 +1615,7 @@ class TTS:
             noise, speed=speed, y_overlap=y_overlap,
             valid_start_idx=valid_start_idx, overlap_len=overlap_len)
         audio = self._flow_dec_bucketed(sovits, z_p, y_mask, ge_out, True)
-        return audio, attn[0], new_overlap
+        return audio, np.asarray(attn)[0], new_overlap
 
     def _flow_bucket(self, t: int, use_buckets: bool = True) -> int:
         """Frame bucket for a t-frame flow/vocoder run: first configured

@@ -126,8 +126,12 @@ async def soak(base, pid, minutes, out_path):
     async with aiohttp.ClientSession() as session:
 
         async def sample():
-            async with session.get(base + "/health") as r:
-                h = await r.json()
+            try:
+                async with session.get(base + "/health") as r:
+                    h = await r.json()
+            except Exception as e:  # noqa: BLE001 — server died: record it
+                errors.append(f"health sample failed: {type(e).__name__}")
+                h = {}
             samples.append({
                 "t_s": round(time.monotonic() - t0, 1),
                 "rss_mb": round(rss_mb(pid), 1),
@@ -141,6 +145,7 @@ async def soak(base, pid, minutes, out_path):
         last_drain = last_switch = t0
         await sample()
         cycle = 0
+        aborted = None
         while time.monotonic() < t_end:
             cycle += 1
             # wave of 2-4 concurrent SSE clients, mixed signatures,
@@ -196,8 +201,18 @@ async def soak(base, pid, minutes, out_path):
                     if r.status != 200:
                         errors.append(f"weight switch http {r.status}")
             await sample()
+            if samples[-1].get("backend_compiles") is None:
+                aborted = "server unreachable (died mid-soak)"
+                break
 
     # verdict
+    samples = [s for s in samples if s.get("backend_compiles") is not None]
+    if len(samples) < 3:
+        with open(out_path, "w") as f:
+            json.dump({"aborted": aborted or "too few samples",
+                       "errors": errors, "samples": samples}, f, indent=2)
+        print(f"ABORTED: {aborted}; wrote partial {out_path}")
+        return 1
     third = max(1, len(samples) // 3)
     post_warm = samples[third:]
     rss0, rss1 = post_warm[0]["rss_mb"], post_warm[-1]["rss_mb"]
@@ -221,8 +236,11 @@ async def soak(base, pid, minutes, out_path):
             "rss_flat": rss_growth_pct < 15.0,
             "compiles_bounded": compiles_delta_final == 0,
             "zero_errors": not errors,
+            "survived": aborted is None,
         },
     }
+    if aborted:
+        report["aborted"] = aborted
     report["pass"] = all(report["verdict"].values())
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
