@@ -536,3 +536,36 @@ def test_warmup_with_registry_voice(assets, engine):
                                  "prompt_audio": assets["prompt"],
                                  "prompt_text": "hello there."})
     assert stats["total_s"] > 0 and "stream_s" not in stats
+
+
+def test_repeat_infer_is_compile_free(assets, engine):
+    """Regression (r5 soak finding): a repeated identical request must not
+    compile ANYTHING new.  The vocoder attn/audio slices ran eagerly on
+    device arrays with per-request lengths, compiling 3-4 fresh tiny
+    executables per request — unbounded jit-cache (and LLVM mmap) growth
+    that killed a 20-min CPU serving soak at vm.max_map_count.
+    Deterministic sampling (top_k=1, noise_scale=0) pins the chain so
+    every shape repeats."""
+    import jax
+
+    kwargs = dict(top_k=1, top_p=1.0, temperature=1.0,
+                  repetition_penalty=1.35, noise_scale=0.0)
+    engine.infer(assets["spk"], assets["prompt"], "hello there.",
+                 "compile stability check.", **kwargs)
+
+    compiles = []
+
+    def listener(event, duration, **kw):
+        if "backend_compile" in event:
+            compiles.append(event)
+
+    import jax.monitoring
+
+    jax.monitoring.register_event_duration_secs_listener(listener)
+    try:
+        clip = engine.infer(assets["spk"], assets["prompt"], "hello there.",
+                            "compile stability check.", **kwargs)
+    finally:
+        jax.monitoring.unregister_event_duration_listener(listener)
+    assert len(clip.audio_data) > 0
+    assert not compiles, f"repeat request compiled {len(compiles)} programs"
