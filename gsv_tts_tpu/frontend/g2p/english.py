@@ -118,6 +118,32 @@ def _load_cmu_rep(path: Path, skip_to_line: int = 0, sep: str = "  ") -> Dict[st
     return d
 
 
+def _probe_in_thread(fn):
+    """Run a best-effort optional-backend probe on a THROWAWAY thread.
+
+    The nltk probes (corpus load, tagger data lookup) leak a frame deep in
+    nltk/importlib on failure, and a leaked frame pins its ENTIRE ancestor
+    chain via f_back — measured in r5: the first request that lazily built
+    an EnglishG2P kept its whole ``TTS.infer`` stack alive, pinning one
+    full stale model copy (~300 device arrays) across weight switches.  On
+    a private thread the leaked frame's ancestry ends at the thread
+    bootstrap — nothing of the caller's stack is reachable."""
+    out = {}
+
+    def run():
+        try:
+            out["v"] = fn()
+        except Exception:  # noqa: BLE001 — probes are best-effort by contract
+            pass
+
+    import threading
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join()
+    return out.get("v")
+
+
 class EnglishG2P:
     def __init__(self, models_dir=None):
         self.cmu: Dict[str, List[str]] = {}
@@ -131,12 +157,12 @@ class EnglishG2P:
             if (base / "engdict-hot.rep").exists():
                 self.cmu.update(_load_cmu_rep(base / "engdict-hot.rep", sep=" "))
         if not self.cmu:
-            try:
+            def load_nltk_cmu():
                 from nltk.corpus import cmudict
 
-                self.cmu = {k: v[0] for k, v in cmudict.dict().items()}
-            except Exception:
-                pass
+                return {k: v[0] for k, v in cmudict.dict().items()}
+
+            self.cmu = _probe_in_thread(load_nltk_cmu) or {}
         for w in ("ae", "ai", "ar", "ios", "hud", "os"):
             self.cmu.pop(w, None)
         self.homographs = en_oov.load_homographs(models_dir)
@@ -148,8 +174,9 @@ class EnglishG2P:
     @staticmethod
     def _pick_tagger(models_dir):
         """nltk's perceptron tagger when its data is installed (exact
-        reference behavior, ``english.py:25,124``); built-in tagger else."""
-        try:
+        reference behavior, ``english.py:25,124``); built-in tagger else.
+        Probed on a throwaway thread — see :func:`_probe_in_thread`."""
+        def probe():
             import nltk
 
             if models_dir is not None:
@@ -157,8 +184,8 @@ class EnglishG2P:
                     0, str(Path(models_dir) / "g2p" / "en" / "nltk"))
             nltk.pos_tag(["probe"])  # raises LookupError without data
             return nltk.pos_tag
-        except Exception:
-            return en_pos.pos_tag
+
+        return _probe_in_thread(probe) or en_pos.pos_tag
 
     def text_normalize(self, text: str) -> str:
         text = en_norm.normalize(text)
