@@ -1540,8 +1540,15 @@ class TTS:
                 p, cfg, jnp.asarray(codes_pad), jnp.int32(n),
                 jnp.asarray(text_pad), jnp.int32(text.shape[-1]), ge, noise,
                 y_ov, jnp.int32(0), 1, False)
+            # pass the FULL [1, C, 2*Bc] padded core outputs through: the
+            # mask is length-aware (flow/WN layers re-mask every step, the
+            # bucket suites assert pad-neutrality), and an eager
+            # z_p[:, :, :t50] device slice would compile per t50 — the
+            # linear compile tail the r5 soak measured (+8 programs/min
+            # under varying chain lengths).  Bucket-to-bucket pad/slice
+            # inside _flow_dec_bucketed stays a bounded shape set.
             audio = self._flow_dec_bucketed(
-                sovits, z_p[:, :, :t50], mask[:, :, :t50], ge, use_buckets)
+                sovits, z_p, mask, ge, use_buckets, t_true=t50)
             # slice attn in NUMPY: t50 varies per request, and an eager
             # device-array slice compiles a fresh dynamic_slice/squeeze
             # executable per shape — unbounded jit-cache (and, on CPU,
@@ -1634,18 +1641,34 @@ class TTS:
             target = _round_up(int(target * 1.5) + 1, 64)
         return target
 
-    def _flow_dec_bucketed(self, sovits: Sovits, z_p, y_mask, ge, use_buckets: bool):
+    def _flow_dec_bucketed(self, sovits: Sovits, z_p, y_mask, ge,
+                           use_buckets: bool, t_true: int = None):
         """Pad z_p to a fixed frame bucket and run the jitted flow+vocoder
-        (the reference's CUDA-graph region, ``models.py:406-425``)."""
+        (the reference's CUDA-graph region, ``models.py:406-425``).
+
+        ``t_true``: valid frame count when ``z_p`` arrives bucket-padded
+        beyond it (the padded-core path) — the bucket is sized from it and
+        the returned audio trimmed to it.  The trim runs in NUMPY: a
+        device-array slice at a per-request length compiles a fresh
+        executable per shape (r5 soak finding); every caller consumes host
+        audio anyway."""
         cfg = sovits.cfg
-        t = z_p.shape[-1]
+        t = t_true if t_true is not None else z_p.shape[-1]
         target = self._flow_bucket(t, use_buckets)
-        pad = target - t
-        if pad:
+        pad = target - z_p.shape[-1]
+        if pad > 0:
             z_p = jnp.pad(z_p, [(0, 0), (0, 0), (0, pad)])
             y_mask = jnp.pad(y_mask, [(0, 0), (0, 0), (0, pad)])
             if ge.shape[-1] != 1:  # packed mode: frame-wise conditioning
                 ge = jnp.pad(ge, [(0, 0), (0, 0), (0, pad)])
+        elif pad < 0:
+            # bucket-padded input larger than the target bucket: slice —
+            # both sizes come from bounded bucket sets, and target >= t
+            # keeps every valid frame
+            z_p = z_p[:, :, :target]
+            y_mask = y_mask[:, :, :target]
+            if ge.shape[-1] != 1:
+                ge = ge[:, :, :target]
         # keyed by the (hashable, frozen) cfg — the only value the closure
         # captures; params are a traced argument, so same-cfg models share
         # the executable and an id()-reuse after unload can never serve a
@@ -1656,7 +1679,7 @@ class TTS:
             fn = jax.jit(lambda p, z, m, g: sovits_model.flow_dec(p, cfg, z, m, g))
             self._decode_jit_cache[key] = fn
         audio = fn(sovits.params, z_p, y_mask, ge)
-        return audio[:, :, : t * cfg.samples_per_frame]
+        return np.asarray(audio)[:, :, : t * cfg.samples_per_frame]
 
     # -- audio preprocessing -------------------------------------------
 
