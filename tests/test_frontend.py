@@ -1128,3 +1128,27 @@ def test_auto_g2p_scoped_per_models_dir(tmp_path):
         assert ph_inj not in (ph_a, ph_b)
     finally:
         global_config.chinese_g2p = old
+
+
+def test_g2p_build_does_not_pin_caller_stack():
+    """Regression (r5 soak finding): building an EnglishG2P must not pin
+    the caller's frame chain.  The nltk probes leak a frame on failure,
+    and a leaked frame holds every ancestor frame via f_back — before the
+    throwaway-thread fix, the first request that lazily built a G2P kept
+    its whole TTS.infer stack (and one full stale model copy) alive."""
+    import gc
+    import weakref
+
+    from gsv_tts_tpu.frontend.g2p.english import EnglishG2P
+
+    class Sentinel:
+        pass
+
+    def build():
+        sentinel = Sentinel()  # noqa: F841 — lives in this frame's locals
+        EnglishG2P(None)
+        return weakref.ref(sentinel)
+
+    wr = build()
+    gc.collect()
+    assert wr() is None, "EnglishG2P construction pinned the caller frame"
