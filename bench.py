@@ -1150,6 +1150,14 @@ def bench_serving_round(B: int = 4, chunk: int = 25, bucket: int = 512,
 
     max_k = (bucket - 64 - chunk) // chunk  # keep kv_len inside the bucket
     k_lo, k_hi = min(k_pair), min(max(k_pair), max_k)
+    if not 1 <= k_lo < k_hi:
+        # degenerate pair (tiny bucket or k_pair) would divide by zero,
+        # produce a negative marginal rate, or overrun the KV bucket
+        # (pl.ds CLAMPS out-of-range window starts — silent corruption,
+        # not an error)
+        raise ValueError(
+            f"serving-round needs k_lo < k_hi <= max_k, got k_pair="
+            f"{k_pair} with max_k={max_k} (bucket={bucket}, chunk={chunk})")
 
     def round_body(carry, _):
         st, y_ov = carry

@@ -178,6 +178,32 @@ def pack_audio(data: np.ndarray, rate: int, media_type: str) -> bytes:
         content_type="application/json")
 
 
+#: process-wide backend-compile tally ([count]); see TTSServer._compile_base
+_COMPILE_TALLY = [0]
+_COMPILE_LISTENER_INSTALLED = False
+
+
+def _install_compile_counter() -> int:
+    """Register the (single, module-level) jax.monitoring compile listener
+    and return the current tally — a server snapshots this at init so its
+    /health ``backend_compiles`` counts only its own lifetime."""
+    global _COMPILE_LISTENER_INSTALLED
+    if not _COMPILE_LISTENER_INSTALLED:
+        try:
+            import jax.monitoring
+
+            def _on_event_duration(event: str, duration: float, **kw):
+                if "backend_compile" in event:
+                    _COMPILE_TALLY[0] += 1
+
+            jax.monitoring.register_event_duration_secs_listener(
+                _on_event_duration)
+            _COMPILE_LISTENER_INSTALLED = True
+        except Exception:  # noqa: BLE001 — observability must never block
+            pass
+    return _COMPILE_TALLY[0]
+
+
 class TTSServer:
     def __init__(self, tts, asr_fn=None, batch_window_ms: float = 0.0,
                  batch_max: int = 4, stream_share: bool = False):
@@ -214,20 +240,12 @@ class TTSServer:
         #: long-running server compiles each bucketed program ONCE — this
         #: number must plateau; unbounded growth = a shape leaking into the
         #: jit cache keys (tools/soak.py watches it alongside RSS and
-        #: jax.live_arrays())
-        self._compile_count = 0
-
-        def _on_event_duration(event: str, duration: float, **kw):
-            if "backend_compile" in event:
-                self._compile_count += 1
-
-        try:
-            import jax.monitoring
-
-            jax.monitoring.register_event_duration_secs_listener(
-                _on_event_duration)
-        except Exception:  # noqa: BLE001 — observability must never block
-            pass
+        #: jax.live_arrays()).  Counted via a module-level listener
+        #: registered ONCE: jax.monitoring listeners live in a
+        #: process-global registry with no practical unregister on object
+        #: death, so a per-instance closure over ``self`` would pin every
+        #: server (and its whole model) forever and cross-count instances.
+        self._compile_base = _install_compile_counter()
         self.batcher = None
         if batch_window_ms > 0:
             from .batcher import MicroBatcher
@@ -330,7 +348,7 @@ class TTSServer:
             "timings": {**self.timings.summary(), **engine_timings},
             # leak observability (tools/soak.py): compiles must plateau,
             # live device arrays must stay bounded across churn
-            "backend_compiles": self._compile_count,
+            "backend_compiles": _COMPILE_TALLY[0] - self._compile_base,
             "live_arrays": len(jax.live_arrays()),
         }
         if self.batcher is not None:
@@ -373,7 +391,8 @@ class TTSServer:
         import jax
 
         lines = ["# TYPE gsv_up gauge", "gsv_up 1",
-                 f"gsv_backend_compiles {self._compile_count}",
+                 f"gsv_backend_compiles "
+                 f"{_COMPILE_TALLY[0] - self._compile_base}",
                  f"gsv_live_arrays {len(jax.live_arrays())}"]
         engine_timings = (self.tts.get_timings()
                           if hasattr(self.tts, "get_timings") else {})

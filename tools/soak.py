@@ -214,10 +214,17 @@ async def soak(base, pid, minutes, out_path):
                         if r.status != 503:
                             errors.append(
                                 f"drain admitted a stream ({r.status})")
-                    await session.post(base + "/drain",
-                                       json={"enable": False})
                 except Exception as e:  # noqa: BLE001 — server may be dead
                     errors.append(f"drain cycle failed: {type(e).__name__}")
+                finally:
+                    # ALWAYS try to lift the drain: a transient shed-probe
+                    # failure must not leave the server draining (every
+                    # later request would 503 and fail the whole soak)
+                    try:
+                        await session.post(base + "/drain",
+                                           json={"enable": False})
+                    except Exception:  # noqa: BLE001
+                        errors.append("drain disable failed")
             # occasional weight re-switch (same path — exercises the
             # load/unload cycle without changing the model)
             if time.monotonic() - last_switch > 300:
