@@ -1559,9 +1559,27 @@ class TTS:
         noise = (jax.random.normal(self._next_rng(), (1, cfg.inter_channels, t_lat),
                                    jnp.float32) * noise_scale).astype(dtype)
         si = None if slice_indices is None else jnp.asarray(np.asarray(slice_indices, np.int32))
-        z_p, y_mask, attn, _, ge_out = sovits_model.decode_core(
-            p, cfg, jnp.asarray(codes), jnp.asarray(text), ge, noise,
-            speed=speed, slice_indices=si)
+        # ONE jitted program per exact shape, not an eager op-by-op run:
+        # the packed infer_batched path measured ~160 eager op dispatches
+        # (= 160 compiled micro-executables AND 160 tunnel RTTs on TPU)
+        # per call.  Shapes stay exact (reference packed semantics — a
+        # retrace per new packed length is the documented cost of this
+        # path); speed is static, arrays are traced.
+        key = (cfg, "decode_core", float(speed), si is not None)
+        core = self._decode_jit_cache.get(key)
+        if core is None:
+            spd = float(speed)
+
+            def core(p_, codes_, text_, ge_, noise_, si_,
+                     _cfg=cfg, _spd=spd):
+                return sovits_model.decode_core(
+                    p_, _cfg, codes_, text_, ge_, noise_, speed=_spd,
+                    slice_indices=si_)
+
+            core = jax.jit(core)
+            self._decode_jit_cache[key] = core
+        z_p, y_mask, attn, _, ge_out = core(
+            p, jnp.asarray(codes), jnp.asarray(text), ge, noise, si)
         audio = self._flow_dec_bucketed(sovits, z_p, y_mask, ge_out, use_buckets)
         return audio, np.asarray(attn)[0]  # numpy: see bucketed branch
 
